@@ -1,0 +1,16 @@
+from gmr_spark.algorithms.sssp import sssp, bfs
+from gmr_spark.algorithms.pagerank import pagerank
+from gmr_spark.algorithms.cc import connected_components
+from gmr_spark.algorithms.triangles import triangle_count
+from gmr_spark.algorithms.scc import strongly_connected_components
+from gmr_spark.algorithms.matmul import matmul_coo
+
+__all__ = [
+    "sssp",
+    "bfs",
+    "pagerank",
+    "connected_components",
+    "triangle_count",
+    "strongly_connected_components",
+    "matmul_coo",
+]

@@ -1,0 +1,73 @@
+"""PageRank (reference: algorithms.h:73-112).
+
+Declared semantics (FIXTURES.md §3.7 — the reference's, with its bugs fixed
+and made deterministic):
+- init value = 1.0 (algorithms.h:76-82);
+- each superstep every vertex sends ``value / out_degree`` along each
+  out-edge (algorithms.h:85-93); dangling vertices send nothing (reference
+  behavior — mass is lost, algorithms.h:86-87);
+- new value = ``0.5 * Σ incoming + 0.5 / N`` with damping 0.5 as the
+  reference hardcodes (algorithms.h:105) but **N = global vertex count** —
+  the reference divides by the *local partition's* count (igmr.cpp:105),
+  making results partition-dependent; we fix that;
+- vertices receiving no messages keep their prior value (cover-mode merge
+  only touches reduced keys, gmr.h:175-213);
+- fixed ``k`` supersteps (not threshold convergence) for oracle determinism.
+
+Scale: contributions are ``edges ⋈ ranks`` reusing the edges DF's src
+partitioning; ``groupBy(id).sum`` is partial+final aggregated; skewed hub
+destinations are handled by AQE skew splitting. Lineage is truncated every
+superstep via localCheckpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from gmr_spark.graph import PropertyGraph
+from gmr_spark.plans.pregel import run_pregel
+
+
+class _PageRankProgram:
+    def __init__(self, edges_with_share: DataFrame, n_vertices: int, damping: float):
+        self.edges_with_share = edges_with_share  # (src, dst, deg)
+        self.n = n_vertices
+        self.d = damping
+
+    def init(self, vertices: DataFrame) -> DataFrame:
+        return vertices.select("id", F.lit(1.0).alias("value"), F.lit(True).alias("active"))
+
+    def messages(self, frontier: DataFrame, edges: DataFrame) -> DataFrame:
+        # rank / deg (not rank * (1/deg)): matches the oracle SQL bit-for-bit
+        f = frontier.select(F.col("id").alias("fid"), F.col("value").alias("rank"))
+        return self.edges_with_share.join(f, F.col("src") == F.col("fid")).select(
+            F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("msg")
+        )
+
+    def aggregate(self, msgs: DataFrame) -> DataFrame:
+        return msgs.groupBy("id").agg(F.sum("msg").alias("agg"))
+
+    def update(self, vertices: DataFrame, agg: DataFrame) -> DataFrame:
+        new_value = F.when(
+            F.col("agg").isNotNull(), self.d * F.col("agg") + (1.0 - self.d) / self.n
+        ).otherwise(F.col("value"))
+        return vertices.join(agg, "id", "left").select(
+            "id", new_value.alias("value"), F.lit(True).alias("active")
+        )
+
+
+def pagerank(graph: PropertyGraph, *, k: int = 10, damping: float = 0.5) -> DataFrame:
+    """Fixed-k PageRank. -> (id BIGINT, rank DOUBLE)."""
+    out_deg = graph.edges.groupBy(F.col("src").alias("deg_id")).agg(
+        F.count("*").alias("deg")
+    )
+    edges_with_share = (
+        graph.edges.join(out_deg, F.col("src") == F.col("deg_id"))
+        .select("src", "dst", "deg")
+        .localCheckpoint(eager=True)
+    )
+    n = graph.vertices.count()
+    program = _PageRankProgram(edges_with_share, n, damping)
+    result = run_pregel(graph, program, max_iter=k, early_stop=False,
+                        checkpoint_every=1)
+    return result.vertices.select("id", F.col("value").alias("rank"))

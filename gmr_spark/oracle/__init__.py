@@ -1,0 +1,21 @@
+from gmr_spark.oracle.sql import (
+    bfs_sql,
+    cc_sql,
+    degrees_sql,
+    matmul_sql,
+    pagerank_sql,
+    scc_sql,
+    sssp_sql,
+    triangle_sql,
+)
+
+__all__ = [
+    "bfs_sql",
+    "cc_sql",
+    "degrees_sql",
+    "matmul_sql",
+    "pagerank_sql",
+    "scc_sql",
+    "sssp_sql",
+    "triangle_sql",
+]

@@ -1,0 +1,193 @@
+"""DuckDB oracle twins for the graph algorithms (SURVEY §5 test strategy).
+
+Iterative algorithms are expressed as *chained CTEs* — one CTE per superstep,
+unrolled K steps — mirroring the engine's update rule exactly. Because the
+engine's updates are monotone (SSSP/CC) or fixed-k (PageRank), a converged
+engine run equals the K-step unrolled SQL for any K ≥ the convergence step.
+
+Every SQL string is pure ANSI in the Spark-SQL ∩ DuckDB dialect intersection,
+over the driver's pre-registered parquet views, with the graph derivations
+from ``gmr_spark.sources.derive`` inlined — so both engines read identical
+bytes (FIXTURES.md §4).
+"""
+
+from __future__ import annotations
+
+from gmr_spark.sources.derive import GRAPH_SQL
+
+_VERTICES = """
+vertices AS MATERIALIZED (
+    SELECT DISTINCT src AS id FROM edges
+    UNION
+    SELECT DISTINCT dst AS id FROM edges
+)"""
+
+
+def _graph_ctes(graph: str, *, undirected: bool = False) -> str:
+    """WITH-clause prefix: edges (+ symmetric closure) + vertices.
+
+    ``AS MATERIALIZED`` is DuckDB-only syntax — fine here because oracle SQL
+    runs only in DuckDB (Spark executes the DataFrame engine instead). It
+    forces each unrolled superstep to be evaluated once (no exponential CTE
+    re-expansion, no per-reference parquet re-open).
+    """
+    base = GRAPH_SQL[graph].strip()
+    if undirected:
+        edges = f"""e_base AS MATERIALIZED (
+{base}
+),
+edges AS MATERIALIZED (
+    SELECT src, dst, weight FROM e_base
+    UNION
+    SELECT dst AS src, src AS dst, weight FROM e_base
+)"""
+    else:
+        edges = f"""edges AS MATERIALIZED (
+{base}
+)"""
+    return f"WITH {edges},{_VERTICES}"
+
+
+def sssp_sql(graph: str, source: int | str, k: int, *, unit: bool = False,
+             undirected: bool = False, dist_col: str = "dist") -> str:
+    """K-step Bellman-Ford relaxation; NULL = unreachable.
+
+    ``source`` may be an int literal or a SQL scalar expression (e.g.
+    ``(SELECT MIN(id) FROM vertices)``).
+    """
+    w = "CAST(1.0 AS DOUBLE)" if unit else "e.weight"
+    steps = [
+        f"d0 AS MATERIALIZED (SELECT id, CASE WHEN id = {source} THEN CAST(0.0 AS DOUBLE) END AS dist FROM vertices)"
+    ]
+    for i in range(1, k + 1):
+        p = f"d{i - 1}"
+        steps.append(f"""d{i} AS MATERIALIZED (
+    SELECT v.id,
+           CASE WHEN m.nd IS NULL THEN v.dist
+                WHEN v.dist IS NULL THEN m.nd
+                WHEN m.nd < v.dist THEN m.nd
+                ELSE v.dist END AS dist
+    FROM {p} v
+    LEFT JOIN (
+        SELECT e.dst AS id, MIN(p.dist + {w}) AS nd
+        FROM {p} p JOIN edges e ON e.src = p.id
+        WHERE p.dist IS NOT NULL
+        GROUP BY e.dst
+    ) m ON m.id = v.id
+)""")
+    return (
+        f"{_graph_ctes(graph, undirected=undirected)},\n"
+        + ",\n".join(steps)
+        + f"\nSELECT id, dist AS {dist_col} FROM d{k}"
+    )
+
+
+def bfs_sql(graph: str, source: int | str, k: int, *, undirected: bool = False) -> str:
+    return sssp_sql(graph, source, k, unit=True, undirected=undirected,
+                    dist_col="level")
+
+
+def pagerank_sql(graph: str, k: int, *, damping: float = 0.5,
+                 round_to: int = 6) -> str:
+    """Fixed-k PageRank, reference semantics with global-N fix (FIXTURES §3.7)."""
+    steps = [
+        "deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        "nv AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM vertices)",
+        "r0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS pr FROM vertices)",
+    ]
+    for i in range(1, k + 1):
+        p = f"r{i - 1}"
+        steps.append(f"""r{i} AS MATERIALIZED (
+    SELECT v.id,
+           CASE WHEN m.s IS NOT NULL
+                THEN {damping} * m.s + {1.0 - damping} / (SELECT n FROM nv)
+                ELSE v.pr END AS pr
+    FROM {p} v
+    LEFT JOIN (
+        SELECT e.dst AS id, SUM(p.pr / g.outdeg) AS s
+        FROM {p} p
+        JOIN edges e ON e.src = p.id
+        JOIN deg g ON g.id = p.id
+        GROUP BY e.dst
+    ) m ON m.id = v.id
+)""")
+    return (
+        f"{_graph_ctes(graph)},\n"
+        + ",\n".join(steps)
+        + f"\nSELECT id, ROUND(pr, {round_to}) AS pr FROM r{k}"
+    )
+
+
+def cc_sql(graph: str, k: int, *, undirected: bool = True) -> str:
+    """K-step min-label propagation over the symmetric closure."""
+    steps = ["c0 AS MATERIALIZED (SELECT id, id AS component FROM vertices)"]
+    for i in range(1, k + 1):
+        p = f"c{i - 1}"
+        steps.append(f"""c{i} AS MATERIALIZED (
+    SELECT v.id,
+           CASE WHEN m.ml IS NOT NULL AND m.ml < v.component THEN m.ml
+                ELSE v.component END AS component
+    FROM {p} v
+    LEFT JOIN (
+        SELECT e.dst AS id, MIN(p.component) AS ml
+        FROM {p} p JOIN edges e ON e.src = p.id
+        GROUP BY e.dst
+    ) m ON m.id = v.id
+)""")
+    return (
+        f"{_graph_ctes(graph, undirected=undirected)},\n"
+        + ",\n".join(steps)
+        + f"\nSELECT id, component FROM c{k}"
+    )
+
+
+def triangle_sql(graph: str) -> str:
+    return f"""{_graph_ctes(graph)},
+und AS MATERIALIZED (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+)
+SELECT COUNT(*) AS tri_cnt
+FROM und e1
+JOIN und e2 ON e1.b = e2.a
+JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"""
+
+
+def degrees_sql(graph: str) -> str:
+    return f"""{_graph_ctes(graph)}
+SELECT v.id,
+       COALESCE(o.c, CAST(0 AS BIGINT)) AS out_degree,
+       COALESCE(i.c, CAST(0 AS BIGINT)) AS in_degree
+FROM vertices v
+LEFT JOIN (SELECT src AS id, COUNT(*) AS c FROM edges GROUP BY src) o ON o.id = v.id
+LEFT JOIN (SELECT dst AS id, COUNT(*) AS c FROM edges GROUP BY dst) i ON i.id = v.id"""
+
+
+def scc_sql(graph: str, k: int) -> str:
+    """SCC labels via K-bounded mutual reachability (exact when K ≥ the
+    longest shortest path within any SCC). Only used on small derived graphs
+    — the engine's coloring algorithm is the scale path."""
+    steps = ["r0 AS MATERIALIZED (SELECT id AS src, id AS dst FROM vertices)"]
+    for i in range(1, k + 1):
+        p = f"r{i - 1}"
+        steps.append(f"""r{i} AS MATERIALIZED (
+    SELECT r.src, e.dst FROM {p} r JOIN edges e ON e.src = r.dst
+    UNION
+    SELECT src, dst FROM {p}
+)""")
+    return (
+        f"{_graph_ctes(graph)},\n"
+        + ",\n".join(steps)
+        + f"""
+SELECT a.src AS id, MIN(a.dst) AS scc
+FROM r{k} a JOIN r{k} b ON a.src = b.dst AND a.dst = b.src
+GROUP BY a.src"""
+    )
+
+
+def matmul_sql(graph: str) -> str:
+    """C = A·A over the graph's weighted adjacency matrix in COO form."""
+    return f"""{_graph_ctes(graph)}
+SELECT x.src AS i, y.dst AS j, CAST(SUM(x.weight * y.weight) AS DOUBLE) AS v
+FROM edges x JOIN edges y ON x.dst = y.src
+GROUP BY x.src, y.dst"""

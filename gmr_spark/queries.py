@@ -1,0 +1,129 @@
+"""Declared query registry — the driver-facing surface.
+
+Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with its
+DuckDB oracle SQL twin (SURVEY §2's inventory made concrete). Column names
+and types are aligned pair-by-pair; doubles produced by non-associative
+aggregation are rounded identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gmr_spark.algorithms import (
+    bfs,
+    connected_components,
+    matmul_coo,
+    pagerank,
+    sssp,
+    strongly_connected_components,
+    triangle_count,
+)
+from gmr_spark.oracle import (
+    bfs_sql,
+    cc_sql,
+    degrees_sql,
+    matmul_sql,
+    pagerank_sql,
+    scc_sql,
+    sssp_sql,
+    triangle_sql,
+)
+from gmr_spark.sources.derive import derive_graph
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# K bounds for the unrolled oracles — each must cover the engine's actual
+# convergence step (see oracle.sql docstring). Graph diameters at any sf:
+# geo ≤ 4 (star-of-stars), cs-undirected small-world, nation_ring cycles ≤ |nations per region|.
+K_BFS_GEO = 8
+K_SSSP_CS = 20
+K_PAGERANK = 10
+K_CC_CS = 20
+K_SCC_NATION = 10
+
+_MIN_VERTEX = "(SELECT MIN(id) FROM vertices)"
+
+
+def _q_bfs_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = derive_graph(spark, sf_dir, "geo")
+    return bfs(g, source=0, max_iter=K_BFS_GEO)
+
+
+def _q_sssp_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = derive_graph(spark, sf_dir, "cs").undirected()
+    source = g.vertices.agg(F.min("id")).first()[0]
+    return sssp(g, source=source, weighted=True, max_iter=K_SSSP_CS)
+
+
+def _q_pagerank_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = derive_graph(spark, sf_dir, "geo")
+    pr = pagerank(g, k=K_PAGERANK, damping=0.5)
+    return pr.select("id", F.round("rank", 6).alias("pr"))
+
+
+def _q_cc_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = derive_graph(spark, sf_dir, "cs")
+    return connected_components(g, max_iter=K_CC_CS, undirected=True)
+
+
+def _q_triangles_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = derive_graph(spark, sf_dir, "ring")
+    return triangle_count(g)
+
+
+def _q_degrees_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = derive_graph(spark, sf_dir, "cs")
+    out_d = g.out_degrees()
+    in_d = g.in_degrees()
+    return out_d.join(in_d, "id").select("id", "out_degree", "in_degree")
+
+
+def _q_scc_nation_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = derive_graph(spark, sf_dir, "nation_ring")
+    return strongly_connected_components(g)
+
+
+def _q_matmul_nation_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = derive_graph(spark, sf_dir, "nation_ring")
+    a = g.edges.select(
+        F.col("src").alias("i"), F.col("dst").alias("j"), F.col("weight").alias("v")
+    )
+    return matmul_coo(a, a).select("i", "j", F.col("v").cast("double").alias("v"))
+
+
+GRAPH_QUERIES: dict[str, QueryFn] = {
+    "bfs_geo": _q_bfs_geo,
+    "sssp_cs": _q_sssp_cs,
+    "pagerank_geo": _q_pagerank_geo,
+    "cc_cs": _q_cc_cs,
+    "triangles_ring": _q_triangles_ring,
+    "degrees_cs": _q_degrees_cs,
+    "scc_nation_ring": _q_scc_nation_ring,
+    "matmul_nation_ring": _q_matmul_nation_ring,
+}
+
+GRAPH_ORACLES: dict[str, str] = {
+    "bfs_geo": bfs_sql("geo", 0, K_BFS_GEO),
+    "sssp_cs": sssp_sql("cs", _MIN_VERTEX, K_SSSP_CS, undirected=True),
+    "pagerank_geo": pagerank_sql("geo", K_PAGERANK, damping=0.5, round_to=6),
+    "cc_cs": cc_sql("cs", K_CC_CS, undirected=True),
+    "triangles_ring": triangle_sql("ring"),
+    "degrees_cs": degrees_sql("cs"),
+    "scc_nation_ring": scc_sql("nation_ring", K_SCC_NATION),
+    "matmul_nation_ring": matmul_sql("nation_ring"),
+}
+
+
+def all_queries() -> dict[str, QueryFn]:
+    registry: dict[str, QueryFn] = {}
+    registry.update(GRAPH_QUERIES)
+    return registry
+
+
+def all_oracles() -> dict[str, str]:
+    oracles: dict[str, str] = {}
+    oracles.update(GRAPH_ORACLES)
+    return oracles

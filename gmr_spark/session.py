@@ -1,0 +1,45 @@
+"""SparkSession factory.
+
+Replaces the reference's MPI_Init/rank discovery (igmr.cpp:45-47). Config is
+tuned for the harness's local[32] single-JVM mode but every knob is the one
+you'd set on a real cluster too (AQE, skew join, shuffle partitions ~ cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_session(app_name: str = "gmr_spark", cpus: str | int | None = None) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    At 100 TB scale the same settings apply, minus ``master`` and
+    ``driver.memory`` which the cluster manager owns:
+    - AQE on: runtime partition coalescing + skew-join splitting stands in for
+      the reference's hand-balanced hash partitioning (partition.h:51-78).
+    - shuffle.partitions ~= total cores locally; on a 1000-executor cluster
+      this should be 2-3x total cores (or left to AQE's coalescing).
+    - Arrow enabled: every Pandas-UDF operator (dedup, multimodal) rides Arrow.
+    """
+    cpus = str(cpus or _DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.default.parallelism", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

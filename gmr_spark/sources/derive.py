@@ -1,0 +1,105 @@
+"""Deterministic graph derivations from the driver's relational tables.
+
+The reference ships graphs as text files (partition.h:183-273); the driver
+harness ships TPC-H-ish parquet. To give DuckDB (the correctness oracle) and
+Spark byte-identical graph inputs, every derived graph is defined ONCE as an
+ANSI-SQL string in the dialect intersection of Spark SQL and DuckDB, and both
+engines execute it verbatim (FIXTURES.md §4).
+
+Graphs:
+- ``geo``   undirected hierarchy: customer→nation, supplier→nation,
+            nation→region (+ reverses). 5 connected components (one per
+            region); region ids 0-4 are each component's min id.
+- ``cs``    directed bipartite purchase graph customer→supplier from
+            orders ⋈ lineitem (FIXTURES.md §4).
+- ``ring``  undirected customer ring with +1/+2 chords (every consecutive
+            triple is a triangle → exactly |C| triangles). Deterministic
+            fixture for triangle counting at any scale factor.
+- ``nation_ring`` directed cycle over the nations of each region → one SCC
+            per region; also the COO matrix for matmul tests.
+
+Id spaces are kept disjoint by offsets: region=+0, nation=+100,
+supplier=+1_000_000, customer=+2_000_000 (geo) / raw custkey (cs, ring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from gmr_spark.graph import PropertyGraph
+from gmr_spark.sources.tables import register_views
+
+GRAPH_SQL: dict[str, str] = {
+    "geo": """
+        WITH base AS (
+            SELECT CAST(n_nationkey + 100 AS BIGINT) AS src,
+                   CAST(n_regionkey AS BIGINT)       AS dst
+            FROM nation
+            UNION ALL
+            SELECT CAST(1000000 + s_suppkey AS BIGINT),
+                   CAST(s_nationkey + 100 AS BIGINT)
+            FROM supplier
+            UNION ALL
+            SELECT CAST(2000000 + c_custkey AS BIGINT),
+                   CAST(c_nationkey + 100 AS BIGINT)
+            FROM customer
+        )
+        SELECT src, dst, CAST(1.0 AS DOUBLE) AS weight FROM base
+        UNION ALL
+        SELECT dst AS src, src AS dst, CAST(1.0 AS DOUBLE) AS weight FROM base
+    """,
+    "cs": """
+        SELECT DISTINCT CAST(o.o_custkey AS BIGINT)      AS src,
+                        CAST(1000000 + l.l_suppkey AS BIGINT) AS dst,
+                        CAST(1.0 AS DOUBLE)              AS weight
+        FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    """,
+    "ring": """
+        WITH c AS (
+            SELECT CAST(c_custkey AS BIGINT) AS id,
+                   ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS pos,
+                   COUNT(*) OVER () AS n
+            FROM customer
+        ), fwd AS (
+            SELECT a.id AS src, b.id AS dst
+            FROM c a JOIN c b ON b.pos = (a.pos + 1) % a.n
+            UNION ALL
+            SELECT a.id AS src, b.id AS dst
+            FROM c a JOIN c b ON b.pos = (a.pos + 2) % a.n
+        )
+        SELECT src, dst, CAST(1.0 AS DOUBLE) AS weight FROM fwd
+        UNION ALL
+        SELECT dst AS src, src AS dst, CAST(1.0 AS DOUBLE) AS weight FROM fwd
+    """,
+    "nation_ring": """
+        WITH n AS (
+            SELECT CAST(n_nationkey AS BIGINT) AS id,
+                   CAST(n_regionkey AS BIGINT) AS r,
+                   ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) - 1 AS pos,
+                   COUNT(*) OVER (PARTITION BY n_regionkey) AS cnt
+            FROM nation
+        )
+        SELECT a.id AS src, b.id AS dst, CAST(1.0 AS DOUBLE) AS weight
+        FROM n a JOIN n b ON a.r = b.r AND b.pos = (a.pos + 1) % a.cnt
+        WHERE a.id <> b.id
+    """,
+}
+
+VERTICES_SQL_TEMPLATE = """
+    SELECT DISTINCT src AS id FROM ({edges}) e0
+    UNION
+    SELECT DISTINCT dst AS id FROM ({edges}) e1
+"""
+
+
+def vertices_sql(name: str) -> str:
+    return VERTICES_SQL_TEMPLATE.format(edges=GRAPH_SQL[name])
+
+
+def derive_graph(spark: SparkSession, sf_dir: str, name: str,
+                 num_partitions: int | None = None) -> PropertyGraph:
+    """Run the shared derivation SQL in Spark → PropertyGraph."""
+    register_views(spark, sf_dir)
+    edges = spark.sql(GRAPH_SQL[name])
+    return PropertyGraph.from_edges(edges, num_partitions=num_partitions)

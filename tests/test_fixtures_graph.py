@@ -1,0 +1,98 @@
+"""Unit tests on the reference's own tiny fixture graphs with hand-computed
+goldens (FIXTURES.md §2-3)."""
+
+from __future__ import annotations
+
+import pytest
+
+from gmr_spark.graph import PropertyGraph
+from gmr_spark.algorithms import (
+    bfs,
+    connected_components,
+    pagerank,
+    sssp,
+    strongly_connected_components,
+    triangle_count,
+)
+
+SMALL_EDGES = [  # graph/small.graph — symmetric, 10 vertices, 22 directed edges
+    (1, 2), (1, 3), (1, 4), (1, 5), (1, 10),
+    (2, 1), (2, 3), (2, 6), (2, 7),
+    (3, 1), (3, 2), (3, 8), (3, 9),
+    (4, 1), (4, 5),
+    (5, 1), (5, 4),
+    (6, 2), (7, 2), (8, 3), (9, 3), (10, 1),
+]
+
+THREELINE_EDGES = [(1, 2), (2, 3), (3, 2)]  # graph/3line.graph (+ isolated vertex 4)
+
+
+def _graph(spark, edges, extra_vertices=()):
+    df = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in edges], "src long, dst long, weight double"
+    )
+    g = PropertyGraph.from_edges(df)
+    if extra_vertices:
+        extra = spark.createDataFrame([(v,) for v in extra_vertices], "id long")
+        g = PropertyGraph(vertices=g.vertices.union(extra).distinct(), edges=g.edges)
+    return g
+
+
+def test_sssp_small(spark):
+    g = _graph(spark, SMALL_EDGES)
+    got = {r.id: r.dist for r in sssp(g, source=1).collect()}
+    assert got == {1: 0.0, 2: 1.0, 3: 1.0, 4: 1.0, 5: 1.0, 10: 1.0,
+                   6: 2.0, 7: 2.0, 8: 2.0, 9: 2.0}
+
+
+def test_sssp_3line_unreachable(spark):
+    g = _graph(spark, THREELINE_EDGES, extra_vertices=(4,))
+    got = {r.id: r.dist for r in sssp(g, source=1).collect()}
+    assert got == {1: 0.0, 2: 1.0, 3: 2.0, 4: None}
+
+
+def test_bfs_small_equals_sssp(spark):
+    g = _graph(spark, SMALL_EDGES)
+    got = {r.id: r.level for r in bfs(g, source=1).collect()}
+    assert got[6] == 2.0 and got[1] == 0.0 and got[10] == 1.0
+
+
+def test_triangle_count_small(spark):
+    g = _graph(spark, SMALL_EDGES)
+    assert triangle_count(g).first().tri_cnt == 2  # {1,2,3} and {1,4,5}
+
+
+def test_cc_small_and_3line(spark):
+    g = _graph(spark, SMALL_EDGES)
+    labels = {r.id: r.component for r in connected_components(g).collect()}
+    assert set(labels.values()) == {1}
+
+    g2 = _graph(spark, THREELINE_EDGES, extra_vertices=(4,))
+    labels2 = {r.id: r.component for r in connected_components(g2).collect()}
+    assert labels2 == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_degrees_small(spark):
+    g = _graph(spark, SMALL_EDGES)
+    out_deg = {r.id: r.out_degree for r in g.out_degrees().collect()}
+    assert out_deg == {1: 5, 2: 4, 3: 4, 4: 2, 5: 2, 6: 1, 7: 1, 8: 1, 9: 1, 10: 1}
+
+
+def test_pagerank_small_symmetry(spark):
+    g = _graph(spark, SMALL_EDGES)
+    pr = {r.id: r.rank for r in pagerank(g, k=10).collect()}
+    assert pr[4] == pytest.approx(pr[5], rel=1e-12)
+    assert pr[6] == pytest.approx(pr[7], rel=1e-12)
+    assert pr[2] == pytest.approx(pr[3], rel=1e-12)
+    assert pr[1] == max(pr.values())
+    # no dangling vertices -> total mass obeys t' = 0.5*t + 0.5 exactly,
+    # so after k=10 steps from t0=10: 1 + 9*0.5^10
+    assert sum(pr.values()) == pytest.approx(1 + 9 * 0.5**10, rel=1e-9)
+
+
+def test_scc_cycle_and_dag(spark):
+    # two 3-cycles joined by a one-way edge + a tail vertex
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4), (6, 7)]
+    g = _graph(spark, edges)
+    got = {r.id: r.scc for r in strongly_connected_components(g).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4, 7: 7}

@@ -1,0 +1,36 @@
+"""Spark-vs-DuckDB parity for every declared query — a local replica of the
+driver's t2 correctness gate (row count + columns + values)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+from tests.oracle_check import compare
+
+import importlib.util
+import os
+
+_spec = importlib.util.spec_from_file_location(
+    "spark_entry", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__spark_entry__.py")
+)
+_entry = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_entry)
+
+QUERY_NAMES = sorted(_entry.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, duck, name):
+    q = _entry.queries()[name]
+    oracles = _entry.oracle_sql()
+    df = q(spark, SF_ORACLE)
+    if name not in oracles:
+        assert df.count() >= 0  # rows-only check, like the driver
+        return
+    compare(df, duck, oracles[name])
+
+
+def test_entry_smoke(spark):
+    df = _entry.entry(spark)
+    assert df.count() > 0
