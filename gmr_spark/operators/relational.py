@@ -1,0 +1,240 @@
+"""Relational pass-through surface (SURVEY §2.2 / M4).
+
+The reference has no relational operators (its only filter is the active-
+vertex frontier, partition.h:516-534; its only "joins" are the vertex-id
+sorted merges, gmr.h:128-167). The new engine exposes the full Spark
+relational algebra as declared, oracle-checked operators over the driver
+tables: scan/filter/project, multi-way joins, aggregation, rollup, windows,
+set ops, top-k, sessionization, as-of join, global sort.
+
+Determinism contract with DuckDB (the driver hash-compares values):
+- every non-associative double SUM is computed on DECIMAL-cast inputs
+  (lossless: the synthetic data is ≤4 dp), ROUNDed so the scaled integer
+  stays below 2^53 (DuckDB's wide-decimal→double cast is int128-lossy
+  above that), and cast back to DOUBLE;
+- every window/top-k ORDER BY ends with a unique key as tiebreak;
+- averages are exact-decimal sums divided by counts, in double, identically
+  on both engines.
+
+Scale notes are per-operator docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from gmr_spark.sources.tables import load_tables
+
+
+def _dec(col: str, scale: int = 4, precision: int = 18) -> F.Column:
+    return F.col(col).cast(f"decimal({precision},{scale})")
+
+
+# Narrow decimals on purpose: Spark's decimal multiply adds precisions
+# (p1+p2+1) and silently ROUNDS once the result exceeds 38
+# (allowPrecisionLoss), while DuckDB keeps full scale — a cross-engine
+# divergence. (12,2)*(7,4)*(7,4) tops out at precision 28 → exact on both.
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + groupBy + 6 aggregates.
+    Plan: single parquet scan with shipdate filter + projected columns pushed
+    down; partial+final hash aggregate; no shuffle beyond the 2-key groupBy."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    one = F.lit(1).cast("decimal(6,4)")
+    disc_price = _dec("l_extendedprice", 2, 12) * (one - _dec("l_discount", 4, 6))
+    charge = disc_price * (one + _dec("l_tax", 4, 6))
+    qty_sum = F.sum(_dec("l_quantity", 2, 12))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            qty_sum.cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice", 2)).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            (qty_sum.cast("double") / F.count(F.lit(1)).cast("double")).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join (broadcast dim) + agg + deterministic top-10.
+    customer is broadcast (small side); lineitem⋈orders shuffles on orderkey."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    revenue = F.sum(_dec("l_extendedprice", 2, 12) * (F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 4, 6)))
+    joined = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.round(revenue, 2).cast("double").alias("revenue"))
+    )
+    w = W.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("o_orderkey", "o_orderpriority", "revenue")
+    )
+
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way join with local-supplier predicate (supplier nation = customer
+    nation), revenue per nation. Dims broadcast; fact join shuffles once."""
+    t = load_tables(spark, sf_dir)
+    revenue = F.sum(_dec("l_extendedprice", 2, 12) * (F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 4, 6)))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(revenue, 2).cast("double").alias("revenue"))
+    )
+
+
+def filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-pushdown scan: both the status and price filters reach the
+    parquet reader (PushedFilters), only 3 columns read (ReadSchema)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    return orders.filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 200000.0)
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per brand by retail price — Window + row_number, the
+    standard per-key top-k that avoids a global sort."""
+    part = load_tables(spark, sf_dir)["part"]
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rn")
+    )
+
+
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT surface: customers with vs without orders."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].select(F.col("c_custkey").alias("key"))
+    ordered = t["orders"].select(F.col("o_custkey").alias("key"))
+    both = cust.intersect(ordered).select(F.lit("both").alias("tag"), "key")
+    only = cust.subtract(ordered).select(F.lit("cust_only").alias("tag"), "key")
+    return both.unionByName(only)
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (region, nation) over order totals — grouping-sets surface."""
+    t = load_tables(spark, sf_dir)
+    joined = (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.sum(_dec("o_totalprice", 2)).cast("double").alias("total_revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running sum/sequence over the event stream (ordered window)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("seq"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("running_value"),
+    )
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min): lag + flag + running count.
+    The batch twin of streaming session_window."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(
+        prev_ts.isNull() | ((F.col("ts").cast("long") - prev_ts) > 1800), 1
+    ).otherwise(0)
+    return ev.select(
+        "event_id", "user_id", is_new.alias("is_new"), F.col("ts")
+    ).select(
+        "event_id",
+        "user_id",
+        F.sum("is_new").over(w).cast("int").alias("session_seq"),
+    )
+
+
+def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the user's most recent order at event time
+    (latest o_orderdate ≤ ts; orderkey desc tiebreak). Expressed as
+    join + per-event row_number — Spark lacks a native as-of join; at 100 TB
+    the range key would be bucketed first (see pyspark guide 'as-of join')."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_id", "user_id", "ts")
+    orders = t["orders"].select("o_orderkey", "o_custkey", "o_orderdate")
+    w = W.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    matched = (
+        ev.join(orders, (F.col("o_custkey") == F.col("user_id"))
+                & (F.col("o_orderdate") <= F.col("ts")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", F.col("o_orderkey").alias("asof_orderkey"))
+    )
+    return ev.select("event_id").join(matched, "event_id", "left")
+
+
+def global_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global total-order rank over events — the engine expression of the
+    reference's MPI sample sort (samplesort.cpp:21-191, O18): Spark's
+    RangePartitioning samples splitters, range-shuffles, sorts in-partition.
+    row_number over the full order is the declared (oracle-checkable) output;
+    the single-partition window is the price of emitting a dense rank — rank
+    assignment at 100 TB would use zipWithIndex on sorted partitions."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = W.orderBy("value", "event_id")
+    return ev.select("event_id", F.row_number().over(w).alias("rnk"))
+
+
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group (expand + two-phase agg under the hood)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type → per-user count columns."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-expression surface: regexp extraction from the JSON props
+    column, string + conditional functions — all JVM-codegen'd."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("int").alias("prop_k"),
+        F.upper("event_type").alias("type_upper"),
+        F.length("event_type").alias("type_len"),
+        F.when(F.col("value") >= 50.0, "high").otherwise("low").alias("value_band"),
+    )

@@ -1,0 +1,155 @@
+"""DuckDB twins for the relational surface (gmr_spark.operators.relational).
+
+Same DECIMAL-cast / unique-tiebreak determinism contract; see that module's
+docstring. Each string runs on the driver's pre-registered DuckDB views.
+"""
+
+_REV = "SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))))"
+
+Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+Q3 = f"""
+WITH agg AS (
+    SELECT o.o_orderkey, o.o_orderpriority, CAST(ROUND({_REV}, 2) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderpriority
+)
+SELECT o_orderkey, o_orderpriority, revenue
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, o_orderkey) AS rn FROM agg) t
+WHERE rn <= 10
+"""
+
+Q5 = f"""
+SELECT n.n_name, CAST(ROUND({_REV}, 2) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_nationkey = c.c_nationkey
+GROUP BY n.n_name
+"""
+
+FILTER_SCAN = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderstatus = 'O' AND o_totalprice > 200000.0
+"""
+
+TOPK_PER_GROUP = """
+SELECT p_brand, p_partkey, p_retailprice, CAST(rn AS INTEGER) AS rn
+FROM (
+    SELECT p_brand, p_partkey, p_retailprice,
+           ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+    FROM part
+) t WHERE rn <= 3
+"""
+
+SET_OPS = """
+SELECT 'both' AS tag, key FROM (
+    SELECT c_custkey AS key FROM customer
+    INTERSECT
+    SELECT o_custkey AS key FROM orders
+) a
+UNION ALL
+SELECT 'cust_only' AS tag, key FROM (
+    SELECT c_custkey AS key FROM customer
+    EXCEPT
+    SELECT o_custkey AS key FROM orders
+) b
+"""
+
+ROLLUP_REVENUE = """
+SELECT r.r_name, n.n_name,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+       COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+"""
+
+WINDOW_RUNNING = """
+SELECT event_id, user_id,
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS seq,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+SESSIONIZE = """
+WITH lagged AS (
+    SELECT event_id, user_id, ts,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+), flagged AS (
+    SELECT event_id, user_id, ts,
+           CASE WHEN prev_ts IS NULL
+                     OR date_diff('second', prev_ts, ts) > 1800
+                THEN 1 ELSE 0 END AS is_new
+    FROM lagged
+)
+SELECT event_id, user_id,
+       CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS session_seq
+FROM flagged
+"""
+
+ASOF_JOIN = """
+WITH matched AS (
+    SELECT e.event_id, o.o_orderkey,
+           ROW_NUMBER() OVER (PARTITION BY e.event_id
+                              ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+    FROM events e
+    JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT e.event_id, m.o_orderkey AS asof_orderkey
+FROM events e
+LEFT JOIN (SELECT event_id, o_orderkey FROM matched WHERE rn = 1) m
+       ON m.event_id = e.event_id
+"""
+
+GLOBAL_SORT_RANK = """
+SELECT event_id, CAST(ROW_NUMBER() OVER (ORDER BY value, event_id) AS INTEGER) AS rnk
+FROM events
+"""
+
+DISTINCT_AGG = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+PIVOT_EVENT_COUNTS = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS "view"
+FROM events
+GROUP BY user_id
+"""
+
+SCALAR_FUNCTIONS = """
+SELECT event_id,
+       CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS prop_k,
+       UPPER(event_type) AS type_upper,
+       CAST(LENGTH(event_type) AS INTEGER) AS type_len,
+       CASE WHEN value >= 50.0 THEN 'high' ELSE 'low' END AS value_band
+FROM events
+"""

@@ -31,7 +31,12 @@ from gmr_spark.oracle import (
     sssp_sql,
     triangle_sql,
 )
+from gmr_spark.algorithms.kmeans import kmeans
+from gmr_spark.operators import relational as R
+from gmr_spark.oracle import relational_sql as RSQL
+from gmr_spark.oracle.kmeans_sql import kmeans_sql
 from gmr_spark.sources.derive import derive_graph
+from gmr_spark.sources.tables import register_views
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -94,7 +99,13 @@ def _q_matmul_nation_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matmul_coo(a, a).select("i", "j", F.col("v").cast("double").alias("v"))
 
 
+def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans(emb, k=8, iters=2)
+
+
 GRAPH_QUERIES: dict[str, QueryFn] = {
+    "kmeans_embeddings": _q_kmeans,
     "bfs_geo": _q_bfs_geo,
     "sssp_cs": _q_sssp_cs,
     "pagerank_geo": _q_pagerank_geo,
@@ -106,6 +117,7 @@ GRAPH_QUERIES: dict[str, QueryFn] = {
 }
 
 GRAPH_ORACLES: dict[str, str] = {
+    "kmeans_embeddings": kmeans_sql(k=8, iters=2),
     "bfs_geo": bfs_sql("geo", 0, K_BFS_GEO),
     "sssp_cs": sssp_sql("cs", _MIN_VERTEX, K_SSSP_CS, undirected=True),
     "pagerank_geo": pagerank_sql("geo", K_PAGERANK, damping=0.5, round_to=6),
@@ -117,13 +129,50 @@ GRAPH_ORACLES: dict[str, str] = {
 }
 
 
+RELATIONAL_QUERIES: dict[str, QueryFn] = {
+    "q1_pricing_summary": R.q1_pricing_summary,
+    "q3_top_orders": R.q3_top_orders,
+    "q5_nation_revenue": R.q5_nation_revenue,
+    "filter_scan": R.filter_scan,
+    "topk_per_group": R.topk_per_group,
+    "set_ops_customers": R.set_ops_customers,
+    "rollup_revenue": R.rollup_revenue,
+    "window_running": R.window_running,
+    "sessionize": R.sessionize,
+    "asof_join_orders": R.asof_join_orders,
+    "global_sort_rank": R.global_sort_rank,
+    "distinct_agg": R.distinct_agg,
+    "pivot_event_counts": R.pivot_event_counts,
+    "scalar_functions": R.scalar_functions,
+}
+
+RELATIONAL_ORACLES: dict[str, str] = {
+    "q1_pricing_summary": RSQL.Q1,
+    "q3_top_orders": RSQL.Q3,
+    "q5_nation_revenue": RSQL.Q5,
+    "filter_scan": RSQL.FILTER_SCAN,
+    "topk_per_group": RSQL.TOPK_PER_GROUP,
+    "set_ops_customers": RSQL.SET_OPS,
+    "rollup_revenue": RSQL.ROLLUP_REVENUE,
+    "window_running": RSQL.WINDOW_RUNNING,
+    "sessionize": RSQL.SESSIONIZE,
+    "asof_join_orders": RSQL.ASOF_JOIN,
+    "global_sort_rank": RSQL.GLOBAL_SORT_RANK,
+    "distinct_agg": RSQL.DISTINCT_AGG,
+    "pivot_event_counts": RSQL.PIVOT_EVENT_COUNTS,
+    "scalar_functions": RSQL.SCALAR_FUNCTIONS,
+}
+
+
 def all_queries() -> dict[str, QueryFn]:
     registry: dict[str, QueryFn] = {}
     registry.update(GRAPH_QUERIES)
+    registry.update(RELATIONAL_QUERIES)
     return registry
 
 
 def all_oracles() -> dict[str, str]:
     oracles: dict[str, str] = {}
     oracles.update(GRAPH_ORACLES)
+    oracles.update(RELATIONAL_ORACLES)
     return oracles
