@@ -1,0 +1,39 @@
+"""Portable text primitives (Spark side).
+
+Every primitive here has an exact DuckDB twin (gmr_spark/oracle/llm_sql.py)
+built from the same dialect-intersection building blocks:
+
+- tokens:   split on single space, drop empties (document texts are already
+            lowercase, single-space separated);
+- word shingles: k-gram of consecutive tokens joined by ' ';
+- seeded hash: ``md5(seed || ':' || s)`` — md5 produces identical lowercase
+  hex on both engines, and the *string* MIN of seeded md5s is a valid
+  min-hash (uniform order on hex strings), sidestepping hex→int conversion
+  differences entirely.
+
+All primitives are built-in column expressions (JVM codegen, no Python UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def tokens(text: Column) -> Column:
+    return F.filter(F.split(text, " "), lambda x: x != "")
+
+
+def word_shingles(toks: Column, k: int = 3) -> Column:
+    """Array of k-word shingles (space-joined); empty if fewer than k tokens."""
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+
+
+def seeded_md5(col: Column, seed: int) -> Column:
+    return F.md5(F.concat(F.lit(f"{seed}:"), col))

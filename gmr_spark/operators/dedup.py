@@ -1,0 +1,169 @@
+"""Deduplication operators over the documents table (BASELINE.json north-star;
+absent from the reference — SURVEY §2.2 (†)).
+
+Three families, each a standard large-scale training-data pipeline pattern:
+
+- exact:   hash-groupBy on full text. At 100 TB this is a single shuffle on
+           md5(text) (never on the text itself).
+- MinHash-LSH: shingle → seeded-md5 string min-hash → banded buckets →
+           bucket self-join for candidates → exact Jaccard verification on
+           the candidates only. The candidate join replaces the O(n²) pair
+           scan; bands are tunable (8 hashes, 4 bands of 2 here).
+- SimHash: 32-bit signature via a vectorized Arrow pandas_udf (the declared
+           demonstration of the Python fast path); Hamming-close pairs are
+           then exact-verifiable. The DuckDB twin computes the same bits in
+           pure SQL (md5-nibble expansion), proving the UDF's math.
+"""
+
+from __future__ import annotations
+
+
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gmr_spark.functions.text import seeded_md5, tokens, word_shingles
+from gmr_spark.sources.tables import load_tables
+
+N_HASHES = 8
+N_BANDS = 4  # bands of 2 hashes each
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(text_md5, keep_id, n_copies): canonical representative per distinct
+    text = lowest doc_id. Survivors of exact dedup = rows where
+    doc_id == keep_id."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.groupBy(F.md5(F.col("text")).alias("text_md5")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def _doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, sh) distinct word-k-gram shingles."""
+    return docs.select(
+        "doc_id", F.explode(word_shingles(tokens(F.col("text")), k)).alias("sh")
+    ).distinct()
+
+
+def minhash_signatures(shingled: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, m0..m{n-1}): string min-hash signature."""
+    aggs = [
+        F.min(seeded_md5(F.col("sh"), j)).alias(f"m{j}") for j in range(n_hashes)
+    ]
+    return shingled.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """(doc_a, doc_b): pairs agreeing on at least one full band."""
+    rows_per_band = N_HASHES // n_bands
+    band_cols = [
+        F.md5(F.concat(*[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)])).alias(f"b{b}")
+        for b in range(n_bands)
+    ]
+    bands = sigs.select("doc_id", *band_cols)
+    stack_expr = ", ".join(f"{b}, b{b}" for b in range(n_bands))
+    long = bands.selectExpr(
+        "doc_id", f"stack({n_bands}, {stack_expr}) AS (band_idx, band_val)"
+    )
+    a = long.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_val")
+    b = long.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_val")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str, *, min_jaccard: float = 0.1) -> DataFrame:
+    """(doc_a, doc_b, jaccard): LSH candidates verified by exact shingle-set
+    Jaccard ≥ threshold. The verification join touches candidates only."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    shingled = _doc_shingles(docs)
+    pairs = lsh_candidate_pairs(minhash_signatures(shingled))
+
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        pairs.join(sa, "doc_a").join(sb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def make_simhash32_udf():
+    """32-bit SimHash over whitespace tokens; bit source = low 8 hex chars of
+    each token's md5 (matches the pure-SQL DuckDB twin bit for bit).
+
+    Built as a nested closure so cloudpickle serializes it BY VALUE — Spark's
+    Python workers don't have this package on their import path when the
+    driver runs from an arbitrary cwd."""
+
+    def _simhash_series(texts: pd.Series) -> pd.Series:
+        import hashlib as _hashlib
+
+        def one(t: str) -> int:
+            acc = [0] * 32
+            for tok in t.split(" "):
+                if not tok:
+                    continue
+                v = int(_hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
+                for i in range(32):
+                    acc[i] += 1 if (v >> i) & 1 else -1
+            return sum(1 << i for i in range(32) if acc[i] > 0)
+
+        return texts.map(one)
+
+    return F.pandas_udf("long")(_simhash_series)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash): Arrow-vectorized signature per document."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    simhash32 = make_simhash32_udf()
+    return docs.select("doc_id", simhash32(F.col("text")).alias("simhash"))
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, *, min_common: int = 20) -> DataFrame:
+    """(doc_a, doc_b, jaccard): exact word-3gram Jaccard for every pair
+    sharing ≥ min_common shingles — inverted-index join, no LSH approximation
+    (the exact-verification counterpart of dedup_minhash)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    shingled = _doc_shingles(docs)
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        sa.join(sb, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,106 @@
+"""Similarity search over the embeddings table (ARRAY<FLOAT>, 64-dim).
+
+- ``cosine_topk``  — brute-force exact top-k for a query set: broadcast the
+  (tiny) query side, JVM-side ``zip_with``+``aggregate`` dot products, per-
+  query row_number. The baseline every ANN variant is judged against. At
+  100 TB the scan side stays partitioned; only queries are broadcast.
+- ``ann_sign_lsh`` — bucketed approximate variant: random-hyperplane LSH
+  specialized to axis-aligned hyperplanes (bucket = sign bits of the first
+  16 dims), so buckets are computable as pure column expressions on both
+  engines. Candidates = same-bucket rows; exact cosine re-rank inside the
+  bucket. This replaces the O(n·q) cross product with a bucket equi-join —
+  the scale path for n in the billions.
+
+Determinism: similarities are ROUND(·, 6) before ranking (fold-order float
+drift is ~1e-15), ties break on neighbor id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gmr_spark.sources.tables import load_tables
+
+
+def _vec(col: str = "embedding") -> F.Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                       lambda acc, v: acc + v)
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str, *, n_queries: int = 5,
+                k: int = 10) -> DataFrame:
+    """(query_id, neighbor_id, sim, rnk): exact top-k neighbors by cosine
+    for the ``n_queries`` lowest vec_ids (self excluded)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    base = emb.select(F.col("vec_id").alias("neighbor_id"), _vec().alias("v"))
+    queries = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), _vec().alias("q"))
+    )
+    sims = (
+        base.join(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(_dot(F.col("q"), F.col("v"))
+                    / (_norm(F.col("q")) * _norm(F.col("v"))), 6).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )
+
+
+def sign_bucket(vec: F.Column, n_bits: int = 16) -> F.Column:
+    """Axis-aligned sign-LSH bucket id from the first n_bits dimensions."""
+    bits = [
+        F.when(F.element_at(vec, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(n_bits)
+    ]
+    acc = bits[0]
+    for b in bits[1:]:
+        acc = acc + b
+    return acc.cast("bigint")
+
+
+def ann_sign_lsh(spark: SparkSession, sf_dir: str, *, k: int = 3,
+                 n_bits: int = 16) -> DataFrame:
+    """(query_id, neighbor_id, sim, rnk): top-k same-bucket neighbors for
+    EVERY vector — an all-pairs ANN pass via bucket equi-join."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    vecs = emb.select(
+        F.col("vec_id").alias("id"), _vec().alias("v"),
+        sign_bucket(_vec(), n_bits).alias("bucket"),
+    )
+    a = vecs.select(F.col("id").alias("query_id"), F.col("v").alias("q"), "bucket")
+    b = vecs.select(F.col("id").alias("neighbor_id"), F.col("v").alias("v"), "bucket")
+    sims = (
+        a.join(b, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(_dot(F.col("q"), F.col("v"))
+                    / (_norm(F.col("q")) * _norm(F.col("v"))), 6).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )

@@ -1,0 +1,127 @@
+"""Text-analysis operators over documents (BASELINE.json north-star (†)).
+
+- language-ID: stopword-profile scoring (n-gram-free heuristic; the synthetic
+  corpus shares one vocabulary across langs, so the *predictions* are
+  degenerate by construction — the operator contract is the deterministic
+  scoring pipeline, and the unit tests exercise it on real multilingual
+  fixtures);
+- quality score: length/punctuation/stopword features combined linearly;
+- token counting: whitespace tokens + a BPE-ish regex segmentation;
+- fingerprinting: winnowing (k-gram hashes, min over a sliding window) —
+  the positional variant of MinHash used for plagiarism-style matching.
+
+Everything is built-in column expressions; ratios are exact integer
+divisions in double, rounded to 6 dp on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from gmr_spark.functions.text import tokens, word_shingles
+from gmr_spark.sources.tables import load_tables
+
+# profiles keyed on words that actually occur in the corpus vocabulary
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "la", "los", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "zh": ("de", "le", "shi", "he", "zai"),
+}
+
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _score(toks: F.Column, words: tuple[str, ...]) -> F.Column:
+    return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang_actual, lang_pred, score): argmax stopword-profile hits,
+    ties to the lexicographically first language."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = tokens(F.col("text"))
+    scored = F.array(*[
+        F.struct(
+            (-_score(toks, words)).cast("int").alias("neg_hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(LANG_PROFILES.items())
+    ])
+    best = F.array_min(scored)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        best["lang"].alias("lang_pred"),
+        (-best["neg_hits"]).cast("int").alias("score"),
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, avg_token_len, stop_ratio, score)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    tok_chars = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, v: acc + v
+    )
+    stop_hits = _score(toks, LANG_PROFILES["en"])
+    avg_len = F.round(tok_chars.cast("double") / n_tok.cast("double"), 6)
+    stop_ratio = F.round(stop_hits.cast("double") / n_tok.cast("double"), 6)
+    score = F.round(
+        F.least(n_tok.cast("double") / 100.0, F.lit(1.0)) * 0.5
+        + stop_ratio * 0.3
+        + F.least(avg_len / 10.0, F.lit(1.0)) * 0.2,
+        6,
+    )
+    return docs.select(
+        "doc_id", n_tok.cast("int").alias("n_tokens"),
+        avg_len.alias("avg_token_len"), stop_ratio.alias("stop_ratio"),
+        score.alias("score"),
+    )
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_ish, n_chars_alpha)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("int").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0))
+        .cast("int").alias("n_bpe_ish"),
+        F.length(F.regexp_replace(F.col("text"), "[^a-z]", "")).cast("int")
+        .alias("n_chars_alpha"),
+    )
+
+
+def term_frequencies(spark: SparkSession, sf_dir: str, *, min_count: int = 10) -> DataFrame:
+    """(token, n_docs, n_occurrences): corpus term stats — the explode +
+    two-level aggregation pattern (map-side combine on both levels)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    exploded = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    return (
+        exploded.groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str, *, window: int = 4) -> DataFrame:
+    """(doc_id, fp): winnowing fingerprints — md5 of word-3gram shingles,
+    min over each sliding window of ``window`` consecutive positions,
+    deduplicated. Robust to local edits; the document-level counterpart of
+    minhash."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(word_shingles(tokens(F.col("text")))).alias("pos", "sh"),
+    ).select("doc_id", "pos", F.md5(F.col("sh")).alias("h"))
+    w = (
+        W.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(0, window - 1)
+    )
+    return sh.select("doc_id", F.min("h").over(w).alias("fp")).distinct()

@@ -1,0 +1,285 @@
+"""DuckDB twins for the LLM-data-pipeline operators (dedup / similarity /
+text analysis / multimodal plumbing).
+
+Shared portable primitives (see gmr_spark/functions/text.py):
+tokens = list_filter(string_split(text,' '), x -> x <> ''); word 3-gram
+shingles via list comprehension; seeded md5 string-min for minhash. The
+SimHash twin expands md5 nibbles in pure SQL to prove the Spark pandas_udf's
+arithmetic. DuckDB-only dialect (MATERIALIZED, list comprehensions, lambdas).
+"""
+
+_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+_SHINGLED = f"""
+toks AS MATERIALIZED (
+    SELECT doc_id, {_TOKS} AS t FROM documents
+),
+shingled AS MATERIALIZED (
+    SELECT DISTINCT doc_id,
+           unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                   for i in generate_series(1, len(t) - 2)]) AS sh
+    FROM toks
+    WHERE len(t) >= 3
+)"""
+
+DEDUP_EXACT = """
+SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+_SIGS = """
+sigs AS MATERIALIZED (
+    SELECT doc_id,
+           MIN(md5('0:' || sh)) AS m0, MIN(md5('1:' || sh)) AS m1,
+           MIN(md5('2:' || sh)) AS m2, MIN(md5('3:' || sh)) AS m3,
+           MIN(md5('4:' || sh)) AS m4, MIN(md5('5:' || sh)) AS m5,
+           MIN(md5('6:' || sh)) AS m6, MIN(md5('7:' || sh)) AS m7
+    FROM shingled GROUP BY doc_id
+),
+bands AS MATERIALIZED (
+    SELECT doc_id, 0 AS band_idx, md5(m0 || m1) AS band_val FROM sigs
+    UNION ALL SELECT doc_id, 1, md5(m2 || m3) FROM sigs
+    UNION ALL SELECT doc_id, 2, md5(m4 || m5) FROM sigs
+    UNION ALL SELECT doc_id, 3, md5(m6 || m7) FROM sigs
+),
+pairs AS MATERIALIZED (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+),
+sizes AS MATERIALIZED (
+    SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id
+)"""
+
+DEDUP_MINHASH = f"""
+WITH {_SHINGLED.strip()},
+{_SIGS.strip()},
+inter AS MATERIALIZED (
+    SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+    FROM pairs p
+    JOIN shingled sa ON sa.doc_id = p.doc_a
+    JOIN shingled sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+    GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(i.n_common AS DOUBLE)
+             / CAST(za.n_sh + zb.n_sh - i.n_common AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE ROUND(CAST(i.n_common AS DOUBLE)
+            / CAST(za.n_sh + zb.n_sh - i.n_common AS DOUBLE), 6) >= 0.1
+"""
+
+NGRAM_JACCARD = f"""
+WITH {_SHINGLED.strip()},
+sizes AS MATERIALIZED (
+    SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id
+),
+inter AS MATERIALIZED (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM shingled a JOIN shingled b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 20
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(i.n_common AS DOUBLE)
+             / CAST(za.n_sh + zb.n_sh - i.n_common AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+"""
+
+# SimHash: bit i (0..31) of int(md5(token)[:8], 16); nibble p (1..8, MSB
+# first) holds bits 31-4(p-1) .. 28-4(p-1), so bit i lives in nibble
+# 8 - i//4 at in-nibble position i%4.
+DEDUP_SIMHASH = """
+WITH tok AS MATERIALIZED (
+    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+    FROM documents
+),
+th AS MATERIALIZED (
+    SELECT doc_id, substr(md5(tok), 1, 8) AS h8 FROM tok
+),
+bits AS MATERIALIZED (
+    SELECT doc_id, i.i,
+           CAST(floor((strpos('0123456789abcdef',
+                              substr(h8, 8 - CAST(i.i // 4 AS INTEGER), 1)) - 1)
+                      / POWER(2, i.i % 4)) AS BIGINT) % 2 AS bit
+    FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) i
+),
+acc AS MATERIALIZED (
+    SELECT doc_id, i, SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS s
+    FROM bits GROUP BY doc_id, i
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(POWER(2, i) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM acc GROUP BY doc_id
+"""
+
+_EMB = """
+emb AS MATERIALIZED (
+    SELECT CAST(vec_id AS BIGINT) AS id, CAST(embedding AS DOUBLE[]) AS vec
+    FROM embeddings
+),
+expl AS MATERIALIZED (
+    SELECT id, generate_subscripts(vec, 1) AS pos, unnest(vec) AS val FROM emb
+),
+norms AS MATERIALIZED (
+    SELECT id, sqrt(SUM(val * val)) AS nrm FROM expl GROUP BY id
+)"""
+
+COSINE_TOPK = f"""
+WITH {_EMB.strip()},
+dots AS MATERIALIZED (
+    SELECT q.id AS query_id, v.id AS neighbor_id, SUM(q.val * v.val) AS dot
+    FROM expl q JOIN expl v ON q.pos = v.pos
+    WHERE q.id < 5 AND v.id <> q.id
+    GROUP BY q.id, v.id
+),
+sims AS MATERIALIZED (
+    SELECT d.query_id, d.neighbor_id,
+           ROUND(d.dot / (nq.nrm * nv.nrm), 6) AS sim
+    FROM dots d
+    JOIN norms nq ON nq.id = d.query_id
+    JOIN norms nv ON nv.id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, sim, CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS rnk
+    FROM sims
+) t WHERE rnk <= 10
+"""
+
+ANN_SIGN_LSH = f"""
+WITH {_EMB.strip()},
+buckets AS MATERIALIZED (
+    SELECT id,
+           CAST(SUM(CASE WHEN val > 0 THEN CAST(POWER(2, pos - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+    FROM expl WHERE pos <= 16 GROUP BY id
+),
+cand AS MATERIALIZED (
+    SELECT a.id AS query_id, b.id AS neighbor_id
+    FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.id <> b.id
+),
+dots AS MATERIALIZED (
+    SELECT c.query_id, c.neighbor_id, SUM(q.val * v.val) AS dot
+    FROM cand c
+    JOIN expl q ON q.id = c.query_id
+    JOIN expl v ON v.id = c.neighbor_id AND v.pos = q.pos
+    GROUP BY c.query_id, c.neighbor_id
+),
+sims AS MATERIALIZED (
+    SELECT d.query_id, d.neighbor_id,
+           ROUND(d.dot / (nq.nrm * nv.nrm), 6) AS sim
+    FROM dots d
+    JOIN norms nq ON nq.id = d.query_id
+    JOIN norms nv ON nv.id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, sim, CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS rnk
+    FROM sims
+) t WHERE rnk <= 3
+"""
+
+_PROFILES_SQL = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "la", "los", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "zh": ("de", "le", "shi", "he", "zai"),
+}
+
+
+def _hits(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(t, x -> x IN ({lst})))"
+
+
+LANG_ID = f"""
+WITH toks AS MATERIALIZED (
+    SELECT doc_id, lang, {_TOKS} AS t FROM documents
+),
+scored AS MATERIALIZED (
+    SELECT doc_id, lang,
+           {", ".join(f"CAST({_hits(w)} AS INTEGER) AS s_{lang}" for lang, w in sorted(_PROFILES_SQL.items()))}
+    FROM toks
+)
+SELECT doc_id, lang AS lang_actual,
+       CASE {" ".join(f"WHEN GREATEST(s_de, s_en, s_es, s_fr, s_zh) = s_{lang} THEN '{lang}'" for lang in sorted(_PROFILES_SQL))} END AS lang_pred,
+       GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS score
+FROM scored
+"""
+
+QUALITY_SCORE = f"""
+WITH toks AS MATERIALIZED (
+    SELECT doc_id, {_TOKS} AS t FROM documents
+),
+feat AS MATERIALIZED (
+    SELECT doc_id,
+           len(t) AS n_tok,
+           list_reduce(list_transform(t, x -> length(x)), (a, b) -> a + b) AS tok_chars,
+           len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS stop_hits
+    FROM toks
+)
+SELECT doc_id,
+       CAST(n_tok AS INTEGER) AS n_tokens,
+       ROUND(CAST(tok_chars AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS avg_token_len,
+       ROUND(CAST(stop_hits AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS stop_ratio,
+       ROUND(
+           LEAST(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.5
+           + ROUND(CAST(stop_hits AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) * 0.3
+           + LEAST(ROUND(CAST(tok_chars AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) / 10.0, 1.0) * 0.2,
+       6) AS score
+FROM feat
+"""
+
+TOKEN_STATS = f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS INTEGER) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_ish,
+       CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS INTEGER) AS n_chars_alpha
+FROM documents
+"""
+
+TERM_FREQUENCIES = f"""
+WITH tok AS MATERIALIZED (
+    SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+)
+SELECT token, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+FROM tok GROUP BY token
+HAVING COUNT(*) >= 10
+"""
+
+DOC_FINGERPRINTS = f"""
+WITH toks AS MATERIALIZED (
+    SELECT doc_id, {_TOKS} AS t FROM documents
+),
+positioned AS MATERIALIZED (
+    SELECT doc_id,
+           md5(unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       for i in generate_series(1, len(t) - 2)])) AS h,
+           unnest(generate_series(1, len(t) - 2)) AS pos
+    FROM toks WHERE len(t) >= 3
+)
+SELECT DISTINCT doc_id,
+       MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+FROM positioned
+"""
+
+# header byte via ascii(first char): identical to the raw first byte because
+# the corpus is pure ASCII (the Spark side reads payload[0] directly).
+MULTIMODAL_DECODE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END AS INTEGER) AS header_byte,
+       CAST((octet_length(encode(text)) * 7) % 640 + 1 AS INTEGER) AS width,
+       CAST((octet_length(encode(text)) * 13) % 480 + 1 AS INTEGER) AS height
+FROM documents
+"""

@@ -32,7 +32,12 @@ from gmr_spark.oracle import (
     triangle_sql,
 )
 from gmr_spark.algorithms.kmeans import kmeans
+from gmr_spark.operators import dedup as D
+from gmr_spark.operators import multimodal as M
 from gmr_spark.operators import relational as R
+from gmr_spark.operators import similarity as S
+from gmr_spark.operators import text_analysis as TA
+from gmr_spark.oracle import llm_sql as LSQL
 from gmr_spark.oracle import relational_sql as RSQL
 from gmr_spark.oracle.kmeans_sql import kmeans_sql
 from gmr_spark.sources.derive import derive_graph
@@ -164,10 +169,42 @@ RELATIONAL_ORACLES: dict[str, str] = {
 }
 
 
+LLM_QUERIES: dict[str, QueryFn] = {
+    "dedup_exact": D.dedup_exact,
+    "dedup_minhash": D.dedup_minhash,
+    "dedup_simhash": D.dedup_simhash,
+    "ngram_jaccard": D.ngram_jaccard_pairs,
+    "cosine_topk": S.cosine_topk,
+    "ann_sign_lsh": S.ann_sign_lsh,
+    "lang_id": TA.lang_id,
+    "quality_score": TA.quality_score,
+    "token_stats": TA.token_stats,
+    "term_frequencies": TA.term_frequencies,
+    "doc_fingerprints": TA.doc_fingerprints,
+    "multimodal_decode": M.multimodal_decode,
+}
+
+LLM_ORACLES: dict[str, str] = {
+    "dedup_exact": LSQL.DEDUP_EXACT,
+    "dedup_minhash": LSQL.DEDUP_MINHASH,
+    "dedup_simhash": LSQL.DEDUP_SIMHASH,
+    "ngram_jaccard": LSQL.NGRAM_JACCARD,
+    "cosine_topk": LSQL.COSINE_TOPK,
+    "ann_sign_lsh": LSQL.ANN_SIGN_LSH,
+    "lang_id": LSQL.LANG_ID,
+    "quality_score": LSQL.QUALITY_SCORE,
+    "token_stats": LSQL.TOKEN_STATS,
+    "term_frequencies": LSQL.TERM_FREQUENCIES,
+    "doc_fingerprints": LSQL.DOC_FINGERPRINTS,
+    "multimodal_decode": LSQL.MULTIMODAL_DECODE,
+}
+
+
 def all_queries() -> dict[str, QueryFn]:
     registry: dict[str, QueryFn] = {}
     registry.update(GRAPH_QUERIES)
     registry.update(RELATIONAL_QUERIES)
+    registry.update(LLM_QUERIES)
     return registry
 
 
@@ -175,4 +212,5 @@ def all_oracles() -> dict[str, str]:
     oracles: dict[str, str] = {}
     oracles.update(GRAPH_ORACLES)
     oracles.update(RELATIONAL_ORACLES)
+    oracles.update(LLM_ORACLES)
     return oracles

@@ -1,0 +1,104 @@
+"""Behavioral tests for the LLM-pipeline operators on planted fixtures
+(the synthetic corpus has no true near-duplicates, so the oracle parity test
+alone would not prove detection works)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gmr_spark.operators.dedup import (
+    _doc_shingles,
+    lsh_candidate_pairs,
+    make_simhash32_udf,
+    minhash_signatures,
+)
+
+DOC = ("the quick brown fox jumps over the lazy dog and then runs far away "
+       "into the deep dark forest to find some food for its hungry cubs")
+NEAR = DOC.replace("brown", "red")  # one-token edit -> high jaccard
+FAR = ("completely different content about spark shuffles and catalyst "
+       "optimizer rules that shares nothing with the fox story at all here")
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, DOC), (2, NEAR), (3, FAR)], "doc_id long, text string"
+    )
+
+
+def test_minhash_lsh_detects_planted_near_dup(spark):
+    shingled = _doc_shingles(_docs(spark))
+    pairs = lsh_candidate_pairs(minhash_signatures(shingled)).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (1, 2) in found
+    assert (1, 3) not in found and (2, 3) not in found
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    simhash32 = make_simhash32_udf()
+    df = _docs(spark).select("doc_id", simhash32(F.col("text")).alias("h"))
+    h = {r.doc_id: r.h for r in df.collect()}
+    ham_near = bin(h[1] ^ h[2]).count("1")
+    ham_far = bin(h[1] ^ h[3]).count("1")
+    assert ham_near < ham_far
+    assert ham_near <= 8
+    # identical text -> identical signature, deterministic across runs
+    again = {r.doc_id: r.h for r in _docs(spark).select(
+        "doc_id", simhash32(F.col("text")).alias("h")).collect()}
+    assert again == h
+
+
+def test_cosine_topk_matches_numpy_bruteforce(spark):
+    import numpy as np
+
+    from gmr_spark.operators.similarity import cosine_topk
+
+    top = cosine_topk(spark, "/root/testdata/sf0.001", n_queries=3, k=5)
+    rows = top.collect()
+    assert len(rows) == 15
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").collect()
+    ids = np.array([r.vec_id for r in emb])
+    mat = np.array([r.embedding for r in emb], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    for q in (0, 1, 2):
+        qi = int(np.where(ids == q)[0][0])
+        order = sorted(
+            ((round(sims[qi, j], 6), -int(ids[j])) for j in range(len(ids)) if ids[j] != q),
+            key=lambda t: (-t[0], -t[1]),
+        )
+        expected = [(-neg, sim) for sim, neg in order[:5]]
+        got = sorted([(r.neighbor_id, r.sim) for r in rows if r.query_id == q])
+        assert sorted(expected) == got
+
+
+def test_multimodal_decode_plumbing(spark):
+    from gmr_spark.operators.multimodal import multimodal_decode
+
+    out = multimodal_decode(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 500
+    r = out[0]
+    assert r.width == (r.n_bytes * 7) % 640 + 1
+    assert r.height == (r.n_bytes * 13) % 480 + 1
+    assert 0 <= r.header_byte < 128  # ascii corpus
+
+
+def test_winnowing_shares_fingerprints_on_overlap(spark):
+    from gmr_spark.operators.text_analysis import doc_fingerprints
+
+    # monkeypatch-free: write planted docs to a temp view is not possible via
+    # sf_dir, so test the primitive chain directly
+    from gmr_spark.functions.text import tokens, word_shingles
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark)
+    sh = docs.select(
+        "doc_id", F.posexplode(word_shingles(tokens(F.col("text")))).alias("pos", "sh")
+    ).select("doc_id", "pos", F.md5("sh").alias("h"))
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    fps = sh.select("doc_id", F.min("h").over(w).alias("fp")).distinct()
+    by_doc = {d: {r.fp for r in fps.filter(F.col("doc_id") == d).collect()} for d in (1, 2, 3)}
+    overlap_near = len(by_doc[1] & by_doc[2])
+    overlap_far = len(by_doc[1] & by_doc[3])
+    assert overlap_near > 0 and overlap_far == 0
