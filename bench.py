@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is forced to full materialization with a noop write (no driver
+collect, no display cost). The set spans every engine subsystem: Pregel
+iteration (pagerank/sssp/cc), joins+agg (q1/q3/q5), windows, sort, dedup
+LSH, similarity, k-means, streaming's batch twin.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "pagerank_geo",
+    "bfs_geo",
+    "sssp_cs",
+    "cc_cs",
+    "triangles_ring",
+    "scc_nation_ring",
+    "degrees_cs",
+    "kmeans_embeddings",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "rollup_revenue",
+    "window_running",
+    "sessionize",
+    "asof_join_orders",
+    "global_sort_rank",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "cosine_topk",
+    "ann_sign_lsh",
+    "doc_fingerprints",
+    "token_stats",
+    "events_hourly",
+]
+
+
+def main() -> None:
+    from gmr_spark.queries import all_queries
+    from gmr_spark.session import get_session
+
+    spark = get_session("gmr_spark_bench", cpus=CPUS)
+    queries = all_queries()
+
+    # warm the JVM/codegen path once on a cheap query
+    queries["filter_scan"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = queries[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
+    result = {
+        "metric": "gmr_spark_headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -29,8 +29,11 @@ from gmr_spark.plans.pregel import run_pregel
 
 
 class _PageRankProgram:
-    def __init__(self, edges_with_share: DataFrame, n_vertices: int, damping: float):
-        self.edges_with_share = edges_with_share  # (src, dst, deg)
+    """``edges`` carries (src, dst, deg) — the degree-annotated edge table is
+    the graph's edge set for this program, so the Pregel driver's one-time
+    edge checkpoint covers it."""
+
+    def __init__(self, n_vertices: int, damping: float):
         self.n = n_vertices
         self.d = damping
 
@@ -40,7 +43,7 @@ class _PageRankProgram:
     def messages(self, frontier: DataFrame, edges: DataFrame) -> DataFrame:
         # rank / deg (not rank * (1/deg)): matches the oracle SQL bit-for-bit
         f = frontier.select(F.col("id").alias("fid"), F.col("value").alias("rank"))
-        return self.edges_with_share.join(f, F.col("src") == F.col("fid")).select(
+        return edges.join(f, F.col("src") == F.col("fid")).select(
             F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("msg")
         )
 
@@ -61,13 +64,13 @@ def pagerank(graph: PropertyGraph, *, k: int = 10, damping: float = 0.5) -> Data
     out_deg = graph.edges.groupBy(F.col("src").alias("deg_id")).agg(
         F.count("*").alias("deg")
     )
-    edges_with_share = (
-        graph.edges.join(out_deg, F.col("src") == F.col("deg_id"))
-        .select("src", "dst", "deg")
-        .localCheckpoint(eager=True)
-    )
+    edges_with_deg = graph.edges.join(
+        out_deg, F.col("src") == F.col("deg_id")
+    ).select("src", "dst", "deg")
     n = graph.vertices.count()
-    program = _PageRankProgram(edges_with_share, n, damping)
-    result = run_pregel(graph, program, max_iter=k, early_stop=False,
-                        checkpoint_every=1)
+    program = _PageRankProgram(n, damping)
+    result = run_pregel(
+        PropertyGraph(vertices=graph.vertices, edges=edges_with_deg),
+        program, max_iter=k, early_stop=False, checkpoint_every=1,
+    )
     return result.vertices.select("id", F.col("value").alias("rank"))

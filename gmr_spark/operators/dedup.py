@@ -22,7 +22,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from gmr_spark.functions.text import seeded_md5, tokens, word_shingles
+from gmr_spark.functions.text import exploded_word_shingles, seeded_md5
 from gmr_spark.sources.tables import load_tables
 
 N_HASHES = 8
@@ -40,10 +40,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, sh) distinct word-k-gram shingles."""
-    return docs.select(
-        "doc_id", F.explode(word_shingles(tokens(F.col("text")), k)).alias("sh")
-    ).distinct()
+    """(doc_id, sh) distinct word-k-gram shingles, materialized once — every
+    consumer (signatures, sizes, both verification sides) reuses the blocks
+    instead of re-tokenizing the corpus."""
+    return (
+        exploded_word_shingles(docs, k)
+        .select("doc_id", "sh")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
 
 def minhash_signatures(shingled: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:

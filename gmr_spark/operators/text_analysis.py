@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from gmr_spark.functions.text import tokens, word_shingles
+from gmr_spark.functions.text import exploded_word_shingles, tokens
 from gmr_spark.sources.tables import load_tables
 
 # profiles keyed on words that actually occur in the corpus vocabulary
@@ -116,10 +116,9 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str, *, window: int = 4) -> Da
     deduplicated. Robust to local edits; the document-level counterpart of
     minhash."""
     docs = load_tables(spark, sf_dir)["documents"]
-    sh = docs.select(
-        "doc_id",
-        F.posexplode(word_shingles(tokens(F.col("text")))).alias("pos", "sh"),
-    ).select("doc_id", "pos", F.md5(F.col("sh")).alias("h"))
+    sh = exploded_word_shingles(docs).select(
+        "doc_id", "pos", F.md5(F.col("sh")).alias("h")
+    )
     w = (
         W.partitionBy("doc_id").orderBy("pos")
         .rowsBetween(0, window - 1)

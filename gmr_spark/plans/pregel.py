@@ -88,7 +88,9 @@ def run_pregel(
     The only driver↔cluster round-trip per superstep is the convergence count,
     exactly like the reference's Allgather (igmr.cpp:139-152).
     """
-    edges = graph.edges
+    # materialize edges ONCE — without this every superstep re-runs the whole
+    # derivation lineage (scan + joins + distinct), the dominant cost at bench
+    edges = graph.edges.localCheckpoint(eager=True)
     vertices = program.init(graph.vertices).localCheckpoint(eager=True)
     metrics: list[dict] = []
     iterations = 0

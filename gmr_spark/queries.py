@@ -63,7 +63,7 @@ def _q_bfs_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_sssp_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = derive_graph(spark, sf_dir, "cs").undirected()
+    g = derive_graph(spark, sf_dir, "cs", materialize=True).undirected()
     source = g.vertices.agg(F.min("id")).first()[0]
     return sssp(g, source=source, weighted=True, max_iter=K_SSSP_CS)
 
@@ -75,7 +75,7 @@ def _q_pagerank_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cc_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = derive_graph(spark, sf_dir, "cs")
+    g = derive_graph(spark, sf_dir, "cs", materialize=True)
     return connected_components(g, max_iter=K_CC_CS, undirected=True)
 
 
@@ -85,7 +85,7 @@ def _q_triangles_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_degrees_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = derive_graph(spark, sf_dir, "cs")
+    g = derive_graph(spark, sf_dir, "cs", materialize=True)
     out_d = g.out_degrees()
     in_d = g.in_degrees()
     return out_d.join(in_d, "id").select("id", "out_degree", "in_degree")
@@ -184,6 +184,22 @@ LLM_QUERIES: dict[str, QueryFn] = {
     "multimodal_decode": M.multimodal_decode,
 }
 
+
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmr_spark.streaming.windowed import events_hourly_batch
+
+    return events_hourly_batch(spark, sf_dir)
+
+
+EVENTS_HOURLY_SQL = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
 LLM_ORACLES: dict[str, str] = {
     "dedup_exact": LSQL.DEDUP_EXACT,
     "dedup_minhash": LSQL.DEDUP_MINHASH,
@@ -205,6 +221,7 @@ def all_queries() -> dict[str, QueryFn]:
     registry.update(GRAPH_QUERIES)
     registry.update(RELATIONAL_QUERIES)
     registry.update(LLM_QUERIES)
+    registry["events_hourly"] = _q_events_hourly
     return registry
 
 
@@ -213,4 +230,5 @@ def all_oracles() -> dict[str, str]:
     oracles.update(GRAPH_ORACLES)
     oracles.update(RELATIONAL_ORACLES)
     oracles.update(LLM_ORACLES)
+    oracles["events_hourly"] = EVENTS_HOURLY_SQL
     return oracles

@@ -98,8 +98,17 @@ def vertices_sql(name: str) -> str:
 
 
 def derive_graph(spark: SparkSession, sf_dir: str, name: str,
-                 num_partitions: int | None = None) -> PropertyGraph:
-    """Run the shared derivation SQL in Spark → PropertyGraph."""
+                 num_partitions: int | None = None,
+                 materialize: bool = False) -> PropertyGraph:
+    """Run the shared derivation SQL in Spark → PropertyGraph.
+
+    ``materialize=True`` localCheckpoints the edge set — worth it whenever
+    the caller reads edges more than once outside a Pregel loop (the loop
+    checkpoints on its own)."""
     register_views(spark, sf_dir)
     edges = spark.sql(GRAPH_SQL[name])
-    return PropertyGraph.from_edges(edges, num_partitions=num_partitions)
+    g = PropertyGraph.from_edges(edges, num_partitions=num_partitions)
+    if materialize:
+        g = PropertyGraph(vertices=g.vertices,
+                          edges=g.edges.localCheckpoint(eager=True))
+    return g
