@@ -68,6 +68,15 @@ def _q_sssp_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sssp(g, source=source, weighted=True, max_iter=K_SSSP_CS)
 
 
+K_SSSP_CS_WEIGHTED = 40  # weights 1..5, hop-diameter ~6 -> path length <= ~30
+
+
+def _q_sssp_cs_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = derive_graph(spark, sf_dir, "cs_weighted", materialize=True).undirected()
+    source = g.vertices.agg(F.min("id")).first()[0]
+    return sssp(g, source=source, weighted=True, max_iter=K_SSSP_CS_WEIGHTED)
+
+
 def _q_pagerank_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = derive_graph(spark, sf_dir, "geo")
     pr = pagerank(g, k=K_PAGERANK, damping=0.5)
@@ -113,6 +122,7 @@ GRAPH_QUERIES: dict[str, QueryFn] = {
     "kmeans_embeddings": _q_kmeans,
     "bfs_geo": _q_bfs_geo,
     "sssp_cs": _q_sssp_cs,
+    "sssp_cs_weighted": _q_sssp_cs_weighted,
     "pagerank_geo": _q_pagerank_geo,
     "cc_cs": _q_cc_cs,
     "triangles_ring": _q_triangles_ring,
@@ -125,6 +135,8 @@ GRAPH_ORACLES: dict[str, str] = {
     "kmeans_embeddings": kmeans_sql(k=8, iters=2),
     "bfs_geo": bfs_sql("geo", 0, K_BFS_GEO),
     "sssp_cs": sssp_sql("cs", _MIN_VERTEX, K_SSSP_CS, undirected=True),
+    "sssp_cs_weighted": sssp_sql("cs_weighted", _MIN_VERTEX, K_SSSP_CS_WEIGHTED,
+                                 undirected=True),
     "pagerank_geo": pagerank_sql("geo", K_PAGERANK, damping=0.5, round_to=6),
     "cc_cs": cc_sql("cs", K_CC_CS, undirected=True),
     "triangles_ring": triangle_sql("ring"),

@@ -72,6 +72,14 @@ GRAPH_SQL: dict[str, str] = {
         UNION ALL
         SELECT dst AS src, src AS dst, CAST(1.0 AS DOUBLE) AS weight FROM fwd
     """,
+    "cs_weighted": """
+        SELECT CAST(o.o_custkey AS BIGINT)            AS src,
+               CAST(1000000 + l.l_suppkey AS BIGINT)  AS dst,
+               CAST(1 + COUNT(*) % 5 AS DOUBLE)       AS weight
+        FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_custkey, l.l_suppkey
+    """,
     "nation_ring": """
         WITH n AS (
             SELECT CAST(n_nationkey AS BIGINT) AS id,

@@ -1,0 +1,104 @@
+"""O1 graph-file reader + reference update/convergence semantics
+(FIXTURES.md §5)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from gmr_spark.plans.pregel import apply_reduced
+from gmr_spark.sources.graph_file import read_graph_file
+
+SMALL_GRAPH = """10
+22
+# comment line
+1 2
+1 3
+1 4
+1 5
+1 10
+2 1
+2 3
+2 6
+2 7
+3 1
+3 2
+3 8
+3 9
+4 1
+4 5
+5 1
+5 4
+6 2
+7 2
+8 3
+9 3
+10 1
+"""
+
+
+def test_read_graph_file_small(spark):
+    with tempfile.NamedTemporaryFile("w", suffix=".graph", delete=False) as f:
+        f.write(SMALL_GRAPH)
+        path = f.name
+    try:
+        g = read_graph_file(spark, path)
+        assert g.declared_counts == (10, 22)
+        assert g.vertices.count() == 10
+        assert g.edges.count() == 22
+        out_deg = {r.id: r.out_degree for r in g.out_degrees().collect()}
+        assert out_deg[1] == 5 and out_deg[10] == 1
+    finally:
+        os.unlink(path)
+
+
+def test_read_graph_file_zero_based_shift(spark):
+    # 0-based ids are shifted +1 (partition.h:147-148)
+    content = "3\n2\n0 1\n1 2\n"
+    with tempfile.NamedTemporaryFile("w", suffix=".graph", delete=False) as f:
+        f.write(content)
+        path = f.name
+    try:
+        g = read_graph_file(spark, path)
+        edges = {(r.src, r.dst) for r in g.edges.collect()}
+        assert edges == {(1, 2), (2, 3)}
+        assert {r.id for r in g.vertices.collect()} == {1, 2, 3}
+    finally:
+        os.unlink(path)
+
+
+def test_read_reference_fixture_if_present(spark):
+    path = "/root/reference/graph/small.graph"
+    if not os.path.exists(path):
+        return
+    g = read_graph_file(spark, path)
+    assert g.edges.count() == 22
+
+
+def test_apply_reduced_cover_and_accumulate(spark):
+    # FIXTURES §5: vertices {(1,10.0),(2,20.0)}, reduce output {(1,5.0)}
+    vertices = spark.createDataFrame(
+        [(1, 10.0, True), (2, 20.0, True)], "id long, value double, active boolean"
+    )
+    agg = spark.createDataFrame([(1, 5.0)], "id long, agg double")
+
+    cover = {r.id: (r.value, r.active) for r in
+             apply_reduced(vertices, agg, accumulate=False).collect()}
+    assert cover[1] == (5.0, True)      # |5-10| > 1e-4 -> active
+    assert cover[2] == (20.0, False)    # untouched -> |Δ|=0 -> inactive
+
+    accu = {r.id: (r.value, r.active) for r in
+            apply_reduced(vertices, agg, accumulate=True).collect()}
+    assert accu[1] == (15.0, True)
+    assert accu[2] == (20.0, False)
+
+
+def test_apply_reduced_threshold(spark):
+    vertices = spark.createDataFrame(
+        [(1, 1.0, True)], "id long, value double, active boolean"
+    )
+    tiny = spark.createDataFrame([(1, 1.00005)], "id long, agg double")
+    r = apply_reduced(vertices, tiny, accumulate=False).collect()[0]
+    assert r.active is False  # |Δ| = 5e-5 < 1e-4 threshold (gmr.h:29)

@@ -1,0 +1,108 @@
+"""Property tests (SURVEY §5.4): random small digraphs, invariants checked
+against pure-Python brute force. Few examples on purpose — each example is a
+full Spark job."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from hypothesis import given, settings, strategies as st
+
+from gmr_spark.algorithms import connected_components, sssp, triangle_count
+from gmr_spark.graph import PropertyGraph
+
+_spark = None
+
+
+def _get_spark():
+    global _spark
+    if _spark is None:
+        from gmr_spark.session import get_session
+
+        _spark = get_session("gmr_props", cpus=8)
+    return _spark
+
+
+edge_sets = st.sets(
+    st.tuples(st.integers(1, 7), st.integers(1, 7)).filter(lambda e: e[0] != e[1]),
+    min_size=1, max_size=14,
+)
+
+
+def _graph(edges):
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in sorted(edges)], "src long, dst long, weight double"
+    )
+    return PropertyGraph.from_edges(df)
+
+
+@settings(max_examples=5, deadline=None)
+@given(edge_sets)
+def test_sssp_is_bfs_distance_on_unit_weights(edges):
+    g = _graph(edges)
+    got = {r.id: r.dist for r in sssp(g, source=min(min(e) for e in edges)).collect()}
+    # python BFS
+    src = min(min(e) for e in edges)
+    nodes = {v for e in edges for v in e}
+    adj: dict[int, set[int]] = {v: set() for v in nodes}
+    for s, d in edges:
+        adj[s].add(d)
+    dist = {src: 0.0}
+    frontier = [src]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1.0
+                    nxt.append(v)
+        frontier = nxt
+    want = {v: dist.get(v) for v in nodes}
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(edge_sets)
+def test_sssp_triangle_inequality(edges):
+    g = _graph(edges)
+    src = min(min(e) for e in edges)
+    d = {r.id: r.dist for r in sssp(g, source=src).collect()}
+    for s, t in edges:
+        if d.get(s) is not None:
+            assert d.get(t) is not None and d[t] <= d[s] + 1.0
+
+
+@settings(max_examples=5, deadline=None)
+@given(edge_sets)
+def test_triangle_count_equals_bruteforce(edges):
+    g = _graph(edges)
+    got = triangle_count(g).first().tri_cnt
+    und = {frozenset(e) for e in edges}
+    nodes = sorted({v for e in edges for v in e})
+    want = sum(
+        1 for a, b, c in combinations(nodes, 3)
+        if {frozenset((a, b)), frozenset((b, c)), frozenset((a, c))} <= und
+    )
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(edge_sets)
+def test_cc_matches_union_find(edges):
+    g = _graph(edges)
+    got = {r.id: r.component for r in connected_components(g).collect()}
+    nodes = {v for e in edges for v in e}
+    parent = {v: v for v in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        parent[find(s)] = find(d)
+    roots = {v: find(v) for v in nodes}
+    want = {v: min(u for u in nodes if roots[u] == roots[v]) for v in nodes}
+    assert got == want
