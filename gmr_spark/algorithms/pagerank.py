@@ -71,6 +71,6 @@ def pagerank(graph: PropertyGraph, *, k: int = 10, damping: float = 0.5) -> Data
     program = _PageRankProgram(n, damping)
     result = run_pregel(
         PropertyGraph(vertices=graph.vertices, edges=edges_with_deg),
-        program, max_iter=k, early_stop=False, checkpoint_every=1,
+        program, max_iter=k, early_stop=False,
     )
     return result.vertices.select("id", F.col("value").alias("rank"))

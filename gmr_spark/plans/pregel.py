@@ -76,21 +76,31 @@ def run_pregel(
     *,
     max_iter: int = MAX_ITERATION,
     early_stop: bool = True,
-    checkpoint_every: int = 1,
     collect_metrics: bool = False,
 ) -> PregelResult:
     """Run ``program`` to convergence (no active vertices) or ``max_iter``.
 
-    Scale notes (100 TB): edges are partitioned once by ``src`` (done in
-    ``PropertyGraph.from_edges``) and cached, so every superstep's message join
-    shuffles only the (small) frontier; the groupBy(id) aggregation is
-    partial+final (map-side combine) for the algebraic reducers used here.
-    The only driver↔cluster round-trip per superstep is the convergence count,
-    exactly like the reference's Allgather (igmr.cpp:139-152).
+    Scale notes (100 TB):
+    - edges are hash-partitioned by ``src`` once and materialized once; the
+      checkpointed LogicalRDD keeps its physical partitioning, so the
+      per-superstep message join does not re-shuffle the edge side (small
+      edge tables go broadcast instead, AQE's pick).
+    - per-superstep state is localCheckpointed (flat O(1) logical plan per
+      superstep across the reference's 120-iteration cap, igmr.cpp:116).
+    - the only driver↔cluster round-trip per superstep is the convergence
+      count, exactly like the reference's Allgather (igmr.cpp:139-152).
     """
-    # materialize edges ONCE — without this every superstep re-runs the whole
-    # derivation lineage (scan + joins + distinct), the dominant cost at bench
+    # edges: materialized ONCE into a flat LogicalRDD. localCheckpoint keeps
+    # the physical outputPartitioning (so a pre-repartitioned edge table
+    # still co-locates with the message join) while giving every superstep an
+    # O(1)-size plan — persist() instead would drag the whole derivation
+    # subtree into each superstep's analysis (measured 10x slowdown on small
+    # graphs).
     edges = graph.edges.localCheckpoint(eager=True)
+    # per-superstep state: localCheckpoint — the state subtree feeds both the
+    # message path and the update join, so anything short of a full lineage
+    # cut makes the logical plan DOUBLE every superstep (exponential Catalyst
+    # analysis; measured hang by superstep ~8 on a 6k-vertex graph).
     vertices = program.init(graph.vertices).localCheckpoint(eager=True)
     metrics: list[dict] = []
     iterations = 0
@@ -101,10 +111,7 @@ def run_pregel(
         frontier = vertices.filter(F.col("active")) if early_stop else vertices
         msgs = program.messages(frontier, edges)
         agg = program.aggregate(msgs)
-        new_vertices = program.update(vertices, agg)
-
-        if (i + 1) % checkpoint_every == 0 or early_stop:
-            new_vertices = new_vertices.localCheckpoint(eager=True)
+        new_vertices = program.update(vertices, agg).localCheckpoint(eager=True)
 
         iterations = i + 1
         if early_stop:

@@ -83,6 +83,14 @@ def _q_pagerank_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("id", F.round("rank", 6).alias("pr"))
 
 
+def _q_pagerank_big(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-k PageRank on the |lineitem|-vertex expander — the bench entry
+    comparable to the reference's G1=mdual PageRank row (BASELINE.md)."""
+    g = derive_graph(spark, sf_dir, "linked_lineitems", materialize=True)
+    pr = pagerank(g, k=K_PAGERANK, damping=0.5)
+    return pr.select("id", F.round("rank", 6).alias("pr"))
+
+
 def _q_cc_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = derive_graph(spark, sf_dir, "cs", materialize=True)
     return connected_components(g, max_iter=K_CC_CS, undirected=True)
@@ -124,6 +132,7 @@ GRAPH_QUERIES: dict[str, QueryFn] = {
     "sssp_cs": _q_sssp_cs,
     "sssp_cs_weighted": _q_sssp_cs_weighted,
     "pagerank_geo": _q_pagerank_geo,
+    "pagerank_big": _q_pagerank_big,
     "cc_cs": _q_cc_cs,
     "triangles_ring": _q_triangles_ring,
     "degrees_cs": _q_degrees_cs,
@@ -138,6 +147,8 @@ GRAPH_ORACLES: dict[str, str] = {
     "sssp_cs_weighted": sssp_sql("cs_weighted", _MIN_VERTEX, K_SSSP_CS_WEIGHTED,
                                  undirected=True),
     "pagerank_geo": pagerank_sql("geo", K_PAGERANK, damping=0.5, round_to=6),
+    "pagerank_big": pagerank_sql("linked_lineitems", K_PAGERANK, damping=0.5,
+                                 round_to=6),
     "cc_cs": cc_sql("cs", K_CC_CS, undirected=True),
     "triangles_ring": triangle_sql("ring"),
     "degrees_cs": degrees_sql("cs"),

@@ -17,6 +17,9 @@ Graphs:
             fixture for triangle counting at any scale factor.
 - ``nation_ring`` directed cycle over the nations of each region → one SCC
             per region; also the COO matrix for matmul tests.
+- ``linked_lineitems`` one vertex per lineitem row (ring + doubling chord →
+            O(log n) diameter): the 100k-1M-vertex class fixture comparable
+            to the reference's G1=mdual benchmark graph (BASELINE.md).
 
 Id spaces are kept disjoint by offsets: region=+0, nation=+100,
 supplier=+1_000_000, customer=+2_000_000 (geo) / raw custkey (cs, ring).
@@ -24,7 +27,7 @@ supplier=+1_000_000, customer=+2_000_000 (geo) / raw custkey (cs, ring).
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
 from gmr_spark.graph import PropertyGraph
 from gmr_spark.sources.tables import register_views
@@ -80,6 +83,22 @@ GRAPH_SQL: dict[str, str] = {
         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         GROUP BY o.o_custkey, l.l_suppkey
     """,
+    "linked_lineitems": """
+        WITH base AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rid,
+                   COUNT(*) OVER () AS n
+            FROM lineitem
+        )
+        SELECT CAST(rid AS BIGINT) AS src,
+               CAST((rid + 1) % n AS BIGINT) AS dst,
+               CAST(1.0 AS DOUBLE) AS weight
+        FROM base
+        UNION ALL
+        SELECT CAST(rid AS BIGINT),
+               CAST((2 * rid + 1) % n AS BIGINT),
+               CAST(1.0 AS DOUBLE)
+        FROM base
+    """,
     "nation_ring": """
         WITH n AS (
             SELECT CAST(n_nationkey AS BIGINT) AS id,
@@ -112,11 +131,24 @@ def derive_graph(spark: SparkSession, sf_dir: str, name: str,
 
     ``materialize=True`` localCheckpoints the edge set — worth it whenever
     the caller reads edges more than once outside a Pregel loop (the loop
-    checkpoints on its own)."""
+    checkpoints on its own).
+
+    Edges are always hash-partitioned by ``src`` (defaultParallelism unless
+    overridden): several derivations end in a global window (ROW_NUMBER over
+    the whole table) whose output is a single partition — without the
+    repartition every downstream join would run single-threaded."""
     register_views(spark, sf_dir)
     edges = spark.sql(GRAPH_SQL[name])
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
     g = PropertyGraph.from_edges(edges, num_partitions=num_partitions)
     if materialize:
-        g = PropertyGraph(vertices=g.vertices,
-                          edges=g.edges.localCheckpoint(eager=True))
+        edges = g.edges.localCheckpoint(eager=True)
+        vertices = (
+            edges.select(F.col("src").alias("id"))
+            .union(edges.select(F.col("dst").alias("id")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        g = PropertyGraph(vertices=vertices, edges=edges)
     return g
