@@ -227,6 +227,29 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (status, priority): all 4 grouping-set combinations."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice", 2)).cast("double").alias("total_price"),
+    )
+
+
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median/p90 of event value per type (linear interpolation —
+    identical formula to DuckDB's quantile_cont; rounded 6dp). The
+    approx_percentile variant exists for 100 TB inputs but is engine-specific
+    and therefore not oracle-declared."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.min("value"), 6).alias("vmin"),
+        F.round(F.max("value"), 6).alias("vmax"),
+    )
+
+
 def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-expression surface: regexp extraction from the JSON props
     column, string + conditional functions — all JVM-codegen'd."""

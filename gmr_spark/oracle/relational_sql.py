@@ -145,6 +145,24 @@ FROM events
 GROUP BY user_id
 """
 
+CUBE_ORDER_STATS = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+EXACT_PERCENTILES = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(MIN(value), 6) AS vmin,
+       ROUND(MAX(value), 6) AS vmax
+FROM events
+GROUP BY event_type
+"""
+
 SCALAR_FUNCTIONS = """
 SELECT event_id,
        CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS prop_k,

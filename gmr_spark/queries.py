@@ -172,6 +172,8 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "distinct_agg": R.distinct_agg,
     "pivot_event_counts": R.pivot_event_counts,
     "scalar_functions": R.scalar_functions,
+    "cube_order_stats": R.cube_order_stats,
+    "exact_percentiles": R.exact_percentiles,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -189,6 +191,8 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "distinct_agg": RSQL.DISTINCT_AGG,
     "pivot_event_counts": RSQL.PIVOT_EVENT_COUNTS,
     "scalar_functions": RSQL.SCALAR_FUNCTIONS,
+    "cube_order_stats": RSQL.CUBE_ORDER_STATS,
+    "exact_percentiles": RSQL.EXACT_PERCENTILES,
 }
 
 
