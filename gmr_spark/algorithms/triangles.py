@@ -44,6 +44,53 @@ def triangle_count(graph: PropertyGraph) -> DataFrame:
     return tri.agg(F.count(F.lit(1)).alias("tri_cnt"))
 
 
+def triangle_count_reference_semantics(graph: PropertyGraph) -> DataFrame:
+    """The reference's own TriangleCount formulation (algorithms.h:117-195),
+    re-expressed declaratively — kept as the semantics witness for the
+    join-based operator above and as the demo of the reference's composite-
+    key + list-valued KV surface (``KV{key, skey, value, svalue}``,
+    gmr.h:37-44):
+
+    - superstep-1 map: every vertex v sends, for each neighbor u, the key
+      ``(min(v,u), max(v,u))`` carrying v's whole adjacency list
+      (algorithms.h:132-147) → here: adjacency = ``collect_set`` (the
+      svalue), key = canonical edge (the key/skey pair);
+    - reduce on groups with exactly 2 entries — i.e. the edge exists in both
+      directions (algorithms.h:156) — counts common neighbors c with
+      c > max(a,b) (algorithms.h:158-166) → here: ``array_intersect`` +
+      ``filter`` + ``size``;
+    - final answer = Σ over groups (the reference accumulates onto vertex a
+      then sums all vertex values, algorithms.h:189-194).
+
+    SURVEY §4 flags the O(Σ deg²) adjacency shipping as the one reference
+    design not to scale; this stays the test-oracle twin while
+    ``triangle_count`` is the production path.
+    """
+    adj = graph.edges.filter(F.col("src") != F.col("dst")).groupBy(
+        F.col("src").alias("v")
+    ).agg(F.collect_set("dst").alias("nbrs"))
+    e = graph.edges.filter(F.col("src") != F.col("dst")).select(
+        "src", "dst",
+        F.least("src", "dst").alias("key"),
+        F.greatest("src", "dst").alias("skey"),
+    )
+    msgs = e.join(adj, e.src == adj.v).select("key", "skey", "src", "nbrs")
+    groups = msgs.groupBy("key", "skey").agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.collect_list("nbrs").alias("svalue"),
+    )
+    per_edge = groups.filter(F.col("n_entries") == 2).select(
+        "key", "skey",
+        F.size(
+            F.filter(
+                F.array_intersect(F.col("svalue")[0], F.col("svalue")[1]),
+                lambda c: c > F.col("skey"),
+            )
+        ).alias("tri"),
+    )
+    return per_edge.agg(F.sum("tri").cast("long").alias("tri_cnt"))
+
+
 def triangle_count_per_vertex(graph: PropertyGraph) -> DataFrame:
     """-> (id BIGINT, tri_cnt BIGINT): triangles incident to each vertex
     (each triangle counted once per member vertex). Vertices in no triangle

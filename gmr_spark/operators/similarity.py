@@ -64,6 +64,68 @@ def cosine_topk(spark: SparkSession, sf_dir: str, *, n_queries: int = 5,
     )
 
 
+def ann_ivf(spark: SparkSession, sf_dir: str, *, k_cells: int = 8,
+            nprobe: int = 2, topk: int = 3) -> DataFrame:
+    """(query_id, neighbor_id, sim, rnk): IVF-style ANN — the second scale
+    path next to sign-LSH. Coarse quantizer = the ``k_cells`` lowest-id
+    vectors (seed centroids, no Lloyd iterations — keeps the oracle twin
+    compact); every vector is *indexed* into its nearest cell, every query
+    *probes* its ``nprobe`` nearest cells, exact cosine re-ranks inside the
+    probed cells. Replaces the O(n²) similarity cross-product with a
+    cell-key equi-join; at 100 TB, cells are the partitioning key.
+
+    Determinism: cell distances and cosines ROUND(·,6); ties to the lower
+    cell/neighbor id.
+    """
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    df = emb.select(F.col("vec_id").alias("id"), _vec().alias("v"))
+    seeds = [
+        (i, list(r.v))
+        for i, r in enumerate(df.orderBy("id").limit(k_cells).collect())
+    ]
+    cand_structs = F.array(*[
+        F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("v"),
+                               F.array(*[F.lit(float(x)) for x in vec]),
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x),
+                6,
+            ).alias("d2"),
+            F.lit(int(c)).cast("int").alias("cell"),
+        )
+        for c, vec in seeds
+    ])
+    ranked_cells = df.select("id", "v", F.array_sort(cand_structs).alias("cells"))
+    indexed = ranked_cells.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("nv"),
+        F.col("cells")[0]["cell"].alias("cell"),
+    )
+    probes = ranked_cells.select(
+        F.col("id").alias("query_id"), F.col("v").alias("q"),
+        F.explode(F.slice("cells", 1, nprobe)).alias("probe"),
+    ).select("query_id", "q", F.col("probe")["cell"].alias("cell"))
+
+    sims = (
+        probes.join(indexed, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(_dot(F.col("q"), F.col("nv"))
+                    / (_norm(F.col("q")) * _norm(F.col("nv"))), 6).alias("sim"),
+        )
+    )  # each neighbor is indexed in exactly one cell -> no dedupe needed
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )
+
+
 def sign_bucket(vec: F.Column, n_bits: int = 16) -> F.Column:
     """Axis-aligned sign-LSH bucket id from the first n_bits dimensions."""
     bits = [

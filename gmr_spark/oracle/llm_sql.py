@@ -187,6 +187,52 @@ FROM (
 ) t WHERE rnk <= 3
 """
 
+ANN_IVF = f"""
+WITH {_EMB.strip()},
+seeds AS MATERIALIZED (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cell, vec
+    FROM emb ORDER BY id LIMIT 8
+),
+cexpl AS MATERIALIZED (
+    SELECT cell, generate_subscripts(vec, 1) AS pos, unnest(vec) AS val FROM seeds
+),
+cdist AS MATERIALIZED (
+    SELECT x.id, c.cell, ROUND(SUM((x.val - c.val) * (x.val - c.val)), 6) AS d2
+    FROM expl x JOIN cexpl c ON x.pos = c.pos
+    GROUP BY x.id, c.cell
+),
+ranked AS MATERIALIZED (
+    SELECT id, cell, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cell) AS rn
+    FROM cdist
+),
+indexed AS MATERIALIZED (SELECT id AS neighbor_id, cell FROM ranked WHERE rn = 1),
+probes AS MATERIALIZED (SELECT id AS query_id, cell FROM ranked WHERE rn <= 2),
+cand AS MATERIALIZED (
+    SELECT p.query_id, i.neighbor_id
+    FROM probes p JOIN indexed i ON i.cell = p.cell AND i.neighbor_id <> p.query_id
+),
+dots AS MATERIALIZED (
+    SELECT c.query_id, c.neighbor_id, SUM(q.val * v.val) AS dot
+    FROM cand c
+    JOIN expl q ON q.id = c.query_id
+    JOIN expl v ON v.id = c.neighbor_id AND v.pos = q.pos
+    GROUP BY c.query_id, c.neighbor_id
+),
+sims AS MATERIALIZED (
+    SELECT d.query_id, d.neighbor_id,
+           ROUND(d.dot / (nq.nrm * nv.nrm), 6) AS sim
+    FROM dots d
+    JOIN norms nq ON nq.id = d.query_id
+    JOIN norms nv ON nv.id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, sim, CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS rnk
+    FROM sims
+) t WHERE rnk <= 3
+"""
+
 _PROFILES_SQL = {
     "en": ("the", "a", "of", "and", "is"),
     "de": ("der", "die", "und", "das", "ist"),

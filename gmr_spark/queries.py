@@ -203,6 +203,7 @@ LLM_QUERIES: dict[str, QueryFn] = {
     "ngram_jaccard": D.ngram_jaccard_pairs,
     "cosine_topk": S.cosine_topk,
     "ann_sign_lsh": S.ann_sign_lsh,
+    "ann_ivf": S.ann_ivf,
     "lang_id": TA.lang_id,
     "quality_score": TA.quality_score,
     "token_stats": TA.token_stats,
@@ -234,6 +235,7 @@ LLM_ORACLES: dict[str, str] = {
     "ngram_jaccard": LSQL.NGRAM_JACCARD,
     "cosine_topk": LSQL.COSINE_TOPK,
     "ann_sign_lsh": LSQL.ANN_SIGN_LSH,
+    "ann_ivf": LSQL.ANN_IVF,
     "lang_id": LSQL.LANG_ID,
     "quality_score": LSQL.QUALITY_SCORE,
     "token_stats": LSQL.TOKEN_STATS,

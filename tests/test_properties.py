@@ -106,3 +106,84 @@ def test_cc_matches_union_find(edges):
     roots = {v: find(v) for v in nodes}
     want = {v: min(u for u in nodes if roots[u] == roots[v]) for v in nodes}
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(edge_sets)
+def test_reference_tc_semantics_equals_join_formulation(edges):
+    from gmr_spark.algorithms.triangles import triangle_count_reference_semantics
+
+    g = _graph(edges)
+    join_based = triangle_count(g).first().tri_cnt
+    faithful = triangle_count_reference_semantics(g).first().tri_cnt or 0
+    # the reference counts a triangle only when each of its edges exists in
+    # BOTH directions (algorithms.h:156); on symmetric inputs the two agree
+    sym = {(s, d) for s, d in edges} | {(d, s) for s, d in edges}
+    g_sym = _graph(sym)
+    assert (triangle_count_reference_semantics(g_sym).first().tri_cnt or 0) == \
+        triangle_count(g_sym).first().tri_cnt
+    # on arbitrary directed inputs the faithful count is a lower bound
+    assert faithful <= join_based
+
+
+@settings(max_examples=5, deadline=None)
+@given(edge_sets)
+def test_scc_matches_tarjan(edges):
+    from gmr_spark.algorithms import strongly_connected_components
+
+    g = _graph(edges)
+    got = {r.id: r.scc for r in strongly_connected_components(g).collect()}
+
+    nodes = sorted({v for e in edges for v in e})
+    adj = {v: [] for v in nodes}
+    for s, d in edges:
+        adj[s].append(d)
+    # iterative tarjan
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    sccs = []
+    counter = [0]
+    for root in nodes:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                sccs.append(comp)
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+    want = {}
+    for comp in sccs:
+        m = min(comp)
+        for v in comp:
+            want[v] = m
+    assert got == want

@@ -24,3 +24,59 @@ def test_stream_equals_batch(spark):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_stateful_running_counts(spark):
+    from gmr_spark.streaming.stateful import start_user_running_counts
+
+    q = start_user_running_counts(spark, SF, query_name="t_user_counts")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id): r.n_events
+            for r in spark.sql(
+                "SELECT user_id, MAX(n_events) AS n_events FROM t_user_counts GROUP BY user_id"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    from gmr_spark.sources.tables import load_tables
+
+    want = {
+        r.user_id: r.n
+        for r in load_tables(spark, SF)["events"].groupBy("user_id").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert got == want
+
+
+def test_foreach_batch_sink(spark, tmp_path):
+    import os
+
+    from gmr_spark.streaming.windowed import _windowed_agg, EVENTS_STREAM_SCHEMA
+    from pyspark.sql import functions as F
+
+    out_dir = str(tmp_path / "hourly_out")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF)
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    agg = _windowed_agg(events.withWatermark("ts", "1 hour"))
+
+    def sink(batch_df, epoch_id):
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (agg.writeStream.outputMode("complete").foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert os.path.isdir(out_dir)
+    written = spark.read.parquet(out_dir)
+    from gmr_spark.streaming.windowed import events_hourly_batch
+
+    assert written.count() == events_hourly_batch(spark, SF).count()
