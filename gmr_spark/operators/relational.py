@@ -250,6 +250,21 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates — the 100 TB path where exact
+    COUNT(DISTINCT)/percentile would shuffle everything: HyperLogLog++
+    (approx_count_distinct) and t-digest-style approx_percentile. Declared
+    WITHOUT an oracle twin (sketch outputs are engine-specific); the driver
+    records a rows-only check, and the exact twins (distinct_agg,
+    exact_percentiles) bound the truth."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.expr("approx_percentile(value, 0.5)").alias("approx_p50"),
+        F.expr("approx_percentile(value, array(0.9, 0.99))").alias("approx_tail"),
+    )
+
+
 def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-expression surface: regexp extraction from the JSON props
     column, string + conditional functions — all JVM-codegen'd."""

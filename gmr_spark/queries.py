@@ -174,6 +174,8 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "scalar_functions": R.scalar_functions,
     "cube_order_stats": R.cube_order_stats,
     "exact_percentiles": R.exact_percentiles,
+    # rows-only check (no oracle): sketch outputs are engine-specific
+    "approx_sketch_stats": R.approx_sketch_stats,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
