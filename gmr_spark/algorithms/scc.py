@@ -30,31 +30,19 @@ from gmr_spark.graph import PropertyGraph
 
 
 def _min_forward_colors(vertices: DataFrame, edges: DataFrame, max_iter: int) -> DataFrame:
-    """(id, color): min id that reaches id along ``edges`` (incl. itself)."""
-    state = vertices.select(
-        "id", F.col("id").alias("color"), F.lit(True).alias("active")
-    ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        frontier = state.filter("active").select(
-            F.col("id").alias("fid"), F.col("color").alias("fcolor")
-        )
-        msgs = edges.join(frontier, F.col("src") == F.col("fid")).select(
-            F.col("dst").alias("id"), F.col("fcolor").alias("msg")
-        )
-        agg = msgs.groupBy("id").agg(F.min("msg").alias("agg"))
-        improved = F.col("agg").isNotNull() & (F.col("agg") < F.col("color"))
-        state = (
-            state.join(agg, "id", "left")
-            .select(
-                "id",
-                F.when(improved, F.col("agg")).otherwise(F.col("color")).alias("color"),
-                improved.alias("active"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        if state.filter("active").limit(1).count() == 0:
-            break
-    return state.select("id", "color")
+    """(id, color): min id that reaches id along ``edges`` (incl. itself).
+
+    This is exactly directed min-label propagation, so it reuses the CC
+    Pregel program under the shared driver (one place owns lineage /
+    convergence mechanics)."""
+    from gmr_spark.algorithms.cc import _CCProgram
+    from gmr_spark.plans.pregel import run_pregel
+
+    result = run_pregel(
+        PropertyGraph(vertices=vertices.select("id"), edges=edges),
+        _CCProgram(), max_iter=max_iter,
+    )
+    return result.vertices.select("id", F.col("value").alias("color"))
 
 
 def _backward_members(colors: DataFrame, edges: DataFrame, max_iter: int) -> DataFrame:
@@ -94,13 +82,22 @@ def _backward_members(colors: DataFrame, edges: DataFrame, max_iter: int) -> Dat
 
 def strongly_connected_components(graph: PropertyGraph, *, max_iter: int = 120,
                                   max_phases: int = 50) -> DataFrame:
-    """-> (id BIGINT, scc BIGINT) with scc = min vertex id in the SCC."""
+    """-> (id BIGINT, scc BIGINT) with scc = min vertex id in the SCC.
+
+    Raises RuntimeError if vertices remain unassigned after ``max_phases``
+    (each phase peels ≥1 SCC, so this only triggers on adversarial long
+    chains of singleton SCCs — raise the cap rather than return a silently
+    partial labeling).
+    """
     remaining_v = graph.vertices.select("id").localCheckpoint(eager=True)
     remaining_e = graph.edges.select("src", "dst").localCheckpoint(eager=True)
-    assigned_parts: list[DataFrame] = []
+    empty = remaining_v.sparkSession.createDataFrame([], "id bigint, scc bigint")
+    assigned_parts: list[DataFrame] = [empty]
 
+    done = False
     for _ in range(max_phases):
         if remaining_v.limit(1).count() == 0:
+            done = True
             break
         colors = _min_forward_colors(remaining_v, remaining_e, max_iter)
         members = _backward_members(colors, remaining_e, max_iter)
@@ -114,6 +111,11 @@ def strongly_connected_components(graph: PropertyGraph, *, max_iter: int = 120,
             .join(member_ids.withColumnRenamed("id", "dst"), "dst", "left_anti")
             .select("src", "dst")
             .localCheckpoint(eager=True)
+        )
+    if not done and remaining_v.limit(1).count() > 0:
+        raise RuntimeError(
+            f"SCC did not assign every vertex within max_phases={max_phases}; "
+            "raise max_phases for graphs with very long singleton-SCC chains"
         )
 
     out = assigned_parts[0]

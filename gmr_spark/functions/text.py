@@ -24,15 +24,18 @@ def tokens(text: Column) -> Column:
 
 
 def word_shingles(toks: Column, k: int = 3) -> Column:
-    """Array of k-word shingles (space-joined); empty if fewer than k tokens."""
+    """Array of k-word shingles (space-joined); empty if fewer than k tokens.
+
+    Guarded: ``sequence(1, 0)`` is a DESCENDING [1, 0] in Spark (not empty),
+    and element_at(_, 0) throws — short docs must short-circuit to []."""
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    return F.transform(
-        idx,
+    shingled = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
         ),
     )
+    return F.when(n >= k, shingled).otherwise(F.array().cast("array<string>"))
 
 
 def seeded_md5(col: Column, seed: int) -> Column:

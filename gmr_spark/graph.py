@@ -53,13 +53,18 @@ class PropertyGraph:
         return PropertyGraph(vertices=vertices, edges=edges)
 
     def undirected(self) -> "PropertyGraph":
-        """Symmetric closure: add the reverse of every edge (dedup exact pairs)."""
+        """Symmetric closure: add the reverse of every edge.
+
+        Dedups FULL (src, dst, weight) rows — matching the oracle's UNION
+        closure. Deduping on (src, dst) alone would keep an arbitrary
+        (nondeterministic) weight when parallel edges carry different
+        weights."""
         rev = self.edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
         )
         return PropertyGraph(
             vertices=self.vertices,
-            edges=self.edges.unionByName(rev).dropDuplicates(["src", "dst"]),
+            edges=self.edges.unionByName(rev).distinct(),
         )
 
     def out_degrees(self) -> DataFrame:

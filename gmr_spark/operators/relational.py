@@ -44,7 +44,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     charge = disc_price * (one + _dec("l_tax", 4, 6))
     qty_sum = F.sum(_dec("l_quantity", 2, 12))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        # cast the literal to the column's own type: parquet nanos read as
+        # TIMESTAMP_NTZ, and an NTZ comparison is session-TZ-independent (the
+        # driver's bare session does not pin UTC; a plain timestamp cast
+        # would shift the cutoff)
+        li.filter(F.col("l_shipdate")
+                  <= F.lit("1998-09-02 00:00:00").cast(li.schema["l_shipdate"].dataType))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             qty_sum.cast("double").alias("sum_qty"),

@@ -67,8 +67,11 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(toks, F.length), F.lit(0), lambda acc, v: acc + v
     )
     stop_hits = _score(toks, LANG_PROFILES["en"])
-    avg_len = F.round(tok_chars.cast("double") / n_tok.cast("double"), 6)
-    stop_ratio = F.round(stop_hits.cast("double") / n_tok.cast("double"), 6)
+    # NULLIF-style zero guard: Spark yields NULL on double 0/0 while DuckDB
+    # yields NaN — make empty docs NULL on both engines
+    denom = F.when(n_tok > 0, n_tok.cast("double"))
+    avg_len = F.round(tok_chars.cast("double") / denom, 6)
+    stop_ratio = F.round(stop_hits.cast("double") / denom, 6)
     score = F.round(
         F.least(n_tok.cast("double") / 100.0, F.lit(1.0)) * 0.5
         + stop_ratio * 0.3
@@ -107,6 +110,38 @@ def term_frequencies(spark: SparkSession, sf_dir: str, *, min_count: int = 10) -
             F.count(F.lit(1)).alias("n_occurrences"),
         )
         .filter(F.col("n_occurrences") >= min_count)
+    )
+
+
+def tokenize_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, token): tokenization through a Python UDTF + LATERAL
+    join — the modern Spark analog of the reference's per-vertex ``map``
+    UDTF (one input row → many output rows, gmr.h:97/222-255). The UDTF
+    class is defined inside this function so cloudpickle ships it by value
+    (workers can't import this package). Functionally identical to the
+    built-in explode path used elsewhere; declared to cover the UDTF
+    surface of SURVEY §2.2."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, token string")
+    class Tokenize:
+        def eval(self, doc_id: int, text: str):
+            if text is None:  # oracle's string_split(NULL) drops the row too
+                return
+            pos = 0
+            for tok in text.split(" "):
+                if tok:
+                    yield doc_id, pos, tok
+                    pos += 1
+
+    load_tables(spark, sf_dir)  # registers nothing; ensures nanos conf set
+    spark.udtf.register("gmr_tokenize", Tokenize)
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents_udtf_src"
+    )
+    return spark.sql(
+        "SELECT t.doc_id, t.pos, t.token "
+        "FROM documents_udtf_src d, LATERAL gmr_tokenize(d.doc_id, d.text) t"
     )
 
 

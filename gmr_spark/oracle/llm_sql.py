@@ -275,12 +275,12 @@ feat AS MATERIALIZED (
 )
 SELECT doc_id,
        CAST(n_tok AS INTEGER) AS n_tokens,
-       ROUND(CAST(tok_chars AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS avg_token_len,
-       ROUND(CAST(stop_hits AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS stop_ratio,
+       ROUND(CAST(tok_chars AS DOUBLE) / NULLIF(CAST(n_tok AS DOUBLE), 0), 6) AS avg_token_len,
+       ROUND(CAST(stop_hits AS DOUBLE) / NULLIF(CAST(n_tok AS DOUBLE), 0), 6) AS stop_ratio,
        ROUND(
            LEAST(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.5
-           + ROUND(CAST(stop_hits AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) * 0.3
-           + LEAST(ROUND(CAST(tok_chars AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) / 10.0, 1.0) * 0.2,
+           + ROUND(CAST(stop_hits AS DOUBLE) / NULLIF(CAST(n_tok AS DOUBLE), 0), 6) * 0.3
+           + LEAST(ROUND(CAST(tok_chars AS DOUBLE) / NULLIF(CAST(n_tok AS DOUBLE), 0), 6) / 10.0, 1.0) * 0.2,
        6) AS score
 FROM feat
 """
@@ -321,6 +321,16 @@ FROM positioned
 
 # header byte via ascii(first char): identical to the raw first byte because
 # the corpus is pure ASCII (the Spark side reads payload[0] directly).
+TOKENIZE_UDTF = f"""
+WITH toks AS MATERIALIZED (
+    SELECT doc_id, {_TOKS} AS t FROM documents
+)
+SELECT doc_id,
+       CAST(generate_subscripts(t, 1) - 1 AS INTEGER) AS pos,
+       unnest(t) AS token
+FROM toks
+"""
+
 MULTIMODAL_DECODE = """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

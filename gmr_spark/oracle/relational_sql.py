@@ -165,7 +165,7 @@ GROUP BY event_type
 
 SCALAR_FUNCTIONS = """
 SELECT event_id,
-       CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS prop_k,
+       CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS INTEGER) AS prop_k,
        UPPER(event_type) AS type_upper,
        CAST(LENGTH(event_type) AS INTEGER) AS type_len,
        CASE WHEN value >= 50.0 THEN 'high' ELSE 'low' END AS value_band

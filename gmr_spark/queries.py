@@ -211,6 +211,7 @@ LLM_QUERIES: dict[str, QueryFn] = {
     "token_stats": TA.token_stats,
     "term_frequencies": TA.term_frequencies,
     "doc_fingerprints": TA.doc_fingerprints,
+    "tokenize_udtf": TA.tokenize_udtf,
     "multimodal_decode": M.multimodal_decode,
 }
 
@@ -243,6 +244,7 @@ LLM_ORACLES: dict[str, str] = {
     "token_stats": LSQL.TOKEN_STATS,
     "term_frequencies": LSQL.TERM_FREQUENCIES,
     "doc_fingerprints": LSQL.DOC_FINGERPRINTS,
+    "tokenize_udtf": LSQL.TOKENIZE_UDTF,
     "multimodal_decode": LSQL.MULTIMODAL_DECODE,
 }
 

@@ -19,7 +19,9 @@ def _norm(v):
     return v
 
 
-def compare(spark_df, duck_con, sql: str, *, float_tol: float = 1e-9) -> None:
+def compare(spark_df, duck_con, sql: str, *, float_tol: float = 0.0) -> None:
+    """float_tol defaults to 0.0 — the real driver hashes values EXACTLY, so
+    the local gate must be at least as strict."""
     spark_rows = [tuple(_norm(v) for v in r) for r in spark_df.collect()]
     duck_rel = duck_con.execute(sql)
     duck_cols = [d[0] for d in duck_rel.description]

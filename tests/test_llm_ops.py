@@ -102,3 +102,20 @@ def test_winnowing_shares_fingerprints_on_overlap(spark):
     overlap_near = len(by_doc[1] & by_doc[2])
     overlap_far = len(by_doc[1] & by_doc[3])
     assert overlap_near > 0 and overlap_far == 0
+
+
+def test_word_shingles_short_and_empty_docs(spark):
+    # regression: sequence(1, 0) is DESCENDING in Spark; short docs must
+    # yield [] instead of element_at(_, 0) errors
+    from pyspark.sql import functions as F
+
+    from gmr_spark.functions.text import tokens, word_shingles
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, "x y z"), (4, "one")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.sh for r in df.select(
+        "doc_id", word_shingles(tokens(F.col("text"))).alias("sh")).collect()}
+    assert got[1] == [] and got[2] == [] and got[4] == []
+    assert got[3] == ["x y z"]
