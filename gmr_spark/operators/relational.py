@@ -255,6 +255,21 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def distinct_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as distinct_agg, via the two-stage salted plan
+    (gmr_spark.functions.skew) — the skew-proof physical strategy, verified
+    against the identical oracle."""
+    from gmr_spark.functions.skew import salted_count_distinct
+
+    ev = load_tables(spark, sf_dir)["events"]
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    distincts = salted_count_distinct(ev, "event_type", "user_id",
+                                      out_col="n_users")
+    return distincts.join(counts, "event_type").select(
+        "event_type", "n_users", "n_events"
+    )
+
+
 def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates — the 100 TB path where exact
     COUNT(DISTINCT)/percentile would shuffle everything: HyperLogLog++

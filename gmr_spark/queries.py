@@ -174,6 +174,7 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "scalar_functions": R.scalar_functions,
     "cube_order_stats": R.cube_order_stats,
     "exact_percentiles": R.exact_percentiles,
+    "distinct_agg_salted": R.distinct_agg_salted,
     # rows-only check (no oracle): sketch outputs are engine-specific
     "approx_sketch_stats": R.approx_sketch_stats,
 }
@@ -195,6 +196,7 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "scalar_functions": RSQL.SCALAR_FUNCTIONS,
     "cube_order_stats": RSQL.CUBE_ORDER_STATS,
     "exact_percentiles": RSQL.EXACT_PERCENTILES,
+    "distinct_agg_salted": RSQL.DISTINCT_AGG,  # same oracle, salted plan
 }
 
 
