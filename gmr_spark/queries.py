@@ -58,7 +58,7 @@ _MIN_VERTEX = "(SELECT MIN(id) FROM vertices)"
 
 
 def _q_bfs_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = derive_graph(spark, sf_dir, "geo")
+    g = derive_graph(spark, sf_dir, "geo", materialize=True)
     return bfs(g, source=0, max_iter=K_BFS_GEO)
 
 
@@ -78,7 +78,7 @@ def _q_sssp_cs_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pagerank_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = derive_graph(spark, sf_dir, "geo")
+    g = derive_graph(spark, sf_dir, "geo", materialize=True)
     pr = pagerank(g, k=K_PAGERANK, damping=0.5)
     return pr.select("id", F.round("rank", 6).alias("pr"))
 
@@ -97,7 +97,7 @@ def _q_cc_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_triangles_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = derive_graph(spark, sf_dir, "ring")
+    g = derive_graph(spark, sf_dir, "ring", materialize=True)
     return triangle_count(g)
 
 
