@@ -4,6 +4,7 @@ from gmr_spark.algorithms.cc import connected_components
 from gmr_spark.algorithms.triangles import triangle_count
 from gmr_spark.algorithms.scc import strongly_connected_components
 from gmr_spark.algorithms.matmul import matmul_coo
+from gmr_spark.algorithms.mst import minimum_spanning_forest
 
 __all__ = [
     "sssp",
@@ -13,4 +14,5 @@ __all__ = [
     "triangle_count",
     "strongly_connected_components",
     "matmul_coo",
+    "minimum_spanning_forest",
 ]

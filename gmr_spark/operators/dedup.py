@@ -111,6 +111,36 @@ def dedup_minhash(spark: SparkSession, sf_dir: str, *, min_jaccard: float = 0.1)
     )
 
 
+def dedup_embedding(spark: SparkSession, sf_dir: str, *, n_bits: int = 8,
+                    min_sim: float = 0.2) -> DataFrame:
+    """(vec_a, vec_b, sim): embedding-cosine near-duplicate pairs — the
+    fourth mandated dedup family (embedding-space, vs text-space exact/
+    MinHash/SimHash). Candidates come from a sign-LSH bucket equi-join
+    (``similarity.sign_bucket``), then exact cosine verifies ``>= min_sim``;
+    the dedup rule is "keep the lower id" (vec_a < vec_b, so survivors are
+    ids never appearing as vec_b). At 100 TB the bucket join replaces the
+    O(n²) pair scan and buckets are the shuffle key."""
+    from gmr_spark.operators.similarity import _dot, _norm, _vec, sign_bucket
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    vecs = emb.select(
+        F.col("vec_id").alias("id"), _vec().alias("v"),
+        sign_bucket(_vec(), n_bits).alias("bucket"),
+    )
+    a = vecs.select(F.col("id").alias("vec_a"), F.col("v").alias("va"), "bucket")
+    b = vecs.select(F.col("id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b",
+            F.round(_dot(F.col("va"), F.col("vb"))
+                    / (_norm(F.col("va")) * _norm(F.col("vb"))), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= min_sim)
+    )
+
+
 def make_simhash32_udf():
     """32-bit SimHash over whitespace tokens; bit source = low 8 hex chars of
     each token's md5 (matches the pure-SQL DuckDB twin bit for bit).

@@ -296,3 +296,35 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("event_type").alias("type_len"),
         F.when(F.col("value") >= 50.0, "high").otherwise("low").alias("value_band"),
     )
+
+
+def semi_join_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS: orders with at least one returned lineitem,
+    counted per priority. ``left_semi`` keeps the probe side unduplicated (no
+    distinct needed) and never materializes lineitem columns — at scale the
+    build side stays a bare orderkey stream."""
+    t = load_tables(spark, sf_dir)
+    returned = (
+        t["lineitem"].filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    )
+    orders = t["orders"]
+    return (
+        orders.join(returned, orders["o_orderkey"] == returned["l_orderkey"],
+                    "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def anti_join_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS via ``left_anti``: customers with no order over 300k."""
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["orders"].filter(F.col("o_totalprice") > 300000.0).select("o_custkey")
+    )
+    cust = t["customer"]
+    return (
+        cust.join(big, cust["c_custkey"] == big["o_custkey"], "left_anti")
+        .select("c_custkey", "c_mktsegment",
+                F.col("c_acctbal").cast("double").alias("acctbal"))
+    )

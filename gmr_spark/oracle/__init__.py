@@ -3,6 +3,7 @@ from gmr_spark.oracle.sql import (
     cc_sql,
     degrees_sql,
     matmul_sql,
+    mst_sql,
     pagerank_sql,
     scc_sql,
     sssp_sql,
@@ -14,6 +15,7 @@ __all__ = [
     "cc_sql",
     "degrees_sql",
     "matmul_sql",
+    "mst_sql",
     "pagerank_sql",
     "scc_sql",
     "sssp_sql",

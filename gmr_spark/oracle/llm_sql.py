@@ -187,6 +187,32 @@ FROM (
 ) t WHERE rnk <= 3
 """
 
+DEDUP_EMBEDDING = f"""
+WITH {_EMB.strip()},
+buckets AS MATERIALIZED (
+    SELECT id,
+           CAST(SUM(CASE WHEN val > 0 THEN CAST(POWER(2, pos - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+    FROM expl WHERE pos <= 8 GROUP BY id
+),
+cand AS MATERIALIZED (
+    SELECT a.id AS vec_a, b.id AS vec_b
+    FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.id < b.id
+),
+dots AS MATERIALIZED (
+    SELECT c.vec_a, c.vec_b, SUM(q.val * v.val) AS dot
+    FROM cand c
+    JOIN expl q ON q.id = c.vec_a
+    JOIN expl v ON v.id = c.vec_b AND v.pos = q.pos
+    GROUP BY c.vec_a, c.vec_b
+)
+SELECT d.vec_a, d.vec_b,
+       ROUND(d.dot / (na.nrm * nb.nrm), 6) AS sim
+FROM dots d
+JOIN norms na ON na.id = d.vec_a
+JOIN norms nb ON nb.id = d.vec_b
+WHERE ROUND(d.dot / (na.nrm * nb.nrm), 6) >= 0.2
+"""
+
 ANN_IVF = f"""
 WITH {_EMB.strip()},
 seeds AS MATERIALIZED (

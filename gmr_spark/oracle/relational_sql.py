@@ -171,3 +171,18 @@ SELECT event_id,
        CASE WHEN value >= 50.0 THEN 'high' ELSE 'low' END AS value_band
 FROM events
 """
+
+SEMI_JOIN_PRIORITY = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+ANTI_JOIN_QUIET_CUSTOMERS = """
+SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+"""

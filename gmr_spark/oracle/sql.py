@@ -185,6 +185,79 @@ GROUP BY a.src"""
     )
 
 
+def mst_sql(graph: str, phases: int, k_inner: int) -> str:
+    """Unrolled Borůvka twin of ``algorithms.mst.minimum_spanning_forest``.
+
+    Per phase: label edges with current component ids, pick each component's
+    minimum cross-edge by the strict order (w, a, b), union into the forest,
+    then ``k_inner`` min-label propagation steps over the picked
+    component-graph edges. Both the forest and the labels are monotone, so a
+    converged engine run equals the unrolled SQL for any ``phases`` /
+    ``k_inner`` at or beyond convergence (same argument as cc_sql).
+    """
+    steps = [
+        """canon AS MATERIALIZED (
+    SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, MIN(weight) AS w
+    FROM edges WHERE src <> dst GROUP BY LEAST(src, dst), GREATEST(src, dst)
+)""",
+        "comp0 AS MATERIALIZED (SELECT id, id AS comp FROM vertices)",
+        "mst0 AS MATERIALIZED (SELECT a, b, w FROM canon WHERE 1 = 0)",
+    ]
+    for p in range(1, phases + 1):
+        q = p - 1
+        steps.append(f"""lab{p} AS MATERIALIZED (
+    SELECT c.a, c.b, c.w, ca.comp AS ca, cb.comp AS cb
+    FROM canon c
+    JOIN comp{q} ca ON ca.id = c.a
+    JOIN comp{q} cb ON cb.id = c.b
+    WHERE ca.comp <> cb.comp
+)""")
+        steps.append(f"""sel{p} AS MATERIALIZED (
+    SELECT DISTINCT w, a, b, ca, cb FROM (
+        SELECT comp, w, a, b, ca, cb,
+               ROW_NUMBER() OVER (PARTITION BY comp ORDER BY w, a, b) AS rn
+        FROM (
+            SELECT ca AS comp, w, a, b, ca, cb FROM lab{p}
+            UNION ALL
+            SELECT cb AS comp, w, a, b, ca, cb FROM lab{p}
+        ) i
+    ) r WHERE rn = 1
+)""")
+        steps.append(
+            f"mst{p} AS MATERIALIZED (SELECT a, b, w FROM mst{q} "
+            f"UNION SELECT a, b, w FROM sel{p})"
+        )
+        steps.append(
+            f"g{p} AS MATERIALIZED (SELECT ca AS u, cb AS v FROM sel{p} "
+            f"UNION SELECT cb AS u, ca AS v FROM sel{p})"
+        )
+        steps.append(
+            f"l{p}_0 AS MATERIALIZED (SELECT comp AS u, comp AS lbl "
+            f"FROM (SELECT DISTINCT comp FROM comp{q}) t)"
+        )
+        for i in range(1, k_inner + 1):
+            steps.append(f"""l{p}_{i} AS MATERIALIZED (
+    SELECT l.u,
+           CASE WHEN m.ml IS NOT NULL AND m.ml < l.lbl THEN m.ml
+                ELSE l.lbl END AS lbl
+    FROM l{p}_{i - 1} l
+    LEFT JOIN (
+        SELECT g.v AS u, MIN(l2.lbl) AS ml
+        FROM g{p} g JOIN l{p}_{i - 1} l2 ON l2.u = g.u
+        GROUP BY g.v
+    ) m ON m.u = l.u
+)""")
+        steps.append(
+            f"comp{p} AS MATERIALIZED (SELECT c.id, l.lbl AS comp "
+            f"FROM comp{q} c JOIN l{p}_{k_inner} l ON l.u = c.comp)"
+        )
+    return (
+        f"{_graph_ctes(graph)},\n"
+        + ",\n".join(steps)
+        + f"\nSELECT a AS src, b AS dst, w AS weight FROM mst{phases}"
+    )
+
+
 def matmul_sql(graph: str) -> str:
     """C = A·A over the graph's weighted adjacency matrix in COO form."""
     return f"""{_graph_ctes(graph)}

@@ -16,6 +16,7 @@ from gmr_spark.algorithms import (
     bfs,
     connected_components,
     matmul_coo,
+    minimum_spanning_forest,
     pagerank,
     sssp,
     strongly_connected_components,
@@ -26,6 +27,7 @@ from gmr_spark.oracle import (
     cc_sql,
     degrees_sql,
     matmul_sql,
+    mst_sql,
     pagerank_sql,
     scc_sql,
     sssp_sql,
@@ -121,6 +123,15 @@ def _q_matmul_nation_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matmul_coo(a, a).select("i", "j", F.col("v").cast("double").alias("v"))
 
 
+K_MST_PHASES = 6   # 25 vertices -> <= ceil(log2(25)) = 5 Borůvka phases
+K_MST_INNER = 8    # per-phase component-chain length bound on nation_mesh
+
+
+def _q_mst_nation_mesh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = derive_graph(spark, sf_dir, "nation_mesh")
+    return minimum_spanning_forest(g, max_phases=K_MST_PHASES)
+
+
 def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return kmeans(emb, k=8, iters=2)
@@ -138,6 +149,7 @@ GRAPH_QUERIES: dict[str, QueryFn] = {
     "degrees_cs": _q_degrees_cs,
     "scc_nation_ring": _q_scc_nation_ring,
     "matmul_nation_ring": _q_matmul_nation_ring,
+    "mst_nation_mesh": _q_mst_nation_mesh,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
@@ -154,6 +166,7 @@ GRAPH_ORACLES: dict[str, str] = {
     "degrees_cs": degrees_sql("cs"),
     "scc_nation_ring": scc_sql("nation_ring", K_SCC_NATION),
     "matmul_nation_ring": matmul_sql("nation_ring"),
+    "mst_nation_mesh": mst_sql("nation_mesh", K_MST_PHASES, K_MST_INNER),
 }
 
 
@@ -175,6 +188,8 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "cube_order_stats": R.cube_order_stats,
     "exact_percentiles": R.exact_percentiles,
     "distinct_agg_salted": R.distinct_agg_salted,
+    "semi_join_priority": R.semi_join_priority,
+    "anti_join_quiet_customers": R.anti_join_quiet_customers,
     # rows-only check (no oracle): sketch outputs are engine-specific
     "approx_sketch_stats": R.approx_sketch_stats,
 }
@@ -197,6 +212,8 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "cube_order_stats": RSQL.CUBE_ORDER_STATS,
     "exact_percentiles": RSQL.EXACT_PERCENTILES,
     "distinct_agg_salted": RSQL.DISTINCT_AGG,  # same oracle, salted plan
+    "semi_join_priority": RSQL.SEMI_JOIN_PRIORITY,
+    "anti_join_quiet_customers": RSQL.ANTI_JOIN_QUIET_CUSTOMERS,
 }
 
 
@@ -204,6 +221,7 @@ LLM_QUERIES: dict[str, QueryFn] = {
     "dedup_exact": D.dedup_exact,
     "dedup_minhash": D.dedup_minhash,
     "dedup_simhash": D.dedup_simhash,
+    "dedup_embedding": D.dedup_embedding,
     "ngram_jaccard": D.ngram_jaccard_pairs,
     "cosine_topk": S.cosine_topk,
     "ann_sign_lsh": S.ann_sign_lsh,
@@ -237,6 +255,7 @@ LLM_ORACLES: dict[str, str] = {
     "dedup_exact": LSQL.DEDUP_EXACT,
     "dedup_minhash": LSQL.DEDUP_MINHASH,
     "dedup_simhash": LSQL.DEDUP_SIMHASH,
+    "dedup_embedding": LSQL.DEDUP_EMBEDDING,
     "ngram_jaccard": LSQL.NGRAM_JACCARD,
     "cosine_topk": LSQL.COSINE_TOPK,
     "ann_sign_lsh": LSQL.ANN_SIGN_LSH,

@@ -17,6 +17,9 @@ Graphs:
             fixture for triangle counting at any scale factor.
 - ``nation_ring`` directed cycle over the nations of each region → one SCC
             per region; also the COO matrix for matmul tests.
+- ``nation_mesh`` complete graph over the 25 nations with deterministic
+            integer-valued weights 1..10 — a cyclic weighted fixture for the
+            minimum-spanning-forest oracle (fixed size at every sf).
 - ``linked_lineitems`` one vertex per lineitem row (ring + doubling chord →
             O(log n) diameter): the 100k-1M-vertex class fixture comparable
             to the reference's G1=mdual benchmark graph (BASELINE.md).
@@ -98,6 +101,12 @@ GRAPH_SQL: dict[str, str] = {
                CAST((2 * rid + 1) % n AS BIGINT),
                CAST(1.0 AS DOUBLE)
         FROM base
+    """,
+    "nation_mesh": """
+        SELECT CAST(a.n_nationkey AS BIGINT) AS src,
+               CAST(b.n_nationkey AS BIGINT) AS dst,
+               CAST(1 + (a.n_nationkey * 7 + b.n_nationkey * 13) % 10 AS DOUBLE) AS weight
+        FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
     """,
     "nation_ring": """
         WITH n AS (

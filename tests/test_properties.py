@@ -187,3 +187,44 @@ def test_scc_matches_tarjan(edges):
         for v in comp:
             want[v] = m
     assert got == want
+
+
+weighted_edge_sets = st.sets(
+    st.tuples(st.integers(1, 8), st.integers(1, 8)).filter(lambda e: e[0] != e[1]),
+    min_size=1, max_size=16,
+).map(lambda es: {(s, d, float(1 + (s * 3 + d * 5) % 7)) for s, d in es})
+
+
+@settings(max_examples=5, deadline=None)
+@given(weighted_edge_sets)
+def test_boruvka_msf_matches_kruskal(edges):
+    """Under the strict edge order (w, a, b) the MSF is unique, so Borůvka
+    (engine) must equal Kruskal (pure-Python union-find)."""
+    from gmr_spark.algorithms import minimum_spanning_forest
+
+    spark = _get_spark()
+    df = spark.createDataFrame(sorted(edges), "src long, dst long, weight double")
+    g = PropertyGraph.from_edges(df)
+    got = sorted(
+        (r.src, r.dst, r.weight) for r in minimum_spanning_forest(g).collect()
+    )
+
+    canon: dict[tuple[int, int], float] = {}
+    for s, d, w in edges:
+        a, b = min(s, d), max(s, d)
+        canon[(a, b)] = min(w, canon.get((a, b), float("inf")))
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    want = []
+    for (a, b), w in sorted(canon.items(), key=lambda kv: (kv[1], kv[0])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            want.append((a, b, w))
+    assert got == sorted(want)
