@@ -67,6 +67,127 @@ class PropertyGraph:
             edges=self.edges.unionByName(rev).distinct(),
         )
 
+    def reverse(self) -> "PropertyGraph":
+        """Transpose: every edge flipped (GraphX ``reverse``)."""
+        return PropertyGraph(
+            vertices=self.vertices,
+            edges=self.edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+            ),
+        )
+
+    def map_vertices(self, **cols: F.Column) -> "PropertyGraph":
+        """Column-expression transform of vertex attributes (GraphX
+        ``mapVertices``) — stays inside whole-stage codegen."""
+        v = self.vertices
+        for name, expr in cols.items():
+            v = v.withColumn(name, expr)
+        return PropertyGraph(vertices=v, edges=self.edges)
+
+    def map_edges(self, **cols: F.Column) -> "PropertyGraph":
+        """GraphX ``mapEdges`` as column expressions."""
+        e = self.edges
+        for name, expr in cols.items():
+            e = e.withColumn(name, expr)
+        return PropertyGraph(vertices=self.vertices, edges=e)
+
+    def subgraph(self, *, vpred: F.Column | None = None,
+                 epred: F.Column | None = None) -> "PropertyGraph":
+        """GraphX ``subgraph``: keep vertices satisfying ``vpred`` and edges
+        satisfying ``epred`` whose BOTH endpoints survive. The endpoint
+        check is two semi-joins — no edge data is widened, and both reuse
+        the edges DF's src partitioning."""
+        v = self.vertices.filter(vpred) if vpred is not None else self.vertices
+        e = self.edges.filter(epred) if epred is not None else self.edges
+        if vpred is not None:
+            ids = v.select("id")
+            e = (
+                e.join(ids.withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                .select("src", "dst", "weight")
+            )
+        return PropertyGraph(vertices=v, edges=e)
+
+    def mask(self, other: "PropertyGraph") -> "PropertyGraph":
+        """GraphX ``mask``: restrict this graph to the structure present in
+        ``other`` (vertices/edges by key, attributes from ``self``)."""
+        v = self.vertices.join(other.vertices.select("id"), "id", "left_semi")
+        e = self.edges.join(other.edges.select("src", "dst"),
+                            ["src", "dst"], "left_semi")
+        return PropertyGraph(vertices=v, edges=e)
+
+    def group_edges(self, agg: F.Column | None = None) -> "PropertyGraph":
+        """GraphX ``groupEdges``: merge parallel edges (default: summed
+        weight) — map-side combinable."""
+        merged = self.edges.groupBy("src", "dst").agg(
+            (agg if agg is not None else F.sum("weight")).alias("weight")
+        )
+        return PropertyGraph(vertices=self.vertices, edges=merged)
+
+    def triplets(self) -> DataFrame:
+        """GraphX ``triplets``: (src, src_attrs…, dst, dst_attrs…, weight).
+        Two hash joins, both on the graph's existing partitioning keys."""
+        sv = self.vertices.select(F.col("id").alias("src"),
+                                  *[F.col(c).alias(f"src_{c}")
+                                    for c in self.vertices.columns if c != "id"])
+        dv = self.vertices.select(F.col("id").alias("dst"),
+                                  *[F.col(c).alias(f"dst_{c}")
+                                    for c in self.vertices.columns if c != "id"])
+        return self.edges.join(sv, "src").join(dv, "dst")
+
+    def outer_join_vertices(self, other: DataFrame) -> "PropertyGraph":
+        """GraphX ``outerJoinVertices``: left-join extra vertex attributes
+        keyed by ``id``."""
+        return PropertyGraph(vertices=self.vertices.join(other, "id", "left"),
+                             edges=self.edges)
+
+    def aggregate_messages(self, *, to_dst: F.Column | None = None,
+                           to_src: F.Column | None = None,
+                           agg: F.Column, msg_name: str = "msg") -> DataFrame:
+        """GraphX ``aggregateMessages`` — the primitive every Pregel
+        superstep compiles to (SURVEY O6/O13). ``to_dst``/``to_src`` are
+        column expressions over the triplet view (edge cols + ``src_*`` /
+        ``dst_*`` vertex cols); ``agg`` reduces the ``msg`` column per
+        receiving vertex. -> (id, agg)."""
+        t = self.triplets()
+        parts = []
+        if to_dst is not None:
+            parts.append(t.select(F.col("dst").alias("id"),
+                                  to_dst.alias(msg_name)))
+        if to_src is not None:
+            parts.append(t.select(F.col("src").alias("id"),
+                                  to_src.alias(msg_name)))
+        if not parts:
+            raise ValueError("at least one of to_dst/to_src is required")
+        msgs = parts[0]
+        for p in parts[1:]:
+            msgs = msgs.unionByName(p)
+        return msgs.groupBy("id").agg(agg.alias("agg"))
+
+    def collect_neighbor_ids(self, *, direction: str = "out") -> DataFrame:
+        """GraphX ``collectNeighborIds``: (id, neighbor_ids ARRAY<BIGINT>
+        sorted ascending). Sorted for determinism; at scale prefer
+        aggregate_messages — materialized adjacency lists are the
+        TriangleCount-message antipattern (SURVEY §4.3)."""
+        if direction == "out":
+            pairs = self.edges.select(F.col("src").alias("id"),
+                                      F.col("dst").alias("nb"))
+        elif direction == "in":
+            pairs = self.edges.select(F.col("dst").alias("id"),
+                                      F.col("src").alias("nb"))
+        else:
+            raise ValueError("direction must be 'out' or 'in'")
+        return (
+            pairs.distinct().groupBy("id")
+            .agg(F.sort_array(F.collect_list("nb")).alias("neighbor_ids"))
+        )
+
+    def num_vertices(self) -> int:
+        return self.vertices.count()
+
+    def num_edges(self) -> int:
+        return self.edges.count()
+
     def out_degrees(self) -> DataFrame:
         """id, out_degree (vertices with no out-edges get 0)."""
         deg = self.edges.groupBy(F.col("src").alias("id")).agg(

@@ -328,3 +328,58 @@ def anti_join_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_mktsegment",
                 F.col("c_acctbal").cast("double").alias("acctbal"))
     )
+
+
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join: for each event, how many events of the same user
+    follow within 1 hour. The equi-key (user_id) keeps this a hash join with
+    a range residual — the scalable shape; a pure range theta-join would be
+    a nested-loop cross product."""
+    ev = load_tables(spark, sf_dir)["events"].select("event_id", "user_id", "ts")
+    e1 = ev.select(F.col("event_id").alias("eid"), F.col("user_id").alias("uid"),
+                   F.col("ts").alias("t1"))
+    e2 = ev.select(F.col("user_id").alias("uid"), F.col("ts").alias("t2"))
+    joined = e1.join(
+        e2,
+        (e1["uid"] == e2["uid"])
+        & (F.col("t2") > F.col("t1"))
+        & (F.col("t2") <= F.col("t1") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return joined.groupBy(F.col("eid").alias("event_id")).agg(
+        F.count("t2").alias("n_follow")
+    )
+
+
+def make_zscore_fn():
+    """Grouped-map normalization for applyInPandas — nested closure so
+    cloudpickle ships it by value (workers can't import this package)."""
+
+    def zscore(pdf):
+        import pandas as pd
+
+        m = pdf["value"].mean()
+        s = pdf["value"].std(ddof=1)
+        out = pdf[["event_id", "event_type"]].copy()
+        if pd.isna(s):  # 1-row group: stddev_samp is NULL in SQL, NaN here
+            out["z"] = None
+        else:
+            out["z"] = ((pdf["value"] - m) / s).round(6)
+        return out
+
+    return zscore
+
+
+def zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score via ``applyInPandas`` — the declared Arrow
+    grouped-map surface (the batch sibling of streaming's
+    applyInPandasWithState). A window function could express this exact
+    query JVM-side; the operator exists to prove the custom-Python path
+    against the same SQL oracle."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(make_zscore_fn(),
+                       schema="event_id bigint, event_type string, z double")
+    )

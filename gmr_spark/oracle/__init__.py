@@ -1,6 +1,7 @@
 from gmr_spark.oracle.sql import (
     bfs_sql,
     cc_sql,
+    collect_neighbors_sql,
     degrees_sql,
     matmul_sql,
     mst_sql,
@@ -8,11 +9,13 @@ from gmr_spark.oracle.sql import (
     scc_sql,
     sssp_sql,
     triangle_sql,
+    weighted_indegree_sql,
 )
 
 __all__ = [
     "bfs_sql",
     "cc_sql",
+    "collect_neighbors_sql",
     "degrees_sql",
     "matmul_sql",
     "mst_sql",
@@ -20,4 +23,5 @@ __all__ = [
     "scc_sql",
     "sssp_sql",
     "triangle_sql",
+    "weighted_indegree_sql",
 ]

@@ -186,3 +186,18 @@ FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
 """
+
+RANGE_JOIN_EVENTS = """
+SELECT e1.event_id, COUNT(e2.event_id) AS n_follow
+FROM events e1
+LEFT JOIN events e2 ON e2.user_id = e1.user_id
+  AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+GROUP BY e1.event_id
+"""
+
+ZSCORE_EVENTS = """
+SELECT event_id, event_type,
+       ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+             / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 6) AS z
+FROM events
+"""

@@ -185,6 +185,22 @@ GROUP BY a.src"""
     )
 
 
+def collect_neighbors_sql(graph: str) -> str:
+    """Out-neighbor adjacency as a sorted comma-joined string (portable
+    across the engines' array representations)."""
+    return f"""{_graph_ctes(graph)}
+SELECT src AS id,
+       string_agg(CAST(dst AS VARCHAR), ',' ORDER BY dst) AS neighbors
+FROM (SELECT DISTINCT src, dst FROM edges) e
+GROUP BY src"""
+
+
+def weighted_indegree_sql(graph: str) -> str:
+    return f"""{_graph_ctes(graph)}
+SELECT dst AS id, CAST(SUM(weight) AS DOUBLE) AS w_indegree
+FROM edges GROUP BY dst"""
+
+
 def mst_sql(graph: str, phases: int, k_inner: int) -> str:
     """Unrolled Borůvka twin of ``algorithms.mst.minimum_spanning_forest``.
 

@@ -27,8 +27,10 @@ from gmr_spark.oracle import (
     cc_sql,
     degrees_sql,
     matmul_sql,
+    collect_neighbors_sql,
     mst_sql,
     pagerank_sql,
+    weighted_indegree_sql,
     scc_sql,
     sssp_sql,
     triangle_sql,
@@ -132,6 +134,26 @@ def _q_mst_nation_mesh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(g, max_phases=K_MST_PHASES)
 
 
+def _q_collect_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphX collectNeighborIds surface (reference roadmap,
+    algorithms.h:217-222); arrays string-joined for cross-engine compare."""
+    g = derive_graph(spark, sf_dir, "nation_ring")
+    return g.collect_neighbor_ids(direction="out").select(
+        "id",
+        F.array_join(
+            F.transform(F.col("neighbor_ids"), lambda x: x.cast("string")), ","
+        ).alias("neighbors"),
+    )
+
+
+def _q_weighted_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphX aggregateMessages surface: sum of incoming edge weights."""
+    g = derive_graph(spark, sf_dir, "cs_weighted")
+    return g.aggregate_messages(
+        to_dst=F.col("weight"), agg=F.sum("msg")
+    ).select("id", F.col("agg").cast("double").alias("w_indegree"))
+
+
 def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return kmeans(emb, k=8, iters=2)
@@ -150,6 +172,8 @@ GRAPH_QUERIES: dict[str, QueryFn] = {
     "scc_nation_ring": _q_scc_nation_ring,
     "matmul_nation_ring": _q_matmul_nation_ring,
     "mst_nation_mesh": _q_mst_nation_mesh,
+    "collect_neighbors_ring": _q_collect_neighbors,
+    "weighted_indegree_cs": _q_weighted_indegree,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
@@ -167,6 +191,8 @@ GRAPH_ORACLES: dict[str, str] = {
     "scc_nation_ring": scc_sql("nation_ring", K_SCC_NATION),
     "matmul_nation_ring": matmul_sql("nation_ring"),
     "mst_nation_mesh": mst_sql("nation_mesh", K_MST_PHASES, K_MST_INNER),
+    "collect_neighbors_ring": collect_neighbors_sql("nation_ring"),
+    "weighted_indegree_cs": weighted_indegree_sql("cs_weighted"),
 }
 
 
@@ -190,6 +216,8 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "distinct_agg_salted": R.distinct_agg_salted,
     "semi_join_priority": R.semi_join_priority,
     "anti_join_quiet_customers": R.anti_join_quiet_customers,
+    "range_join_events": R.range_join_events,
+    "zscore_events": R.zscore_events,
     # rows-only check (no oracle): sketch outputs are engine-specific
     "approx_sketch_stats": R.approx_sketch_stats,
 }
@@ -214,6 +242,8 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "distinct_agg_salted": RSQL.DISTINCT_AGG,  # same oracle, salted plan
     "semi_join_priority": RSQL.SEMI_JOIN_PRIORITY,
     "anti_join_quiet_customers": RSQL.ANTI_JOIN_QUIET_CUSTOMERS,
+    "range_join_events": RSQL.RANGE_JOIN_EVENTS,
+    "zscore_events": RSQL.ZSCORE_EVENTS,
 }
 
 

@@ -96,3 +96,55 @@ def test_scc_cycle_and_dag(spark):
     g = _graph(spark, edges)
     got = {r.id: r.scc for r in strongly_connected_components(g).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4, 7: 7}
+
+
+def test_graphx_operator_surface(spark):
+    """reverse/subgraph/mask/groupEdges/triplets/outerJoin/aggregateMessages
+    — the GraphX operator list the reference cites as its roadmap
+    (algorithms.h:217-222), on the small.graph fixture."""
+    from pyspark.sql import functions as F
+
+    g = _graph(spark, SMALL_EDGES)
+
+    rev = g.reverse()
+    assert {(r.src, r.dst) for r in rev.edges.collect()} == {
+        (d, s) for s, d in SMALL_EDGES
+    }
+
+    sub = g.subgraph(vpred=F.col("id") <= 5)
+    assert {r.id for r in sub.vertices.collect()} == {1, 2, 3, 4, 5}
+    assert {(r.src, r.dst) for r in sub.edges.collect()} == {
+        (s, d) for s, d in SMALL_EDGES if s <= 5 and d <= 5
+    }
+
+    masked = g.mask(sub)
+    assert {(r.src, r.dst) for r in masked.edges.collect()} == {
+        (s, d) for s, d in SMALL_EDGES if s <= 5 and d <= 5
+    }
+
+    doubled = PropertyGraph(vertices=g.vertices,
+                            edges=g.edges.union(g.edges))
+    grouped = doubled.group_edges()
+    got = {(r.src, r.dst): r.weight for r in grouped.edges.collect()}
+    assert got == {(s, d): 2.0 for s, d in SMALL_EDGES}
+
+    trip = g.map_vertices(value=F.col("id") * 10).triplets()
+    one = trip.filter((F.col("src") == 1) & (F.col("dst") == 2)).first()
+    assert one.src_value == 10 and one.dst_value == 20
+
+    joined = g.outer_join_vertices(
+        spark.createDataFrame([(1, "x")], "id long, tag string")
+    )
+    tags = {r.id: r.tag for r in joined.vertices.collect()}
+    assert tags[1] == "x" and tags[2] is None
+
+    indeg = g.aggregate_messages(to_dst=F.lit(1), agg=F.sum("msg"))
+    want = {}
+    for _, d in SMALL_EDGES:
+        want[d] = want.get(d, 0) + 1
+    assert {r.id: r.agg for r in indeg.collect()} == want
+
+    nbrs = {r.id: list(r.neighbor_ids)
+            for r in g.collect_neighbor_ids(direction="out").collect()}
+    assert nbrs[1] == [2, 3, 4, 5, 10]
+    assert g.num_vertices() == 10 and g.num_edges() == len(SMALL_EDGES)

@@ -80,3 +80,25 @@ def test_foreach_batch_sink(spark, tmp_path):
     from gmr_spark.streaming.windowed import events_hourly_batch
 
     assert written.count() == events_hourly_batch(spark, SF).count()
+
+
+def test_streaming_dedup_equals_batch_distinct(spark):
+    from gmr_spark.streaming.dedup import start_events_dedup_stream
+    from gmr_spark.sources.tables import load_tables
+
+    q = start_events_dedup_stream(spark, SF, query_name="t_events_dedup")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.event_type)
+            for r in spark.sql("SELECT * FROM t_events_dedup").collect()
+        }
+    finally:
+        q.stop()
+    events = load_tables(spark, SF)["events"]
+    want = {
+        (r.user_id, r.event_type)
+        for r in events.select("user_id", "event_type").distinct().collect()
+    }
+    assert got == want
+    assert len(want) > 0
