@@ -34,9 +34,15 @@ HEADLINE = [
     "scc_nation_ring",
     "degrees_cs",
     "kmeans_embeddings",
+    "mst_nation_mesh",
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "semi_join_priority",
+    "range_join_events",
+    "zscore_events",
     "rollup_revenue",
     "window_running",
     "sessionize",
@@ -45,6 +51,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_embedding",
+    "multimodal_features",
     "cosine_topk",
     "ann_sign_lsh",
     "doc_fingerprints",

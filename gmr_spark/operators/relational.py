@@ -383,3 +383,40 @@ def zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(make_zscore_fn(),
                        schema="event_id bigint, event_type string, z double")
     )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate — every predicate reaches
+    the parquet reader (PushedFilters), zero shuffles before the single
+    global agg. The canary query for pushdown regressions."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    ts_t = li.schema["l_shipdate"].dataType
+    rev = F.sum(_dec("l_extendedprice", 2, 12) * _dec("l_discount", 4, 6))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast(ts_t))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast(ts_t))
+            & (F.col("l_discount") >= 0.02) & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(rev, 2).cast("double").alias("revenue"))
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: a HAVING subquery on the fact table feeding a
+    customer join. The quantity rollup shuffles once on orderkey; the
+    surviving order set is tiny, so both follow-up joins broadcast it."""
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"].groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity", 2, 12)).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        t["orders"].join(F.broadcast(big),
+                         F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice",
+                F.col("total_qty").cast("double").alias("total_qty"))
+    )

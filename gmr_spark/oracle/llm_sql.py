@@ -365,3 +365,40 @@ SELECT doc_id,
        CAST((octet_length(encode(text)) * 13) % 480 + 1 AS INTEGER) AS height
 FROM documents
 """
+
+MULTIMODAL_RESIZE = """
+WITH dims AS MATERIALIZED (
+    SELECT doc_id,
+           CAST((octet_length(encode(text)) * 7) % 640 + 1 AS BIGINT) AS w,
+           CAST((octet_length(encode(text)) * 13) % 480 + 1 AS BIGINT) AS h
+    FROM documents
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS in_width,
+       CAST(h AS INTEGER) AS in_height,
+       CAST(CASE WHEN w <= 256 AND h <= 256 THEN w
+                 WHEN w >= h THEN 256
+                 ELSE GREATEST(1, (w * 256) // h) END AS INTEGER) AS out_width,
+       CAST(CASE WHEN w <= 256 AND h <= 256 THEN h
+                 WHEN w >= h THEN GREATEST(1, (h * 256) // w)
+                 ELSE 256 END AS INTEGER) AS out_height
+FROM dims
+"""
+
+MULTIMODAL_FRAME_SAMPLE = """
+WITH f AS MATERIALIZED (
+    SELECT doc_id, octet_length(encode(text)) // 64 AS n_frames
+    FROM documents
+)
+SELECT doc_id, CAST(unnest(generate_series(0, n_frames - 1, 10)) AS BIGINT) AS frame_idx
+FROM f WHERE n_frames > 0
+"""
+
+MULTIMODAL_FEATURES = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+       ROUND((octet_length(encode(text)) - (length(text) - length(replace(text, ' ', ''))))
+             / CAST((length(text) - length(replace(text, ' ', ''))) + 1 AS DOUBLE), 6) AS avg_token_len
+FROM documents
+"""

@@ -200,6 +200,8 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": R.q1_pricing_summary,
     "q3_top_orders": R.q3_top_orders,
     "q5_nation_revenue": R.q5_nation_revenue,
+    "q6_forecast_revenue": R.q6_forecast_revenue,
+    "q18_large_orders": R.q18_large_orders,
     "filter_scan": R.filter_scan,
     "topk_per_group": R.topk_per_group,
     "set_ops_customers": R.set_ops_customers,
@@ -226,6 +228,8 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "q1_pricing_summary": RSQL.Q1,
     "q3_top_orders": RSQL.Q3,
     "q5_nation_revenue": RSQL.Q5,
+    "q6_forecast_revenue": RSQL.Q6,
+    "q18_large_orders": RSQL.Q18,
     "filter_scan": RSQL.FILTER_SCAN,
     "topk_per_group": RSQL.TOPK_PER_GROUP,
     "set_ops_customers": RSQL.SET_OPS,
@@ -263,6 +267,9 @@ LLM_QUERIES: dict[str, QueryFn] = {
     "doc_fingerprints": TA.doc_fingerprints,
     "tokenize_udtf": TA.tokenize_udtf,
     "multimodal_decode": M.multimodal_decode,
+    "multimodal_resize": M.multimodal_resize,
+    "multimodal_frame_sample": M.multimodal_frame_sample,
+    "multimodal_features": M.multimodal_features,
 }
 
 
@@ -297,6 +304,9 @@ LLM_ORACLES: dict[str, str] = {
     "doc_fingerprints": LSQL.DOC_FINGERPRINTS,
     "tokenize_udtf": LSQL.TOKENIZE_UDTF,
     "multimodal_decode": LSQL.MULTIMODAL_DECODE,
+    "multimodal_resize": LSQL.MULTIMODAL_RESIZE,
+    "multimodal_frame_sample": LSQL.MULTIMODAL_FRAME_SAMPLE,
+    "multimodal_features": LSQL.MULTIMODAL_FEATURES,
 }
 
 
