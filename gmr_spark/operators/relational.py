@@ -184,29 +184,61 @@ def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     ev = t["events"].select("event_id", "user_id", "ts")
     orders = t["orders"].select("o_orderkey", "o_custkey", "o_orderdate")
-    w = W.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
-    )
+    # max_by over a (date, key) struct replaces the r01 per-event window:
+    # the aggregate is map-side partial (each shuffle partition keeps ONE
+    # candidate per event before the exchange), so a hot user whose events
+    # match millions of earlier orders never materializes the full
+    # event×order pair list past the map side — the window version sorted
+    # that whole pair list per event. (o_orderkey is unique, so the struct
+    # order is strict and the pick deterministic.)
     matched = (
         ev.join(orders, (F.col("o_custkey") == F.col("user_id"))
                 & (F.col("o_orderdate") <= F.col("ts")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", F.col("o_orderkey").alias("asof_orderkey"))
+        .groupBy("event_id")
+        .agg(F.max_by(
+            "o_orderkey", F.struct("o_orderdate", "o_orderkey")
+        ).alias("asof_orderkey"))
     )
     return ev.select("event_id").join(matched, "event_id", "left")
 
 
 def global_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global total-order rank over events — the engine expression of the
-    reference's MPI sample sort (samplesort.cpp:21-191, O18): Spark's
-    RangePartitioning samples splitters, range-shuffles, sorts in-partition.
-    row_number over the full order is the declared (oracle-checkable) output;
-    the single-partition window is the price of emitting a dense rank — rank
-    assignment at 100 TB would use zipWithIndex on sorted partitions."""
-    ev = load_tables(spark, sf_dir)["events"]
-    w = W.orderBy("value", "event_id")
-    return ev.select("event_id", F.row_number().over(w).alias("rnk"))
+    reference's MPI sample sort (samplesort.cpp:21-191, O18).
+
+    Distributed rank assignment (no single-partition window): range-shuffle
+    on the sort key (RangePartitioning = the sample-sort splitter exchange),
+    tag each row with its range-partition id, rank within each partition in
+    parallel, then add per-partition cumulative offsets. The offset table is
+    one row per partition, so its window and the broadcast join are O(#parts)
+    — every full-data operation stays parallel at any scale.
+    (event_id is unique, so (value, event_id) is a strict total order and the
+    rank is deterministic regardless of where the range boundaries fall.)
+    """
+    ev = load_tables(spark, sf_dir)["events"].select("event_id", "value")
+    n_parts = spark.sparkContext.defaultParallelism
+    tagged = ev.repartitionByRange(n_parts, "value", "event_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = W.partitionBy("_pid").orderBy("value", "event_id")
+    local = tagged.withColumn("_rn", F.row_number().over(w_local))
+    # offsets: #parts rows — the tiny-side window is bounded by cluster size
+    offsets = (
+        local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_offset")
+    )
+    return local.join(F.broadcast(offsets), "_pid").select(
+        "event_id", (F.col("_rn") + F.col("_offset")).cast("int").alias("rnk")
+    )
 
 
 def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,10 +310,15 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     records a rows-only check, and the exact twins (distinct_agg,
     exact_percentiles) bound the truth."""
     ev = load_tables(spark, sf_dir)["events"]
+    # scalar columns only: the driver's rows-only canonicalizer cannot hash
+    # ARRAY cells (CORRECTNESS_r01 TypeError), so each quantile is its own
+    # approx_percentile call — Spark's planner collapses them into one
+    # ApproximatePercentile pass per group either way.
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.expr("approx_percentile(value, 0.5)").alias("approx_p50"),
-        F.expr("approx_percentile(value, array(0.9, 0.99))").alias("approx_tail"),
+        F.expr("approx_percentile(value, 0.9)").alias("approx_p90"),
+        F.expr("approx_percentile(value, 0.99)").alias("approx_p99"),
     )
 
 

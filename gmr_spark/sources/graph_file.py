@@ -22,28 +22,41 @@ from gmr_spark.graph import PropertyGraph
 
 
 def read_graph_file(spark: SparkSession, path: str, num_partitions: int | None = None) -> PropertyGraph:
+    # Header + id-base are decided driver-side from the file's leading lines.
+    # RDD.take() reads partitions in file order (unlike DataFrame limit(),
+    # which has no ordering contract), so these really are the first lines.
+    head_raw = spark.sparkContext.textFile(path).take(1024)
+    head = [ln.strip() for ln in head_raw
+            if ln.strip() and not ln.strip().startswith("#")]
+    if len(head) < 2:
+        raise ValueError(f"{path}: missing vertex/edge-count header lines")
+    nvtxs, nedges = int(head[0]), int(head[1])
+    # id-base shift: the reference's declared convention is "first edge line's
+    # `from` == 0 means 0-based, shift all ids by +1" (partition.h:139
+    # `if (from == 0) numbering = 1`) — keyed on the first data line, never on
+    # the observed min (a 0-based file whose vertex 0 is isolated would fool
+    # a min-based probe).
+    shift = 0
+    if nedges > 0:
+        if len(head) < 3:
+            raise ValueError(f"{path}: declares {nedges} edges but no edge "
+                             "line found in the first 1024 lines")
+        shift = 1 if int(head[2].split()[0]) == 0 else 0
+
     lines = spark.read.text(path)
     body = lines.filter(
         (F.length(F.trim("value")) > 0) & ~F.trim("value").startswith("#")
     )
-    # header = first two non-comment lines (vertex count, edge count)
-    header = [r.value.strip() for r in body.limit(2).collect()]
-    nvtxs, nedges = int(header[0]), int(header[1])
-
     pairs = (
         body.select(F.split(F.trim("value"), r"\s+").alias("p"))
         .filter(F.size("p") == 2)
         .select(
-            F.col("p")[0].cast("bigint").alias("src"),
-            F.col("p")[1].cast("bigint").alias("dst"),
+            (F.col("p")[0].cast("bigint") + F.lit(shift)).alias("src"),
+            (F.col("p")[1].cast("bigint") + F.lit(shift)).alias("dst"),
         )
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
     )
-    # drop the header rows themselves if they parsed as single-field lines;
-    # a "N" header line splits to size 1 so the size==2 filter removed it.
-    min_id = pairs.agg(F.least(F.min("src"), F.min("dst"))).first()[0]
-    if min_id == 0:  # 0-based input -> shift to 1-based (partition.h:147-148)
-        pairs = pairs.select((F.col("src") + 1).alias("src"), (F.col("dst") + 1).alias("dst"))
+    # the "N" header lines split to size 1, so the size==2 filter drops them.
     edges = pairs.withColumn("weight", F.lit(1.0))
 
     g = PropertyGraph.from_edges(edges, num_partitions=num_partitions)

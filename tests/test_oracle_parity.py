@@ -26,7 +26,15 @@ def test_query_matches_oracle(spark, duck, name):
     oracles = _entry.oracle_sql()
     df = q(spark, SF_ORACLE)
     if name not in oracles:
-        assert df.count() >= 0  # rows-only check, like the driver
+        # rows-only check, replicating the driver's canonicalization step:
+        # the driver collects to pandas and lexsorts by every column before
+        # hashing, which dies on unhashable cells (ARRAY columns — the
+        # approx_sketch_stats r01 failure). Run the same sort locally so
+        # harness-incompatible schemas fail here first.
+        pdf = df.toPandas()
+        assert len(pdf) >= 0
+        if len(pdf.columns):
+            pdf.sort_values(by=list(pdf.columns), inplace=True)
         return
     compare(df, duck, oracles[name])
 
