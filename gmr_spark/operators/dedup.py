@@ -119,18 +119,23 @@ def dedup_embedding(spark: SparkSession, sf_dir: str, *, n_bits: int = 8,
     (``similarity.sign_bucket``), then exact cosine verifies ``>= min_sim``;
     the dedup rule is "keep the lower id" (vec_a < vec_b, so survivors are
     ids never appearing as vec_b). At 100 TB the bucket join replaces the
-    O(n²) pair scan and buckets are the shuffle key."""
-    from gmr_spark.operators.similarity import _dot, _norm, _vec, sign_bucket
+    O(n²) pair scan and buckets are the shuffle key; hot buckets are capped
+    by sub-splitting (``similarity.split_oversized_buckets``)."""
+    from gmr_spark.operators.similarity import (
+        _dot, _norm, _vec, sign_bucket, split_oversized_buckets,
+    )
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    vecs = emb.select(
-        F.col("vec_id").alias("id"), _vec().alias("v"),
-        sign_bucket(_vec(), n_bits).alias("bucket"),
+    vecs = split_oversized_buckets(
+        emb.select(
+            F.col("vec_id").alias("id"), _vec().alias("v"),
+            sign_bucket(_vec(), n_bits).alias("bucket"),
+        )
     )
-    a = vecs.select(F.col("id").alias("vec_a"), F.col("v").alias("va"), "bucket")
-    b = vecs.select(F.col("id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
+    a = vecs.select(F.col("id").alias("vec_a"), F.col("v").alias("va"), "bucket", "sub")
+    b = vecs.select(F.col("id").alias("vec_b"), F.col("v").alias("vb"), "bucket", "sub")
     return (
-        a.join(b, "bucket")
+        a.join(b, ["bucket", "sub"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a", "vec_b",
@@ -174,12 +179,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", simhash32(F.col("text")).alias("simhash"))
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, *, min_common: int = 20) -> DataFrame:
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, *, min_common: int = 20,
+                        max_df_frac: float = 0.10) -> DataFrame:
     """(doc_a, doc_b, jaccard): exact word-3gram Jaccard for every pair
     sharing ≥ min_common shingles — inverted-index join, no LSH approximation
-    (the exact-verification counterpart of dedup_minhash)."""
+    (the exact-verification counterpart of dedup_minhash).
+
+    Stop-shingle cutoff: shingles appearing in more than ``max_df_frac`` of
+    all documents are dropped BEFORE the inverted-index self-join (Jaccard is
+    then over non-stop shingles on both engines). This bounds the join's
+    worst group: without it, one boilerplate shingle shared by every doc
+    makes the self-join quadratic in corpus size. The driver corpus never
+    trips it (max observed df is 1.4% of docs at sf0.01, 0.5% at sf0.1), so
+    the oracle is unchanged at test scale while the 100 TB worst case is
+    capped at (max_df_frac · n_docs)² per shingle."""
     docs = load_tables(spark, sf_dir)["documents"]
+    n_docs = docs.count()
     shingled = _doc_shingles(docs)
+    df_counts = shingled.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    shingled = (
+        shingled.join(df_counts, "sh")
+        .filter(F.col("_df") <= F.lit(max_df_frac * n_docs))
+        .drop("_df")
+    )
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = shingled.select(F.col("doc_id").alias("doc_a"), "sh")
     sb = shingled.select(F.col("doc_id").alias("doc_b"), "sh")

@@ -138,19 +138,47 @@ def sign_bucket(vec: F.Column, n_bits: int = 16) -> F.Column:
     return acc.cast("bigint")
 
 
-def ann_sign_lsh(spark: SparkSession, sf_dir: str, *, k: int = 3,
-                 n_bits: int = 16) -> DataFrame:
-    """(query_id, neighbor_id, sim, rnk): top-k same-bucket neighbors for
-    EVERY vector — an all-pairs ANN pass via bucket equi-join."""
-    emb = load_tables(spark, sf_dir)["embeddings"]
-    vecs = emb.select(
-        F.col("vec_id").alias("id"), _vec().alias("v"),
-        sign_bucket(_vec(), n_bits).alias("bucket"),
+BUCKET_CAP = 256
+
+
+def split_oversized_buckets(vecs: DataFrame, cap: int = BUCKET_CAP) -> DataFrame:
+    """Bound LSH bucket fan-in: a bucket with ``cnt > cap`` members is split
+    into ``ceil(cnt / cap)`` sub-buckets by ``id % n_sub``, and candidate
+    joins key on (bucket, sub) — so one degenerate bucket (adversarial
+    all-same-sign corpus) can never go quadratic; the worst join group is
+    ~``cap`` rows. Cost of the bound: neighbors landing in different
+    sub-buckets of a split bucket are not candidates (the standard recall
+    tradeoff of bounded LSH). ``id % n_sub`` (not a salted hash) keeps the
+    split reproducible in the DuckDB twin.
+
+    Input: (id, ..., bucket). Output: same + ``sub``. The per-bucket count
+    table is one row per bucket — broadcast.
+    """
+    counts = vecs.groupBy("bucket").agg(F.count(F.lit(1)).alias("_cnt"))
+    return (
+        vecs.join(F.broadcast(counts), "bucket")
+        .withColumn("sub", F.pmod(F.col("id"), F.ceil(F.col("_cnt") / F.lit(float(cap)))))
+        .drop("_cnt")
     )
-    a = vecs.select(F.col("id").alias("query_id"), F.col("v").alias("q"), "bucket")
-    b = vecs.select(F.col("id").alias("neighbor_id"), F.col("v").alias("v"), "bucket")
+
+
+def ann_sign_lsh(spark: SparkSession, sf_dir: str, *, k: int = 3,
+                 n_bits: int = 16, bucket_cap: int = BUCKET_CAP) -> DataFrame:
+    """(query_id, neighbor_id, sim, rnk): top-k same-bucket neighbors for
+    EVERY vector — an all-pairs ANN pass via bucket equi-join, hot buckets
+    capped (``split_oversized_buckets``)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    vecs = split_oversized_buckets(
+        emb.select(
+            F.col("vec_id").alias("id"), _vec().alias("v"),
+            sign_bucket(_vec(), n_bits).alias("bucket"),
+        ),
+        bucket_cap,
+    )
+    a = vecs.select(F.col("id").alias("query_id"), F.col("v").alias("q"), "bucket", "sub")
+    b = vecs.select(F.col("id").alias("neighbor_id"), F.col("v").alias("v"), "bucket", "sub")
     sims = (
-        a.join(b, "bucket")
+        a.join(b, ["bucket", "sub"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "neighbor_id",

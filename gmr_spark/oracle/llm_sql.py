@@ -75,12 +75,20 @@ WHERE ROUND(CAST(i.n_common AS DOUBLE)
 
 NGRAM_JACCARD = f"""
 WITH {_SHINGLED.strip()},
+-- stop-shingle cutoff (mirrors dedup.ngram_jaccard_pairs max_df_frac=0.10):
+-- shingles in >10% of docs are dropped before the self-join
+kept AS MATERIALIZED (
+    SELECT s.doc_id, s.sh
+    FROM shingled s
+    JOIN (SELECT sh, COUNT(*) AS df FROM shingled GROUP BY sh) d ON d.sh = s.sh
+    WHERE d.df <= 0.10 * (SELECT COUNT(*) FROM documents)
+),
 sizes AS MATERIALIZED (
-    SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id
+    SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id
 ),
 inter AS MATERIALIZED (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-    FROM shingled a JOIN shingled b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
     HAVING COUNT(*) >= 20
 )
@@ -161,9 +169,18 @@ buckets AS MATERIALIZED (
            CAST(SUM(CASE WHEN val > 0 THEN CAST(POWER(2, pos - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
     FROM expl WHERE pos <= 16 GROUP BY id
 ),
+-- hot-bucket cap (mirrors similarity.split_oversized_buckets, cap=256):
+-- buckets over the cap are split into ceil(cnt/cap) sub-buckets by id % n
+bsub AS MATERIALIZED (
+    SELECT b.id, b.bucket, b.id % c.n_sub AS sub
+    FROM buckets b
+    JOIN (SELECT bucket, CAST(CEIL(COUNT(*) / 256.0) AS BIGINT) AS n_sub
+          FROM buckets GROUP BY bucket) c USING (bucket)
+),
 cand AS MATERIALIZED (
     SELECT a.id AS query_id, b.id AS neighbor_id
-    FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.id <> b.id
+    FROM bsub a JOIN bsub b
+      ON a.bucket = b.bucket AND a.sub = b.sub AND a.id <> b.id
 ),
 dots AS MATERIALIZED (
     SELECT c.query_id, c.neighbor_id, SUM(q.val * v.val) AS dot
@@ -194,9 +211,17 @@ buckets AS MATERIALIZED (
            CAST(SUM(CASE WHEN val > 0 THEN CAST(POWER(2, pos - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
     FROM expl WHERE pos <= 8 GROUP BY id
 ),
+-- hot-bucket cap (mirrors similarity.split_oversized_buckets, cap=256)
+bsub AS MATERIALIZED (
+    SELECT b.id, b.bucket, b.id % c.n_sub AS sub
+    FROM buckets b
+    JOIN (SELECT bucket, CAST(CEIL(COUNT(*) / 256.0) AS BIGINT) AS n_sub
+          FROM buckets GROUP BY bucket) c USING (bucket)
+),
 cand AS MATERIALIZED (
     SELECT a.id AS vec_a, b.id AS vec_b
-    FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.id < b.id
+    FROM bsub a JOIN bsub b
+      ON a.bucket = b.bucket AND a.sub = b.sub AND a.id < b.id
 ),
 dots AS MATERIALIZED (
     SELECT c.vec_a, c.vec_b, SUM(q.val * v.val) AS dot

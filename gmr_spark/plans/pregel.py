@@ -31,7 +31,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Protocol
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from gmr_spark.graph import PropertyGraph
 
@@ -70,6 +70,23 @@ class PregelResult:
     metrics: list[dict] = field(default_factory=list)
 
 
+def _drop_checkpoint_blocks(df: DataFrame) -> None:
+    """Unpersist the block store behind a localCheckpointed DataFrame.
+
+    ContextCleaner reclaims dead checkpoint RDDs asynchronously; across a
+    many-superstep loop the backlog of dead blocks measurably slows later
+    jobs (3-5x observed in round 1), so the loop drops each superstep's
+    blocks the moment its successor is materialized. Callers must never
+    drop a state still referenced: a localCheckpointed RDD has no lineage
+    to rebuild from.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        plan.rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort: leaked blocks cost time, not correctness
+
+
 def run_pregel(
     graph: PropertyGraph,
     program: PregelProgram,
@@ -77,6 +94,7 @@ def run_pregel(
     max_iter: int = MAX_ITERATION,
     early_stop: bool = True,
     collect_metrics: bool = False,
+    checkpoint_interval: int = 2,
 ) -> PregelResult:
     """Run ``program`` to convergence (no active vertices) or ``max_iter``.
 
@@ -87,8 +105,23 @@ def run_pregel(
       edge tables go broadcast instead, AQE's pick).
     - per-superstep state is localCheckpointed (flat O(1) logical plan per
       superstep across the reference's 120-iteration cap, igmr.cpp:116).
-    - the only driver↔cluster round-trip per superstep is the convergence
-      count, exactly like the reference's Allgather (igmr.cpp:139-152).
+    - ONE job per superstep: the convergence census (the reference's
+      Allgather, igmr.cpp:139-152) rides the checkpoint's materializing job
+      as an ``Observation`` metric instead of a second count() action.
+    - each superstep's checkpoint blocks are unpersisted as soon as the next
+      superstep is materialized (ContextCleaner is async; see
+      ``_drop_checkpoint_blocks``).
+    - ``checkpoint_interval=k`` materializes every k-th superstep only:
+      intermediate supersteps stay lazy, trading recompute inside the next
+      checkpoint job for k-1 fewer job launches + block writes. Convergence
+      is then tested every k steps; extra post-convergence supersteps are
+      no-ops (empty frontier -> no messages -> values unchanged), so results
+      are identical. Measured on the 600k-vertex PageRank fixture: k=2 is
+      ~1.8x faster than k=1 (exchange reuse dedupes the doubled state
+      subtree, so one job runs ~2 supersteps of real work at half the
+      launch+write overhead), but k=3 is ~5x SLOWER (the duplication nests
+      — 4 evaluations of the oldest deferred step — and reuse stops
+      covering it). Keep k=2.
     """
     # edges: materialized ONCE into a flat LogicalRDD. localCheckpoint keeps
     # the physical outputPartitioning (so a pre-repartitioned edge table
@@ -102,6 +135,7 @@ def run_pregel(
     # cut makes the logical plan DOUBLE every superstep (exponential Catalyst
     # analysis; measured hang by superstep ~8 on a 6k-vertex graph).
     vertices = program.init(graph.vertices).localCheckpoint(eager=True)
+    prev_state = vertices  # last materialized state whose blocks we own
     metrics: list[dict] = []
     iterations = 0
     converged = False
@@ -111,16 +145,23 @@ def run_pregel(
         frontier = vertices.filter(F.col("active")) if early_stop else vertices
         msgs = program.messages(frontier, edges)
         agg = program.aggregate(msgs)
-        new_vertices = program.update(vertices, agg).localCheckpoint(eager=True)
+        new_vertices = program.update(vertices, agg)
 
         iterations = i + 1
-        if early_stop:
-            n_active = new_vertices.filter(F.col("active")).limit(1).count()
-            vertices = new_vertices
-            if n_active == 0:
+        at_checkpoint = (iterations % checkpoint_interval == 0) or iterations == max_iter
+        if at_checkpoint:
+            obs: Observation | None = None
+            if early_stop:
+                obs = Observation()
+                new_vertices = new_vertices.observe(
+                    obs, F.sum(F.col("active").cast("long")).alias("n_active")
+                )
+            new_vertices = new_vertices.localCheckpoint(eager=True)
+            _drop_checkpoint_blocks(prev_state)
+            prev_state = new_vertices
+            if obs is not None and (obs.get["n_active"] or 0) == 0:
                 converged = True
-        else:
-            vertices = new_vertices
+        vertices = new_vertices
         if collect_metrics:
             metrics.append({"superstep": iterations, "wall_s": time.perf_counter() - t0})
         if converged:

@@ -45,6 +45,7 @@ from gmr_spark.oracle import llm_sql as LSQL
 from gmr_spark.oracle import relational_sql as RSQL
 from gmr_spark.oracle.kmeans_sql import kmeans_sql
 from gmr_spark.sources.derive import derive_graph
+from gmr_spark.sources.graph_file import read_graph_file
 from gmr_spark.sources.tables import register_views
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -159,6 +160,53 @@ def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans(emb, k=8, iters=2)
 
 
+# wheel13 fixture edges — MUST mirror gmr_spark/resources/wheel13.graph line
+# for line (a unit test pins the two together): directed 12-ring, +3 chords,
+# one-way tail 13 -> 1 (13 unreachable from the source -> NULL level).
+WHEEL13_EDGES: list[tuple[int, int]] = (
+    [(i, i % 12 + 1) for i in range(1, 13)]
+    + [(i, (i + 2) % 12 + 1) for i in range(1, 13)]
+    + [(13, 1)]
+)
+
+
+def _q_graph_file_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 — the reference's own text graph format (partition.h:112-153) read
+    via the distributed parser, then BFS. The fixture ships with the repo
+    (graph files are sf-independent inputs, exactly like the reference's
+    4elt.graph); ``sf_dir`` is unused by design."""
+    import os as _os
+
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "resources", "wheel13.graph")
+    g = read_graph_file(spark, path)
+    return bfs(g, source=1, max_iter=14)
+
+
+def _graph_file_bfs_sql() -> str:
+    """DuckDB twin: recursive-CTE BFS over the same VALUES edge list.
+    UNION (not UNION ALL) dedups (id, level) rows so the recursion
+    terminates on the cyclic graph; the level bound caps depth."""
+    values = ", ".join(f"({s}, {d})" for s, d in WHEEL13_EDGES)
+    return f"""
+        WITH RECURSIVE e(src, dst) AS (
+            SELECT CAST(c1 AS BIGINT), CAST(c2 AS BIGINT)
+            FROM (VALUES {values}) t(c1, c2)
+        ), v(id) AS (
+            SELECT src FROM e UNION SELECT dst FROM e
+        ), lvl(id, level) AS (
+            SELECT CAST(1 AS BIGINT) AS id, 0 AS level
+            UNION
+            SELECT e.dst, l.level + 1
+            FROM lvl l JOIN e ON e.src = l.id
+            WHERE l.level < 13
+        )
+        SELECT v.id AS id, CAST(MIN(l.level) AS DOUBLE) AS level
+        FROM v LEFT JOIN lvl l ON l.id = v.id
+        GROUP BY v.id
+    """
+
+
 GRAPH_QUERIES: dict[str, QueryFn] = {
     "kmeans_embeddings": _q_kmeans,
     "bfs_geo": _q_bfs_geo,
@@ -174,6 +222,7 @@ GRAPH_QUERIES: dict[str, QueryFn] = {
     "mst_nation_mesh": _q_mst_nation_mesh,
     "collect_neighbors_ring": _q_collect_neighbors,
     "weighted_indegree_cs": _q_weighted_indegree,
+    "graph_file_bfs": _q_graph_file_bfs,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
@@ -193,6 +242,7 @@ GRAPH_ORACLES: dict[str, str] = {
     "mst_nation_mesh": mst_sql("nation_mesh", K_MST_PHASES, K_MST_INNER),
     "collect_neighbors_ring": collect_neighbors_sql("nation_ring"),
     "weighted_indegree_cs": weighted_indegree_sql("cs_weighted"),
+    "graph_file_bfs": _graph_file_bfs_sql(),
 }
 
 

@@ -27,3 +27,30 @@ def test_bfs_4elt_full_mesh(spark):
     reached = levels.filter("level IS NOT NULL").count()
     assert reached == 15606  # connected mesh: everything reachable
     assert levels.agg({"level": "max"}).first()[0] == 69.0
+
+
+def test_wheel13_fixture_matches_declared_edges():
+    """The committed wheel13.graph file and the WHEEL13_EDGES constant (which
+    generates the DuckDB oracle's VALUES list) must stay line-for-line
+    identical, or the graph_file_bfs parity gate compares different graphs."""
+    from gmr_spark.queries import WHEEL13_EDGES
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "gmr_spark", "resources", "wheel13.graph")
+    with open(path) as f:
+        lines = [ln.strip() for ln in f
+                 if ln.strip() and not ln.strip().startswith("#")]
+    assert int(lines[0]) == 13
+    assert int(lines[1]) == len(WHEEL13_EDGES) == 25
+    file_edges = [tuple(map(int, ln.split())) for ln in lines[2:]]
+    assert file_edges == WHEEL13_EDGES
+
+
+def test_wheel13_bfs_levels(spark):
+    """Ground truth BFS levels on the fixture: 13 is unreachable (NULL)."""
+    from gmr_spark.queries import _q_graph_file_bfs
+
+    levels = {r["id"]: r["level"] for r in _q_graph_file_bfs(spark, "").collect()}
+    assert len(levels) == 13
+    assert levels[1] == 0.0 and levels[2] == 1.0 and levels[4] == 1.0
+    assert levels[13] is None  # one-way tail: unreachable from 1

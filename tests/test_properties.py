@@ -8,6 +8,8 @@ from itertools import combinations
 
 from hypothesis import given, settings, strategies as st
 
+from pyspark.sql import functions as F
+
 from gmr_spark.algorithms import connected_components, sssp, triangle_count
 from gmr_spark.graph import PropertyGraph
 
@@ -228,3 +230,35 @@ def test_boruvka_msf_matches_kruskal(edges):
             parent[ra] = rb
             want.append((a, b, w))
     assert got == sorted(want)
+
+
+def test_bucket_cap_bounds_adversarial_bucket():
+    """Adversarial all-same-sign corpus: every vector lands in ONE sign-LSH
+    bucket. With the cap, candidate groups are bounded by ~cap: the split
+    into ceil(n/cap) sub-buckets means no (bucket, sub) group exceeds
+    ceil(n / n_sub) rows, so the candidate join can never go quadratic."""
+    from gmr_spark.operators.similarity import split_oversized_buckets
+
+    spark = _get_spark()
+    n, cap = 100, 8
+    vecs = spark.range(n).select(
+        F.col("id"), F.lit(7).cast("bigint").alias("bucket")
+    )
+    sub = split_oversized_buckets(vecs, cap=cap)
+    group_sizes = [
+        r.c for r in sub.groupBy("bucket", "sub").agg(
+            F.count(F.lit(1)).alias("c")).collect()
+    ]
+    n_sub = -(-n // cap)  # ceil
+    assert len(group_sizes) == n_sub
+    # id % n_sub spreads evenly: every group within ceil(n/n_sub)
+    assert max(group_sizes) <= -(-n // n_sub)
+    # candidate pairs are bounded by n_sub * max_group^2, far under n^2
+    assert sum(c * c for c in group_sizes) <= n_sub * (-(-n // n_sub)) ** 2 < n * n
+
+    # and a corpus under the cap is passed through in one group, unsplit
+    small = split_oversized_buckets(
+        spark.range(cap).select("id", F.lit(3).cast("bigint").alias("bucket")),
+        cap=cap,
+    )
+    assert small.select("sub").distinct().count() == 1
