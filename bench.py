@@ -27,6 +27,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 HEADLINE = [
     "pagerank_geo",
     "pagerank_big",
+    "pagerank_hub",
     "bfs_geo",
     "sssp_cs",
     "cc_cs",

@@ -96,6 +96,22 @@ def _q_pagerank_big(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("id", F.round("rank", 6).alias("pr"))
 
 
+def _q_pagerank_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-hardening witness (round-1 review item 7): PageRank on the
+    ``hub`` power-law fixture, where hub 0 receives ~50% of every
+    superstep's messages. The plan stays flat under that skew because
+    (a) the message aggregation ``groupBy(id).sum`` is partial+final — each
+    map task pre-combines to ≤1 row per id, so the hot hub key crosses the
+    exchange as at most #partitions rows, never as |in-degree| rows; and
+    (b) the hub's large *out*-fan in the edges⋈frontier join is covered by
+    AQE skew-join splitting (enabled session-wide). Declared green +
+    benched: superstep time on this graph tracks pagerank_big's per-edge
+    cost rather than exploding with the hot key."""
+    g = derive_graph(spark, sf_dir, "hub", materialize=True)
+    pr = pagerank(g, k=K_PAGERANK, damping=0.5)
+    return pr.select("id", F.round("rank", 6).alias("pr"))
+
+
 def _q_cc_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = derive_graph(spark, sf_dir, "cs", materialize=True)
     return connected_components(g, max_iter=K_CC_CS, undirected=True)
@@ -214,6 +230,7 @@ GRAPH_QUERIES: dict[str, QueryFn] = {
     "sssp_cs_weighted": _q_sssp_cs_weighted,
     "pagerank_geo": _q_pagerank_geo,
     "pagerank_big": _q_pagerank_big,
+    "pagerank_hub": _q_pagerank_hub,
     "cc_cs": _q_cc_cs,
     "triangles_ring": _q_triangles_ring,
     "degrees_cs": _q_degrees_cs,
@@ -234,6 +251,7 @@ GRAPH_ORACLES: dict[str, str] = {
     "pagerank_geo": pagerank_sql("geo", K_PAGERANK, damping=0.5, round_to=6),
     "pagerank_big": pagerank_sql("linked_lineitems", K_PAGERANK, damping=0.5,
                                  round_to=6),
+    "pagerank_hub": pagerank_sql("hub", K_PAGERANK, damping=0.5, round_to=6),
     "cc_cs": cc_sql("cs", K_CC_CS, undirected=True),
     "triangles_ring": triangle_sql("ring"),
     "degrees_cs": degrees_sql("cs"),

@@ -23,6 +23,12 @@ Graphs:
 - ``linked_lineitems`` one vertex per lineitem row (ring + doubling chord →
             O(log n) diameter): the 100k-1M-vertex class fixture comparable
             to the reference's G1=mdual benchmark graph (BASELINE.md).
+- ``hub``   power-law-shaped skew fixture: one spoke vertex per lineitem row
+            on a ring, each spoke pointing at one of 6 hub vertices with a
+            geometric distribution (hub 0 receives ~50% of all spoke edges,
+            hub 1 ~25%, …) and each hub fanning back out to ~n/97 spokes.
+            Hub 0's in-degree is ~|lineitem|/2 — the adversarial hot key for
+            message aggregation shuffles.
 
 Id spaces are kept disjoint by offsets: region=+0, nation=+100,
 supplier=+1_000_000, customer=+2_000_000 (geo) / raw custkey (cs, ring).
@@ -101,6 +107,37 @@ GRAPH_SQL: dict[str, str] = {
                CAST((2 * rid + 1) % n AS BIGINT),
                CAST(1.0 AS DOUBLE)
         FROM base
+    """,
+    "hub": """
+        WITH base AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rid,
+                   COUNT(*) OVER () AS n
+            FROM lineitem
+        ), spokes AS (
+            SELECT rid, n,
+                   CASE WHEN rid % 2 = 0 THEN 0
+                        WHEN rid % 4 = 1 THEN 1
+                        WHEN rid % 8 = 3 THEN 2
+                        WHEN rid % 16 = 7 THEN 3
+                        WHEN rid % 32 = 15 THEN 4
+                        ELSE 5 END AS hub
+            FROM base
+        )
+        SELECT CAST(1000 + rid AS BIGINT) AS src,
+               CAST(hub AS BIGINT)        AS dst,
+               CAST(1.0 AS DOUBLE)        AS weight
+        FROM spokes
+        UNION ALL
+        SELECT CAST(1000 + rid AS BIGINT),
+               CAST(1000 + (rid + 1) % n AS BIGINT),
+               CAST(1.0 AS DOUBLE)
+        FROM spokes
+        UNION ALL
+        SELECT CAST(hub AS BIGINT),
+               CAST(1000 + rid AS BIGINT),
+               CAST(1.0 AS DOUBLE)
+        FROM spokes
+        WHERE rid % 97 = hub
     """,
     "nation_mesh": """
         SELECT CAST(a.n_nationkey AS BIGINT) AS src,

@@ -84,6 +84,34 @@ def test_global_sort_rank_no_single_partition_window(spark):
     assert "BroadcastHashJoin" in p
 
 
+def test_pagerank_hub_skew_agg_is_partial_final(spark):
+    """The hub fixture's hot key (hub 0, in-degree ~|lineitem|/2) must never
+    cross a shuffle as raw messages: the superstep message aggregation has to
+    be a two-phase HashAggregate on id, so each map task pre-combines to one
+    row per destination and the hot key arrives as ≤ #partitions partial
+    rows. (The final result DF is a checkpointed LogicalRDD, so this pins the
+    in-loop aggregation plan instead.)"""
+    from pyspark.sql import functions as F
+
+    from gmr_spark.algorithms.pagerank import _PageRankProgram
+    from gmr_spark.sources.derive import derive_graph
+
+    g = derive_graph(spark, SF, "hub")
+    out_deg = g.edges.groupBy(F.col("src").alias("deg_id")).agg(
+        F.count("*").alias("deg")
+    )
+    edges = g.edges.join(out_deg, F.col("src") == F.col("deg_id")).select(
+        "src", "dst", "deg"
+    )
+    prog = _PageRankProgram(n_vertices=6, damping=0.5)
+    vertices = prog.init(g.vertices)
+    agg = prog.aggregate(prog.messages(vertices, edges))
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p = agg._jdf.queryExecution().explainString(mode)
+    aggs = len(re.findall(r"\(\d+\) HashAggregate", p))
+    assert aggs >= 2, f"expected partial+final aggregate on id, got {aggs}"
+
+
 def test_asof_join_uses_partial_agg_not_window(spark):
     """max_by aggregation replaces the per-event row_number window: the plan
     must contain a two-phase HashAggregate (partial + final) on event_id and
