@@ -5,8 +5,10 @@ from gmr_spark.algorithms.triangles import triangle_count
 from gmr_spark.algorithms.scc import strongly_connected_components
 from gmr_spark.algorithms.matmul import matmul_coo
 from gmr_spark.algorithms.mst import minimum_spanning_forest
+from gmr_spark.algorithms.lpa import label_propagation
 
 __all__ = [
+    "label_propagation",
     "sssp",
     "bfs",
     "pagerank",

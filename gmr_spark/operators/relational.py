@@ -457,3 +457,176 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "o_orderkey", "o_totalprice",
                 F.col("total_qty").cast("double").alias("total_qty"))
     )
+
+
+def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape adapted to the reduced schema (no l_commitdate /
+    l_receiptdate): orders with at least one lineitem shipped more than 60
+    days after the order date, counted per priority. EXISTS via left_semi
+    with an interval-arithmetic residual on the equi-join — stays a hash
+    join; the probe side never duplicates."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    orders = t["orders"]
+    return (
+        orders.join(
+            li,
+            (orders["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"]
+               > orders["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer, top 20.
+    Fact-fact join shuffles once on orderkey; customer and nation broadcast;
+    deterministic top-k tiebroken by custkey."""
+    t = load_tables(spark, sf_dir)
+    revenue = F.sum(
+        _dec("l_extendedprice", 2, 12)
+        * (F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 4, 6))
+    )
+    agg = (
+        t["lineitem"].filter(F.col("l_returnflag") == "R")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(revenue, 2).cast("double").alias("revenue"))
+    )
+    w = W.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("c_custkey", "c_name", F.col("c_acctbal").cast("double").alias("acctbal"),
+                "n_name", "revenue")
+    )
+
+
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape adapted (no l_shipmode column): late-shipped lines
+    grouped by return flag, with conditional aggregation splitting
+    high-priority (1-URGENT / 2-HIGH) from low-priority order counts. The
+    CASE-inside-SUM stays whole-stage-codegen; one shuffle on the join key,
+    one on the 1-byte group key."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_shipdate", "l_returnflag")
+    orders = t["orders"].select("o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count — a LEFT
+    OUTER join (customers with zero orders must appear) feeding two stacked
+    aggregations. Both aggs are partial+final; the second one's input is at
+    most |distinct order counts| × #partitions rows."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].select("c_custkey")
+    orders = t["orders"].select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — conditional aggregate ratio
+    over a part join within a ship-date month. part is broadcast; the ratio
+    is computed from two exact-decimal sums rounded identically on both
+    engines before the (deterministic IEEE) double division."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    ts_t = li.schema["l_shipdate"].dataType
+    disc_price = _dec("l_extendedprice", 2, 12) * (
+        F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 4, 6)
+    )
+    promo = F.col("p_type") == "PROMO"
+    joined = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast(ts_t))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast(ts_t))
+        )
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.round(F.sum(F.when(promo, disc_price).otherwise(F.lit(0).cast("decimal(22,6)"))), 2).cast("double")
+            / F.round(F.sum(disc_price), 2).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape adapted (no p_container / l_shipmode): revenue over an
+    OR-of-ANDs predicate tying part attributes to lineitem quantities. The
+    disjunction sits on the join output; the equi-key (partkey) keeps the
+    join hash-based, and each disjunct's part-side conjuncts could prune the
+    broadcast build side."""
+    t = load_tables(spark, sf_dir)
+    revenue = F.sum(
+        _dec("l_extendedprice", 2, 12)
+        * (F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 4, 6))
+    )
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
+         & (F.col("l_quantity").between(1, 20)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(10, 30))
+           & (F.col("l_quantity").between(10, 35)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(20, 50))
+           & (F.col("l_quantity").between(20, 50)))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(F.round(revenue, 2).cast("double").alias("revenue"))
+    )
+
+
+def q22_quiet_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape adapted (no c_phone → group by nation): customers with
+    above-average positive balances and no order since 2000-01-01 (every
+    synthetic customer has *some* order, so "lapsed" replaces "never
+    ordered"). The global average is a 1-row broadcast (scalar-subquery
+    analog); the NOT EXISTS is a left_anti join; both engines compute the
+    average as exact-decimal sum / count so the filter threshold is
+    bit-identical."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"]
+    pos = cust.filter(F.col("c_acctbal") > 0.0)
+    avg_bal = pos.agg(
+        (F.sum(_dec("c_acctbal", 2, 18)).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("avg_bal")
+    )
+    rich = (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+    )
+    orders = t["orders"]
+    ts_t = orders.schema["o_orderdate"].dataType
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast(ts_t)
+    ).select("o_custkey")
+    quiet = rich.join(
+        recent, rich["c_custkey"] == F.col("o_custkey"), "left_anti"
+    )
+    return quiet.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(_dec("c_acctbal", 2, 18)).cast("double").alias("totacctbal"),
+    )

@@ -113,6 +113,35 @@ def term_frequencies(spark: SparkSession, sf_dir: str, *, min_count: int = 10) -
     )
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, *, k: int = 5) -> DataFrame:
+    """(doc_id, token, tf, df, score): top-k characteristic terms per doc by
+    tf·(1/df) — the *unlogged* idf variant, chosen deliberately: log-idf
+    needs a transcendental function whose last-ulp behavior differs between
+    the JVM and DuckDB's libm, while tf/df is a single IEEE division —
+    bit-identical on both engines with no rounding epsilon.
+
+    Scale: tf is one hash aggregation on (doc_id, token); df reuses the tf
+    table (already unique per pair) with a second map-side-combinable count;
+    df joins back by token (hot tokens = high df = low score, so the skewed
+    join keys are exactly the ones the ranking discards); top-k per doc is a
+    window partitioned by doc_id — never a global sort."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    exploded = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = exploded.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df, "token").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df").cast("double")
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "token", "tf", "df", "score")
+    )
+
+
 def tokenize_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, pos, token): tokenization through a Python UDTF + LATERAL
     join — the modern Spark analog of the reference's per-vertex ``map``

@@ -3,6 +3,7 @@ from gmr_spark.oracle.sql import (
     cc_sql,
     collect_neighbors_sql,
     degrees_sql,
+    lpa_sql,
     matmul_sql,
     mst_sql,
     pagerank_sql,
@@ -17,6 +18,7 @@ __all__ = [
     "cc_sql",
     "collect_neighbors_sql",
     "degrees_sql",
+    "lpa_sql",
     "matmul_sql",
     "mst_sql",
     "pagerank_sql",

@@ -353,6 +353,28 @@ FROM tok GROUP BY token
 HAVING COUNT(*) >= 10
 """
 
+TFIDF_TOP_TERMS = f"""
+WITH tok AS MATERIALIZED (
+    SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+),
+tf AS MATERIALIZED (
+    SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+),
+df AS MATERIALIZED (
+    SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+)
+SELECT doc_id, token, tf, df, score
+FROM (
+    SELECT t.doc_id, t.token, t.tf, d.df,
+           CAST(t.tf AS DOUBLE) / CAST(d.df AS DOUBLE) AS score,
+           ROW_NUMBER() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY CAST(t.tf AS DOUBLE) / CAST(d.df AS DOUBLE) DESC, t.token
+           ) AS rn
+    FROM tf t JOIN df d ON d.token = t.token
+) r WHERE rn <= 5
+"""
+
 DOC_FINGERPRINTS = f"""
 WITH toks AS MATERIALIZED (
     SELECT doc_id, {_TOKS} AS t FROM documents

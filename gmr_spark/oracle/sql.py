@@ -141,6 +141,34 @@ def cc_sql(graph: str, k: int, *, undirected: bool = True) -> str:
     )
 
 
+def lpa_sql(graph: str, k: int) -> str:
+    """K-step synchronous label propagation, ties to the smallest label —
+    the unrolled twin of ``algorithms.lpa.label_propagation``."""
+    steps = ["l0 AS MATERIALIZED (SELECT id, id AS lbl FROM vertices)"]
+    for i in range(1, k + 1):
+        p = f"l{i - 1}"
+        steps.append(f"""l{i} AS MATERIALIZED (
+    SELECT v.id, COALESCE(m.lbl, v.lbl) AS lbl
+    FROM {p} v
+    LEFT JOIN (
+        SELECT id, lbl FROM (
+            SELECT id, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+            FROM (
+                SELECT e.dst AS id, p.lbl AS lbl, COUNT(*) AS c
+                FROM {p} p JOIN edges e ON e.src = p.id
+                GROUP BY e.dst, p.lbl
+            ) g
+        ) r WHERE rn = 1
+    ) m ON m.id = v.id
+)""")
+    return (
+        f"{_graph_ctes(graph)},\n"
+        + ",\n".join(steps)
+        + f"\nSELECT id, lbl AS label FROM l{k}"
+    )
+
+
 def triangle_sql(graph: str) -> str:
     return f"""{_graph_ctes(graph)},
 und AS MATERIALIZED (

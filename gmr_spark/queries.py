@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from gmr_spark.algorithms import (
     bfs,
     connected_components,
+    label_propagation,
     matmul_coo,
     minimum_spanning_forest,
     pagerank,
@@ -26,6 +27,7 @@ from gmr_spark.oracle import (
     bfs_sql,
     cc_sql,
     degrees_sql,
+    lpa_sql,
     matmul_sql,
     collect_neighbors_sql,
     mst_sql,
@@ -115,6 +117,14 @@ def _q_pagerank_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_cc_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = derive_graph(spark, sf_dir, "cs", materialize=True)
     return connected_components(g, max_iter=K_CC_CS, undirected=True)
+
+
+K_LPA = 4  # fixed horizon: sync LPA may 2-cycle, so no convergence stop
+
+
+def _q_label_propagation_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = derive_graph(spark, sf_dir, "geo", materialize=True)
+    return label_propagation(g, k=K_LPA)
 
 
 def _q_triangles_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,6 +242,7 @@ GRAPH_QUERIES: dict[str, QueryFn] = {
     "pagerank_big": _q_pagerank_big,
     "pagerank_hub": _q_pagerank_hub,
     "cc_cs": _q_cc_cs,
+    "label_propagation_geo": _q_label_propagation_geo,
     "triangles_ring": _q_triangles_ring,
     "degrees_cs": _q_degrees_cs,
     "scc_nation_ring": _q_scc_nation_ring,
@@ -253,6 +264,7 @@ GRAPH_ORACLES: dict[str, str] = {
                                  round_to=6),
     "pagerank_hub": pagerank_sql("hub", K_PAGERANK, damping=0.5, round_to=6),
     "cc_cs": cc_sql("cs", K_CC_CS, undirected=True),
+    "label_propagation_geo": lpa_sql("geo", K_LPA),
     "triangles_ring": triangle_sql("ring"),
     "degrees_cs": degrees_sql("cs"),
     "scc_nation_ring": scc_sql("nation_ring", K_SCC_NATION),
@@ -267,9 +279,16 @@ GRAPH_ORACLES: dict[str, str] = {
 RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": R.q1_pricing_summary,
     "q3_top_orders": R.q3_top_orders,
+    "q4_late_orders": R.q4_late_orders,
     "q5_nation_revenue": R.q5_nation_revenue,
     "q6_forecast_revenue": R.q6_forecast_revenue,
+    "q10_returned_items": R.q10_returned_items,
+    "q12_priority_shipping": R.q12_priority_shipping,
+    "q13_customer_distribution": R.q13_customer_distribution,
+    "q14_promo_effect": R.q14_promo_effect,
     "q18_large_orders": R.q18_large_orders,
+    "q19_disjunctive_revenue": R.q19_disjunctive_revenue,
+    "q22_quiet_rich_customers": R.q22_quiet_rich_customers,
     "filter_scan": R.filter_scan,
     "topk_per_group": R.topk_per_group,
     "set_ops_customers": R.set_ops_customers,
@@ -295,9 +314,16 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
 RELATIONAL_ORACLES: dict[str, str] = {
     "q1_pricing_summary": RSQL.Q1,
     "q3_top_orders": RSQL.Q3,
+    "q4_late_orders": RSQL.Q4,
     "q5_nation_revenue": RSQL.Q5,
     "q6_forecast_revenue": RSQL.Q6,
+    "q10_returned_items": RSQL.Q10,
+    "q12_priority_shipping": RSQL.Q12,
+    "q13_customer_distribution": RSQL.Q13,
+    "q14_promo_effect": RSQL.Q14,
     "q18_large_orders": RSQL.Q18,
+    "q19_disjunctive_revenue": RSQL.Q19,
+    "q22_quiet_rich_customers": RSQL.Q22,
     "filter_scan": RSQL.FILTER_SCAN,
     "topk_per_group": RSQL.TOPK_PER_GROUP,
     "set_ops_customers": RSQL.SET_OPS,
@@ -332,6 +358,7 @@ LLM_QUERIES: dict[str, QueryFn] = {
     "quality_score": TA.quality_score,
     "token_stats": TA.token_stats,
     "term_frequencies": TA.term_frequencies,
+    "tfidf_top_terms": TA.tfidf_top_terms,
     "doc_fingerprints": TA.doc_fingerprints,
     "tokenize_udtf": TA.tokenize_udtf,
     "multimodal_decode": M.multimodal_decode,
@@ -369,6 +396,7 @@ LLM_ORACLES: dict[str, str] = {
     "quality_score": LSQL.QUALITY_SCORE,
     "token_stats": LSQL.TOKEN_STATS,
     "term_frequencies": LSQL.TERM_FREQUENCIES,
+    "tfidf_top_terms": LSQL.TFIDF_TOP_TERMS,
     "doc_fingerprints": LSQL.DOC_FINGERPRINTS,
     "tokenize_udtf": LSQL.TOKENIZE_UDTF,
     "multimodal_decode": LSQL.MULTIMODAL_DECODE,

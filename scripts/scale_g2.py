@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""G2-class scale proof (BASELINE.md: G2 = soc-LiveJournal1, |V|=4,847,571,
+|E|=68,993,773).
+
+Builds a synthetic graph of the same size class — 4.8M vertices on a ring
+with chords at every power of two up to N (dst = (id + 2^j) % N for
+j = 0..ceil(log2 N)-1, 23 out-edges per vertex -> ~110M directed edges,
+diameter <= 23 because any hop distance has a binary decomposition into the
+available offsets) — entirely from ``spark.range`` (deterministic, no input
+files), then runs the two headline iterative algorithms and prints ONE JSON
+line with wall-clock timings. Note |E| is ~1.6x G2's 69M (the full power
+ladder is what buys the log diameter) — the per-superstep message volume is
+strictly harder than the reference's.
+
+Reference numbers to compare against (cross-hardware; treat as class
+markers, not absolutes — BASELINE.md's own caveat):
+  SSSP  G2: GMR-MPI 146-151 s (3 procs, 15 supersteps); GraphX 23-50 min
+  PageRank G2: GMR-MPI 5m36s (3 procs); GraphX n/a
+The per-superstep message volume here (~67M messages/superstep dense) is the
+same class as soc-LiveJournal1's.
+
+Usage:  python scripts/scale_g2.py            # full size (~4.8M / 67M)
+        G2_VERTICES=1000000 python scripts/scale_g2.py   # smaller dry run
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N = int(os.environ.get("G2_VERTICES", 4_800_000))
+# full power-of-two ladder: offsets 2^0 .. 2^(ceil(log2 N)-1). Binary
+# decomposition of any forward distance then bounds the diameter by
+# ~log2(N) + popcount slack; a truncated ladder (e.g. 2^13 max) degrades to
+# N/2^13 linear hops and BFS never finishes in bounded supersteps.
+CHORDS = int(os.environ.get("G2_CHORDS", max(1, (N - 1).bit_length())))
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from gmr_spark.algorithms import pagerank, sssp
+    from gmr_spark.graph import PropertyGraph
+    from gmr_spark.session import get_session
+
+    spark = get_session("g2_scale", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    n_parts = spark.sparkContext.defaultParallelism * 2
+
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    offsets = F.array(*[F.lit(2**j) for j in range(CHORDS)])
+    edges = (
+        spark.range(N)
+        .select(F.col("id"), F.explode(offsets).alias("off"))
+        .select(
+            F.col("id").alias("src"),
+            F.pmod(F.col("id") + F.col("off"), F.lit(N)).alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+        .repartition(n_parts, "src")
+        .localCheckpoint(eager=True)
+    )
+    # vertices are known by construction — no distinct over 2|E| endpoints
+    vertices = spark.range(N).select(F.col("id")).localCheckpoint(eager=True)
+    g = PropertyGraph(vertices=vertices, edges=edges)
+    n_edges = edges.count()
+    timings["build_graph"] = round(time.perf_counter() - t0, 1)
+    print(f"graph: {N} vertices, {n_edges} edges "
+          f"({timings['build_graph']}s)", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    res = sssp(g, source=0, weighted=True, max_iter=CHORDS + 10)
+    n_reached = res.filter(F.col("dist").isNotNull()).count()
+    timings["sssp"] = round(time.perf_counter() - t0, 1)
+    print(f"sssp: {n_reached} reached ({timings['sssp']}s)", file=sys.stderr)
+    assert n_reached == N, f"expected all {N} reachable, got {n_reached}"
+
+    t0 = time.perf_counter()
+    pr = pagerank(g, k=10, damping=0.5)
+    pr_rows = pr.count()
+    timings["pagerank_k10"] = round(time.perf_counter() - t0, 1)
+    print(f"pagerank: {pr_rows} rows ({timings['pagerank_k10']}s)",
+          file=sys.stderr)
+    assert pr_rows == N
+
+    print(json.dumps({
+        "metric": "g2_scale_proof",
+        "vertices": N,
+        "edges": n_edges,
+        "cpus": int(CPUS),
+        "timings_sec": timings,
+        "unit": "sec",
+    }))
+
+
+if __name__ == "__main__":
+    main()
