@@ -49,6 +49,7 @@ HEADLINE = [
     "sessionize",
     "asof_join_orders",
     "global_sort_rank",
+    "approx_sketch_stats",
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
@@ -63,11 +64,11 @@ HEADLINE = [
 
 
 def main() -> None:
-    from gmr_spark.queries import all_queries
+    from gmr_spark.queries import BENCH_ONLY_QUERIES, all_queries
     from gmr_spark.session import get_session
 
     spark = get_session("gmr_spark_bench", cpus=CPUS)
-    queries = all_queries()
+    queries = {**all_queries(), **BENCH_ONLY_QUERIES}
 
     # warm the JVM/codegen path once on a cheap query
     queries["filter_scan"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -75,10 +76,15 @@ def main() -> None:
     # calibration: fixed synthetic workload, ~1.5s on an unloaded 32-core
     # host. A high value flags an externally-throttled run (observed 3x
     # wall-clock swings on shared hosts) — interpret the query timings
-    # relative to it.
-    t0 = time.perf_counter()
-    spark.range(0, 200_000_000, 1, 32).selectExpr("sum(id * 3 % 7)").collect()
-    calibration = round(time.perf_counter() - t0, 3)
+    # relative to it. Measured BEFORE and AFTER the query loop: round 2's
+    # headline was poisoned by mid-run throttling that a single pre-run
+    # probe could not see (pagerank_big recorded 208 s, re-measured 31 s).
+    def _calibrate() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).selectExpr("sum(id * 3 % 7)").collect()
+        return round(time.perf_counter() - t0, 3)
+
+    calibration = _calibrate()
 
     import gc
 
@@ -97,6 +103,17 @@ def main() -> None:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
 
+    calibration_post = _calibrate()
+    drift = calibration_post / calibration if calibration else 1.0
+    if drift > 1.2 or drift < 1 / 1.2:
+        print(
+            f"  WARNING: calibration drifted {calibration:.3f}s -> "
+            f"{calibration_post:.3f}s ({drift:.2f}x): the host was throttled "
+            "mid-run; treat per-query timings as upper bounds and re-run on "
+            "a quiet host",
+            file=sys.stderr,
+        )
+
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
     result = {
         "metric": "gmr_spark_headline_total",
@@ -105,6 +122,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "calibration_sec": calibration,
+        "calibration_post_sec": calibration_post,
     }
     print(json.dumps(result))
 

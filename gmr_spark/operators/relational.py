@@ -498,10 +498,13 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.round(revenue, 2).cast("double").alias("revenue"))
     )
-    w = W.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    # Top-20 via orderBy+limit, planned as TakeOrderedAndProject: every
+    # partition computes a local top-20 and only those rows reach the driver
+    # stage — unlike a row_number over an unpartitioned window, which would
+    # funnel the whole per-customer aggregate through one task.
     return (
-        agg.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
+        agg.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
         .select("c_custkey", "c_name", F.col("c_acctbal").cast("double").alias("acctbal"),
                 "n_name", "revenue")
     )

@@ -252,10 +252,14 @@ WHERE rn <= 20
 
 Q12 = """
 SELECT l.l_returnflag,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       -- CAST: DuckDB SUM over INTEGER returns HUGEINT (int128), which
+       -- pandas widens to float64/object and the driver hashes differently
+       -- from Spark's BIGINT. Every final-projection SUM-of-integers must
+       -- carry this cast (PIVOT_EVENT_COUNTS established the pattern).
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY

@@ -42,7 +42,18 @@ MAX_ITERATION = 120
 
 class PregelProgram(Protocol):
     """The user-query surface — replaces the reference's ``GMR`` abstract class
-    (initGraph/map/reduce/keyComp, gmr.h:92-123)."""
+    (initGraph/map/reduce/keyComp, gmr.h:92-123).
+
+    CONTRACT — empty-frontier idempotence: with ``checkpoint_interval=k > 1``
+    the driver tests convergence only every k-th superstep, so up to k-1
+    supersteps may run AFTER the frontier empties. A program must therefore
+    be a no-op on an empty frontier: ``messages(empty, edges)`` produces no
+    messages, and ``update(vertices, empty_agg)`` leaves every value
+    unchanged and every ``active`` flag false. All shipped programs satisfy
+    this (their update only changes values where a message arrived); a
+    program that violates it (e.g. unconditional decay applied in update)
+    must be run with ``checkpoint_interval=1``.
+    """
 
     def init(self, vertices: DataFrame) -> DataFrame:
         """-> (id, value, active). Reference: initGraph, gmr.h:95."""
@@ -64,6 +75,12 @@ class PregelProgram(Protocol):
 
 @dataclass
 class PregelResult:
+    """``iterations`` counts supersteps RUN, which with
+    ``checkpoint_interval=k`` can overshoot the convergence point by up to
+    k-1 no-op supersteps (convergence is only observed at checkpoints).
+    Values are exact either way — see the empty-frontier-idempotence
+    contract on :class:`PregelProgram`."""
+
     vertices: DataFrame
     iterations: int
     converged: bool

@@ -22,12 +22,19 @@ from gmr_spark.graph import PropertyGraph
 
 
 def read_graph_file(spark: SparkSession, path: str, num_partitions: int | None = None) -> PropertyGraph:
-    # Header + id-base are decided driver-side from the file's leading lines.
+    # Header + id-base are decided driver-side from the file's first THREE
+    # non-comment lines. The comment filter runs before the take, so an
+    # arbitrarily long comment/blank preamble cannot starve the probe (the
+    # old raw take(1024) raised a spurious error past 1021 comment lines).
     # RDD.take() reads partitions in file order (unlike DataFrame limit(),
-    # which has no ordering contract), so these really are the first lines.
-    head_raw = spark.sparkContext.textFile(path).take(1024)
-    head = [ln.strip() for ln in head_raw
-            if ln.strip() and not ln.strip().startswith("#")]
+    # which has no ordering contract) and scans only as many partitions as
+    # needed, so these really are the first data lines at bounded cost.
+    head = (
+        spark.sparkContext.textFile(path)
+        .map(lambda ln: ln.strip())
+        .filter(lambda ln: ln and not ln.startswith("#"))
+        .take(3)
+    )
     if len(head) < 2:
         raise ValueError(f"{path}: missing vertex/edge-count header lines")
     nvtxs, nedges = int(head[0]), int(head[1])
@@ -39,8 +46,8 @@ def read_graph_file(spark: SparkSession, path: str, num_partitions: int | None =
     shift = 0
     if nedges > 0:
         if len(head) < 3:
-            raise ValueError(f"{path}: declares {nedges} edges but no edge "
-                             "line found in the first 1024 lines")
+            raise ValueError(f"{path}: declares {nedges} edges but contains "
+                             "no edge line")
         shift = 1 if int(head[2].split()[0]) == 0 else 0
 
     lines = spark.read.text(path)

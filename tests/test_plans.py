@@ -74,14 +74,37 @@ def test_global_sort_rank_no_single_partition_window(spark):
     offset window, and must carry a range exchange (the sample-sort analog)."""
     p = plan_of(spark, "global_sort_rank")
     assert "rangepartitioning" in p.lower()  # O18 sample-sort exchange
-    # full-data window must be partitioned by _pid; the only SinglePartition
-    # exchange allowed is the tiny per-partition-counts offset window
-    for m in re.finditer(r"\(\d+\) Window", p):
-        pass  # existence fine; the partition check is on exchanges below
+    # Per-Window partitioning: a partitioned Window's Arguments line carries
+    # THREE bracket groups (exprs, partition spec, order spec); an
+    # unpartitioned one only two. Every full-data Window must be partitioned
+    # by _pid; the single unpartitioned Window allowed is the running-sum
+    # offset over the O(#partitions)-row counts table.
+    unpartitioned = 0
+    for block in p.split("\n\n"):
+        if not re.match(r"\(\d+\) Window", block):
+            continue
+        args = next(l for l in block.splitlines() if l.startswith("Arguments:"))
+        groups = re.findall(r"\[[^\[\]]*\]", args)
+        if len(groups) >= 3:
+            assert "_pid" in groups[-2], f"full-data Window not partitioned by _pid: {args}"
+        else:
+            unpartitioned += 1
+            assert "_cnt" in block, f"unpartitioned Window over non-counts input: {block}"
+    assert unpartitioned <= 1, f"{unpartitioned} unpartitioned Windows, expected <=1"
     singles = len(re.findall(r"\(\d+\) Exchange SinglePartition", p))
     assert singles <= 1, f"expected at most the offset-table exchange, got {singles}"
     # and the offset side must reach the probe as a broadcast, not a shuffle
     assert "BroadcastHashJoin" in p
+
+
+def test_q10_top20_is_take_ordered(spark):
+    """Top-20 must plan as TakeOrderedAndProject (per-partition local top-k,
+    only 20 rows per partition reach the final stage) — never a row_number
+    over an unpartitioned Window, which funnels the whole per-customer
+    aggregate through one task."""
+    p = plan_of(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in p
+    assert not re.search(r"\(\d+\) Window", p)
 
 
 def test_pagerank_hub_skew_agg_is_partial_final(spark):
@@ -110,6 +133,34 @@ def test_pagerank_hub_skew_agg_is_partial_final(spark):
     p = agg._jdf.queryExecution().explainString(mode)
     aggs = len(re.findall(r"\(\d+\) HashAggregate", p))
     assert aggs >= 2, f"expected partial+final aggregate on id, got {aggs}"
+
+
+def test_scc_backward_one_job_per_superstep(spark):
+    """The backward-membership census must ride the eager localCheckpoint's
+    job as an Observation — not run a second limit(1).count() action — so a
+    k-superstep peel costs k+1 jobs (init checkpoint + one per superstep),
+    not 2k+1."""
+    from gmr_spark.algorithms.scc import _backward_members
+
+    # directed 3-ring: root 1, backward walk reaches 3 then 2, then one
+    # final no-progress superstep -> 3 supersteps + init = 4 jobs max.
+    # AQE is disabled for the measurement: its per-query-stage
+    # materialization spawns bookkeeping jobs (22 observed for this same
+    # 4-action run) that would swamp the action count being pinned.
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src bigint, dst bigint")
+    colors = spark.createDataFrame([(1, 1), (2, 1), (3, 1)], "id bigint, color bigint")
+    sc = spark.sparkContext
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sc.setJobGroup("scc_census_test", "scc backward job-count pin")
+        members = _backward_members(colors, edges, max_iter=10)
+        sc.setJobGroup(None, None)
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup("scc_census_test"))
+        assert n_jobs <= 4, f"expected <=4 jobs (init + 3 supersteps), got {n_jobs}"
+        assert members.count() == 3
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
 
 
 def test_asof_join_uses_partial_agg_not_window(spark):
