@@ -59,8 +59,13 @@ class _PageRankProgram:
         )
 
 
-def pagerank(graph: PropertyGraph, *, k: int = 10, damping: float = 0.5) -> DataFrame:
-    """Fixed-k PageRank. -> (id BIGINT, rank DOUBLE)."""
+def pagerank(graph: PropertyGraph, *, k: int = 10, damping: float = 0.5,
+             checkpoint_interval: int = 2) -> DataFrame:
+    """Fixed-k PageRank. -> (id BIGINT, rank DOUBLE).
+
+    ``checkpoint_interval`` is exposed for cadence measurements
+    (scripts/scale_g2.py's sweep); the k=2 default is the measured optimum
+    (see run_pregel's scale notes)."""
     out_deg = graph.edges.groupBy(F.col("src").alias("deg_id")).agg(
         F.count("*").alias("deg")
     )
@@ -72,5 +77,6 @@ def pagerank(graph: PropertyGraph, *, k: int = 10, damping: float = 0.5) -> Data
     result = run_pregel(
         PropertyGraph(vertices=graph.vertices, edges=edges_with_deg),
         program, max_iter=k, early_stop=False,
+        checkpoint_interval=checkpoint_interval,
     )
     return result.vertices.select("id", F.col("value").alias("rank"))

@@ -459,6 +459,148 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between the nation pair (0, 1) in both
+    directions, by ship year. Both dim sides are pre-filtered to the two
+    nations BEFORE the fact join (the nationkey predicate reaches the
+    supplier/customer parquet scans), so the fact rows that survive the two
+    broadcast joins are already pair-only; one shuffle for the final group."""
+    t = load_tables(spark, sf_dir)
+    rev = F.sum(
+        _dec("l_extendedprice", 2, 12)
+        * (F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 4, 6))
+    )
+    supp = t["supplier"].filter(F.col("s_nationkey").isin(0, 1)).select(
+        "s_suppkey", "s_nationkey"
+    )
+    cust = t["customer"].filter(F.col("c_nationkey").isin(0, 1)).select(
+        "c_custkey", "c_nationkey"
+    )
+    n1 = t["nation"].select(F.col("n_nationkey").alias("s_nk"),
+                            F.col("n_name").alias("supp_nation"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("c_nk"),
+                            F.col("n_name").alias("cust_nation"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(rev, 2).cast("double").alias("revenue"))
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: nation 0's market share, per order year, of STANDARD
+    parts bought by customers in region 0. Share = conditional-sum /
+    total-sum, both rounded to cents then divided as doubles (the Q14
+    pattern — decimal widths differ across engines above ROUND(·, 2)).
+    Dims broadcast; single fact shuffle on the year group."""
+    t = load_tables(spark, sf_dir)
+    vol = (
+        _dec("l_extendedprice", 2, 12)
+        * (F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 4, 6))
+    )
+    parts = t["part"].filter(F.col("p_type") == "STANDARD").select("p_partkey")
+    region0_nations = t["nation"].filter(F.col("n_regionkey") == 0).select(
+        F.col("n_nationkey").alias("cust_nk")
+    )
+    cust = t["customer"].select("c_custkey", "c_nationkey")
+    supp = t["supplier"].select("s_suppkey", "s_nationkey")
+    df = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(region0_nations),
+              F.col("c_nationkey") == F.col("cust_nk"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            (F.col("s_nationkey") == 0).alias("is_target"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(22,6)")
+    return df.groupBy("o_year").agg(
+        (
+            F.round(F.sum(F.when(F.col("is_target"), F.col("volume"))
+                          .otherwise(zero)), 2).cast("double")
+            / F.round(F.sum("volume"), 2).cast("double")
+        ).alias("mkt_share")
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum revenue over a
+    3-month ship window. The per-supplier rollup shuffles once; the scalar
+    max is a 1-row broadcast back onto it (no global sort, ties kept).
+    The equality compare happens on DECIMAL, never double."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    ts_t = li.schema["l_shipdate"].dataType
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast(ts_t))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast(ts_t))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(
+            _dec("l_extendedprice", 2, 12)
+            * (F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 4, 6))
+        ), 2).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name",
+                F.col("total_revenue").cast("double").alias("total_revenue"))
+    )
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if Brand#1 orders below
+    20% of the part's average quantity were no longer taken. The threshold
+    compare is exact decimal cross-multiplication (qty*5*cnt < sum_qty) —
+    never a float average, whose distributed fold order could flip boundary
+    rows vs the single-threaded oracle. Brand parts broadcast; the per-part
+    stats table is small and broadcast back."""
+    t = load_tables(spark, sf_dir)
+    b1 = t["part"].filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    li = (
+        t["lineitem"].select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(b1), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    # widths chosen so qty(8,2) * 5(2,0) * cnt(10,0) = decimal(22,2) stays
+    # far under the 38-precision cap (Spark silently ROUNDS past it)
+    stats = li.groupBy(F.col("l_partkey").alias("sp")).agg(
+        F.sum(_dec("l_quantity", 2, 8)).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    small = (
+        li.join(F.broadcast(stats), F.col("l_partkey") == F.col("sp"))
+        .filter(
+            _dec("l_quantity", 2, 8) * F.lit(5).cast("decimal(2,0)")
+            * F.col("cnt").cast("decimal(10,0)")
+            < F.col("sum_qty")
+        )
+    )
+    return small.agg(
+        F.round(
+            F.round(F.sum(_dec("l_extendedprice", 2, 12)), 2).cast("double")
+            / F.lit(7.0),
+            2,
+        ).alias("avg_yearly")
+    )
+
+
 def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape adapted to the reduced schema (no l_commitdate /
     l_receiptdate): orders with at least one lineitem shipped more than 60

@@ -126,6 +126,41 @@ def ann_ivf(spark: SparkSession, sf_dir: str, *, k_cells: int = 8,
     )
 
 
+def ann_recall_at_k(spark: SparkSession, sf_dir: str, *, n_queries: int = 5,
+                    k: int = 3) -> DataFrame:
+    """(method, hits, recall): measured recall@k of both ANN paths
+    (``ann_ivf``, ``ann_sign_lsh``) against the exact brute-force top-k
+    (``cosine_topk``) on the same query set — turns the "standard recall
+    tradeoff" claims in the bucket-cap docstrings into a declared,
+    regression-guarded number. Tiny output (one row per method); the cost
+    is the three underlying similarity passes, each of which keeps its own
+    bucketed / broadcast plan."""
+    truth = (
+        cosine_topk(spark, sf_dir, n_queries=n_queries, k=10)
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    denom = float(n_queries * k)
+    parts = []
+    for method, approx in (
+        ("ivf", ann_ivf(spark, sf_dir)),
+        ("sign_lsh", ann_sign_lsh(spark, sf_dir)),
+    ):
+        cand = (
+            approx.filter((F.col("query_id") < n_queries) & (F.col("rnk") <= k))
+            .select("query_id", "neighbor_id")
+        )
+        hits = truth.join(cand, ["query_id", "neighbor_id"], "left_semi")
+        parts.append(
+            hits.agg(F.count(F.lit(1)).alias("hits")).select(
+                F.lit(method).alias("method"),
+                F.col("hits").cast("bigint").alias("hits"),
+                F.round(F.col("hits") / F.lit(denom), 6).alias("recall"),
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
 def sign_bucket(vec: F.Column, n_bits: int = 16) -> F.Column:
     """Axis-aligned sign-LSH bucket id from the first n_bits dimensions."""
     bits = [

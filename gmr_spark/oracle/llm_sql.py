@@ -284,6 +284,30 @@ FROM (
 ) t WHERE rnk <= 3
 """
 
+# Recall@3 of both ANN paths vs the exact top-3 on the 5-query set: the
+# three component queries are reused verbatim as subqueries (a DuckDB
+# subquery may carry its own WITH), so this oracle can never drift from the
+# per-method oracles it audits. Denominator = n_queries * k = 15.
+ANN_RECALL_AT_K = f"""
+WITH truth AS MATERIALIZED (
+    SELECT query_id, neighbor_id FROM ({COSINE_TOPK}) t WHERE rnk <= 3
+),
+lsh AS MATERIALIZED (
+    SELECT query_id, neighbor_id FROM ({ANN_SIGN_LSH}) t WHERE query_id < 5
+),
+ivf AS MATERIALIZED (
+    SELECT query_id, neighbor_id FROM ({ANN_IVF}) t WHERE query_id < 5
+)
+SELECT method, hits, ROUND(hits / 15.0, 6) AS recall
+FROM (
+    SELECT 'ivf' AS method, CAST(COUNT(*) AS BIGINT) AS hits
+    FROM truth JOIN ivf USING (query_id, neighbor_id)
+    UNION ALL
+    SELECT 'sign_lsh' AS method, CAST(COUNT(*) AS BIGINT) AS hits
+    FROM truth JOIN lsh USING (query_id, neighbor_id)
+) m
+"""
+
 _PROFILES_SQL = {
     "en": ("the", "a", "of", "and", "is"),
     "de": ("der", "die", "und", "das", "ist"),

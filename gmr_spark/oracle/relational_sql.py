@@ -234,6 +234,72 @@ WHERE EXISTS (
 GROUP BY o_orderpriority
 """
 
+Q7 = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+       CAST(ROUND({_REV}, 2) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE s.s_nationkey IN (0, 1) AND c.c_nationkey IN (0, 1)
+  AND s.s_nationkey <> c.c_nationkey
+GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l.l_shipdate)
+"""
+
+# Q14 pattern: both sides of the share division ROUND(·, 2) then DOUBLE —
+# decimal widths diverge across engines above that point.
+Q8 = """
+SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(ROUND(SUM(CASE WHEN s.s_nationkey = 0
+                THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))
+                ELSE CAST(0 AS DECIMAL(22,6)) END), 2) AS DOUBLE)
+       / CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE)
+       AS mkt_share
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE p.p_type = 'STANDARD' AND cn.n_regionkey = 0
+GROUP BY EXTRACT(year FROM o.o_orderdate)
+"""
+
+Q15 = f"""
+WITH rev AS MATERIALIZED (
+    SELECT l_suppkey, ROUND({_REV}, 2) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+# threshold compare by exact decimal cross-multiplication (qty*5*cnt <
+# sum_qty), mirroring the engine — never a float average
+Q17 = """
+WITH b1 AS MATERIALIZED (
+    SELECT l.l_partkey, CAST(l.l_quantity AS DECIMAL(8,2)) AS qty,
+           CAST(l.l_extendedprice AS DECIMAL(12,2)) AS ext
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#1'
+), stats AS MATERIALIZED (
+    SELECT l_partkey AS sp, SUM(qty) AS sum_qty,
+           CAST(COUNT(*) AS DECIMAL(10,0)) AS cnt
+    FROM b1 GROUP BY l_partkey
+)
+SELECT CAST(ROUND(CAST(ROUND(SUM(b.ext), 2) AS DOUBLE) / 7.0, 2) AS DOUBLE)
+       AS avg_yearly
+FROM b1 b JOIN stats t ON b.l_partkey = t.sp
+WHERE b.qty * CAST(5 AS DECIMAL(2,0)) * t.cnt < t.sum_qty
+"""
+
 Q10 = f"""
 WITH agg AS (
     SELECT c.c_custkey, c.c_name, CAST(c.c_acctbal AS DOUBLE) AS acctbal,

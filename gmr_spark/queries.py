@@ -282,10 +282,14 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q4_late_orders": R.q4_late_orders,
     "q5_nation_revenue": R.q5_nation_revenue,
     "q6_forecast_revenue": R.q6_forecast_revenue,
+    "q7_nation_trade": R.q7_nation_trade,
+    "q8_market_share": R.q8_market_share,
     "q10_returned_items": R.q10_returned_items,
     "q12_priority_shipping": R.q12_priority_shipping,
     "q13_customer_distribution": R.q13_customer_distribution,
     "q14_promo_effect": R.q14_promo_effect,
+    "q15_top_supplier": R.q15_top_supplier,
+    "q17_small_quantity": R.q17_small_quantity,
     "q18_large_orders": R.q18_large_orders,
     "q19_disjunctive_revenue": R.q19_disjunctive_revenue,
     "q22_quiet_rich_customers": R.q22_quiet_rich_customers,
@@ -324,10 +328,14 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "q4_late_orders": RSQL.Q4,
     "q5_nation_revenue": RSQL.Q5,
     "q6_forecast_revenue": RSQL.Q6,
+    "q7_nation_trade": RSQL.Q7,
+    "q8_market_share": RSQL.Q8,
     "q10_returned_items": RSQL.Q10,
     "q12_priority_shipping": RSQL.Q12,
     "q13_customer_distribution": RSQL.Q13,
     "q14_promo_effect": RSQL.Q14,
+    "q15_top_supplier": RSQL.Q15,
+    "q17_small_quantity": RSQL.Q17,
     "q18_large_orders": RSQL.Q18,
     "q19_disjunctive_revenue": RSQL.Q19,
     "q22_quiet_rich_customers": RSQL.Q22,
@@ -415,10 +423,15 @@ LLM_ORACLES: dict[str, str] = {
 }
 
 
-# Queries whose implementation or oracle changed THIS round: their prior
-# driver rows are stale evidence, so they are pulled to the front of the
-# registry alongside the LLM block (see all_queries docstring).
-_CHANGED_THIS_ROUND = ("q12_priority_shipping", "q10_returned_items")
+# Queries whose implementation or oracle changed THIS round, or that are NEW
+# this round: their prior driver rows are stale or nonexistent, so they are
+# pulled to the front of the registry alongside the LLM block (see
+# all_queries docstring).
+_CHANGED_THIS_ROUND = (
+    "q12_priority_shipping", "q10_returned_items",
+    "q7_nation_trade", "q8_market_share", "q15_top_supplier",
+    "q17_small_quantity",
+)
 
 
 def all_queries() -> dict[str, QueryFn]:
