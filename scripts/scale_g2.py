@@ -90,12 +90,13 @@ def main() -> None:
           file=sys.stderr)
     assert pr_rows == N
 
-    # Optional checkpoint-cadence sweep (G2_CADENCE_SWEEP=1): re-times
-    # PageRank at checkpoint_interval 1 and 3 to confirm the k=2 default
+    # Optional checkpoint-cadence sweep (G2_CADENCE_SWEEP="1,3"): re-times
+    # PageRank at the given checkpoint_intervals to confirm the k=2 default
     # (measured on the 600k fixture; see run_pregel scale notes) still wins
     # at this graph size. k=2 is the pagerank_k10 row above.
-    if os.environ.get("G2_CADENCE_SWEEP"):
-        for ci in (1, 3):
+    sweep = os.environ.get("G2_CADENCE_SWEEP", "")
+    if sweep:
+        for ci in (int(x) for x in sweep.split(",")):
             t0 = time.perf_counter()
             rows = pagerank(g, k=10, damping=0.5, checkpoint_interval=ci).count()
             timings[f"pagerank_k10_ci{ci}"] = round(time.perf_counter() - t0, 1)
