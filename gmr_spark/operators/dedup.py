@@ -224,3 +224,40 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, *, min_common: int = 2
             ).alias("jaccard"),
         )
     )
+
+
+def dup_clusters(spark: SparkSession, sf_dir: str, *, min_jaccard: float = 0.1) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size): transitive near-duplicate
+    clusters — the step after pair detection in every production dedup
+    pipeline (keep one doc per CLUSTER, not per pair: A~B, B~C must retire
+    two of {A,B,C} even when A~C is below threshold). Composes the engine's
+    own primitives: MinHash-LSH verified pairs (``dedup_minhash``) become an
+    undirected graph; Pregel min-label propagation (``connected_components``)
+    labels each cluster by its smallest doc_id — that label IS the
+    keep-decision (survivor = doc_id == cluster_id).
+
+    Scale: the pair graph is |verified pairs| — orders of magnitude smaller
+    than the corpus — and CC's superstep count is the cluster diameter
+    (near-dup clusters are dense, typically 2-3 hops). The DuckDB twin is a
+    recursive-CTE transitive closure over the same pairs."""
+    from gmr_spark.algorithms.cc import connected_components
+    from gmr_spark.graph import PropertyGraph
+
+    pairs = dedup_minhash(spark, sf_dir, min_jaccard=min_jaccard).select("doc_a", "doc_b")
+    vertices = (
+        pairs.select(F.col("doc_a").alias("id"))
+        .union(pairs.select(F.col("doc_b").alias("id")))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    comp = connected_components(
+        PropertyGraph(vertices=vertices, edges=edges), max_iter=20
+    )
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"),
+        "cluster_size",
+    )

@@ -775,3 +775,196 @@ def q22_quiet_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         F.sum(_dec("c_acctbal", 2, 18)).cast("double").alias("totacctbal"),
     )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape adapted (no partsupp table in the driver schema —
+    lineitem is the part↔supplier bridge): for every SMALL large-size part,
+    the supplier offering the minimum observed unit price, i.e. the
+    correlated-scalar-subquery pattern ``cost = (SELECT MIN ...)``.
+
+    Plan: one shuffle on (partkey, suppkey) for the offer rollup; the
+    per-part minimum re-aggregates the rollup (map-side combinable); the
+    winner join is an equi-join on (partkey, unit_cost) — no window, no
+    global sort. Dims (part/supplier/nation) broadcast. Determinism: unit
+    price is a double division, IEEE-identical on both engines, and MIN
+    picks an exact value of it; ties on cost are broken by MIN(suppkey)."""
+    t = load_tables(spark, sf_dir)
+    parts = t["part"].filter((F.col("p_type") == "SMALL") & (F.col("p_size") >= 40))
+    offers = (
+        t["lineitem"]
+        .join(F.broadcast(parts.select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = offers.groupBy("l_partkey").agg(F.min("unit_cost").alias("best_cost"))
+    winner = (
+        offers.join(best, ["l_partkey"])
+        .filter(F.col("unit_cost") == F.col("best_cost"))
+        .groupBy("l_partkey")
+        .agg(F.min("l_suppkey").alias("s_suppkey"), F.min("unit_cost").alias("best_cost"))
+    )
+    return (
+        winner
+        .join(F.broadcast(parts.select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t["supplier"]), "s_suppkey")
+        .join(F.broadcast(t["nation"]),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("l_partkey").alias("p_partkey"), "p_brand", "s_name",
+                "n_name", "best_cost")
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape adapted (supply cost proxied as 10% of p_retailprice ×
+    quantity — no partsupp): profit per supplier-nation per order year over
+    the '%bolt%' part slice. Plan: lineitem⋈orders shuffles once on
+    orderkey; part/supplier/nation broadcast; two-key hash agg with map-side
+    partials. Decimal-exact amounts, rounded once, cast to double."""
+    t = load_tables(spark, sf_dir)
+    parts = t["part"].filter(F.col("p_name").like("%bolt%"))
+    one = F.lit(1).cast("decimal(6,4)")
+    amount = (
+        _dec("l_extendedprice", 2, 12) * (one - _dec("l_discount", 4, 6))
+        - _dec("p_retailprice", 2, 12) * _dec("l_quantity", 2, 12)
+        * F.lit("0.1").cast("decimal(2,1)")
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(parts.select("p_partkey", "p_retailprice")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("profit"))
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape adapted (stock value proxied from shipped volume —
+    no partsupp): per-part value of lineitems from ASIA-region suppliers,
+    keeping parts whose value exceeds 0.0001 of the regional total — the
+    HAVING-over-global-scalar-subquery pattern. Plan: one shuffle on
+    partkey; the global total re-aggregates the per-part rollup and comes
+    back as a 1-row broadcast. The threshold compare happens in double on
+    both engines (identical IEEE multiply)."""
+    t = load_tables(spark, sf_dir)
+    asia_supp = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    per_part = (
+        t["lineitem"]
+        .join(F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice", 2, 12) * _dec("l_quantity", 2, 12))
+             .alias("_value"))
+    )
+    total = per_part.agg(F.sum("_value").alias("_total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("_value").cast("double")
+                > F.col("_total").cast("double") * F.lit(0.0001))
+        .select(F.col("l_partkey").alias("p_partkey"),
+                F.round(F.col("_value"), 2).cast("double").alias("stock_value"))
+    )
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape adapted (supplier "complaints" proxied as negative
+    account balance): distinct supplier count per (brand, type, size) for
+    non-Brand#5, non-PROMO parts, excluding flagged suppliers via an
+    anti-join. Plan: part + excluded-supplier sides broadcast; one shuffle
+    for the distinct-count agg (Spark expands COUNT(DISTINCT) into a
+    two-phase exact agg)."""
+    t = load_tables(spark, sf_dir)
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#5") & (F.col("p_type") != "PROMO")
+    )
+    flagged = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(parts.select("p_partkey", "p_brand", "p_type", "p_size")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(flagged), F.col("l_suppkey") == F.col("s_suppkey"),
+              "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape adapted (availqty threshold proxied as volume share):
+    suppliers in EUROPE-region nations that shipped more than 15% of some
+    '%red%' part's total volume — the nested correlated-threshold semi-join.
+    Plan: one shuffle on (suppkey, partkey) for pair volumes; per-part
+    totals re-aggregate that rollup; the threshold compare is
+    double-on-both-engines; the supplier projection is a semi-join."""
+    t = load_tables(spark, sf_dir)
+    parts = t["part"].filter(F.col("p_name").like("%red%")).select("p_partkey")
+    pair_vol = (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity", 2, 12)).alias("sq"))
+    )
+    part_tot = pair_vol.groupBy("l_partkey").agg(F.sum("sq").alias("tot"))
+    dominant = (
+        pair_vol.join(part_tot, "l_partkey")
+        .filter(F.col("sq").cast("double") > F.col("tot").cast("double") * F.lit(0.15))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        t["supplier"]
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape adapted (no commit/receipt dates — "kept waiting" is
+    proxied by return flags): per supplier, count finished multi-supplier
+    orders where it is the ONLY supplier with returned lines — the
+    EXISTS + NOT EXISTS double correlation, expressed as aggregates +
+    semi-joins (set-equivalent and shuffle-minimal: both correlations
+    reduce over the same distinct (orderkey, suppkey) rollup). Top 20 via
+    TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    finished = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    ret = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(finished, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .select("l_orderkey", "l_suppkey").distinct()
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("_ns"))
+        .filter(F.col("_ns") > 1)
+        .select("l_orderkey")
+    )
+    sole = (
+        ret.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_nr"), F.min("l_suppkey").alias("l_suppkey"))
+        .filter(F.col("_nr") == 1)
+        .join(multi, "l_orderkey", "left_semi")
+    )
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(t["supplier"]),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

@@ -188,3 +188,46 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str, *, window: int = 4) -> Da
         .rowsBetween(0, window - 1)
     )
     return sh.select("doc_id", F.min("h").over(w).alias("fp")).distinct()
+
+
+CHUNK_LEN = 200
+CHUNK_STRIDE = 150
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk_id, chunk, chunk_len): overlapping fixed-width
+    character chunks (len 200, stride 150) — the standard pre-tokenization
+    split for long documents in training pipelines. Narrow plan: sequence +
+    posexplode generate chunk offsets row-locally (no shuffle at all); chunk
+    count per doc is ceil((len-200)/150)+1 by integer arithmetic, identical
+    on both engines (no float ceil)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    n_extra = F.when(
+        F.length("text") <= CHUNK_LEN, F.lit(0).cast("long")
+    ).otherwise(F.expr(f"(length(text) - {CHUNK_LEN - CHUNK_STRIDE + 1}) div {CHUNK_STRIDE}"))
+    exploded = docs.select(
+        "doc_id", "text",
+        F.posexplode(F.sequence(F.lit(0).cast("long"), n_extra)).alias("chunk_id", "_i"),
+    )
+    chunk = F.col("text").substr(
+        (F.col("_i") * CHUNK_STRIDE + 1).cast("int"), F.lit(CHUNK_LEN)
+    )
+    return exploded.select(
+        "doc_id", "chunk_id", chunk.alias("chunk"),
+        F.length(chunk).alias("chunk_len"),
+    )
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, scrubbed, n_redactions): redaction pass over the events
+    props payload — digit runs (the synthetic corpus's stand-in for numeric
+    PII like phones/accounts; real deployments extend the pattern list to
+    emails/SSNs the same way) are replaced with a <NUM> sentinel and
+    counted. Pure JVM regexp (codegen'd), no shuffle; the same RE2-safe
+    pattern runs on both engines."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.select(
+        "event_id",
+        F.regexp_replace("props", "[0-9]+", "<NUM>").alias("scrubbed"),
+        F.regexp_count("props", F.lit("[0-9]+")).alias("n_redactions"),
+    )

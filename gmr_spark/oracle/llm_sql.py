@@ -473,3 +473,67 @@ SELECT doc_id,
              / CAST((length(text) - length(replace(text, ' ', ''))) + 1 AS DOUBLE), 6) AS avg_token_len
 FROM documents
 """
+
+
+DUP_CLUSTERS = f"""
+WITH RECURSIVE {_SHINGLED.strip()},
+{_SIGS.strip()},
+inter AS MATERIALIZED (
+    SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+    FROM pairs p
+    JOIN shingled sa ON sa.doc_id = p.doc_a
+    JOIN shingled sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+    GROUP BY p.doc_a, p.doc_b
+),
+verified AS MATERIALIZED (
+    SELECT i.doc_a, i.doc_b
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE ROUND(CAST(i.n_common AS DOUBLE)
+                / CAST(za.n_sh + zb.n_sh - i.n_common AS DOUBLE), 6) >= 0.1
+),
+sym AS MATERIALIZED (
+    SELECT doc_a AS a, doc_b AS b FROM verified
+    UNION ALL SELECT doc_b, doc_a FROM verified
+),
+reach(doc, peer) AS (
+    SELECT DISTINCT a, a FROM sym
+    UNION
+    SELECT r.doc, s.b FROM reach r JOIN sym s ON s.a = r.peer
+),
+comp AS (
+    SELECT doc AS doc_id, MIN(peer) AS cluster_id FROM reach GROUP BY doc
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
+"""
+
+STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE substr(md5(text), 1, 2) < CASE WHEN lang = 'en' THEN '10' ELSE '80' END
+"""
+
+DOC_CHUNKING = """
+WITH offs AS (
+    SELECT doc_id, text,
+           unnest(generate_series(0,
+               CASE WHEN length(text) <= 200 THEN 0
+                    ELSE (length(text) - 51) // 150 END)) AS i
+    FROM documents
+)
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+       substr(text, CAST(i * 150 + 1 AS INTEGER), 200) AS chunk,
+       CAST(length(substr(text, CAST(i * 150 + 1 AS INTEGER), 200)) AS INTEGER)
+           AS chunk_len
+FROM offs
+"""
+
+PII_SCRUB = """
+SELECT event_id,
+       regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS n_redactions
+FROM events
+"""

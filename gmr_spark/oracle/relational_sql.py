@@ -381,3 +381,120 @@ WHERE c.c_acctbal > a.avg_bal
                   AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
 GROUP BY c.c_nationkey
 """
+
+
+Q2 = """
+WITH parts AS MATERIALIZED (
+    SELECT p_partkey, p_brand FROM part
+    WHERE p_type = 'SMALL' AND p_size >= 40
+), offers AS MATERIALIZED (
+    SELECT l.l_partkey, l.l_suppkey,
+           MIN(l.l_extendedprice / l.l_quantity) AS unit_cost
+    FROM lineitem l JOIN parts p ON l.l_partkey = p.p_partkey
+    GROUP BY l.l_partkey, l.l_suppkey
+), best AS (
+    SELECT l_partkey, MIN(unit_cost) AS best_cost FROM offers GROUP BY l_partkey
+), winner AS (
+    SELECT o.l_partkey, MIN(o.l_suppkey) AS s_suppkey, MIN(o.unit_cost) AS best_cost
+    FROM offers o JOIN best b
+      ON o.l_partkey = b.l_partkey AND o.unit_cost = b.best_cost
+    GROUP BY o.l_partkey
+)
+SELECT w.l_partkey AS p_partkey, p.p_brand, s.s_name, n.n_name, w.best_cost
+FROM winner w
+JOIN parts p ON p.p_partkey = w.l_partkey
+JOIN supplier s ON s.s_suppkey = w.s_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+"""
+
+Q9 = """
+SELECT n.n_name,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(ROUND(SUM(
+           CAST(l.l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(6,4)) - CAST(l.l_discount AS DECIMAL(6,4)))
+           - CAST(p.p_retailprice AS DECIMAL(12,2))
+             * CAST(l.l_quantity AS DECIMAL(12,2)) * CAST(0.1 AS DECIMAL(2,1))
+       ), 2) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%bolt%'
+GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+"""
+
+Q11 = """
+WITH per_part AS MATERIALIZED (
+    SELECT l.l_partkey,
+           SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * CAST(l.l_quantity AS DECIMAL(12,2))) AS value
+    FROM lineitem l
+    WHERE l.l_suppkey IN (
+        SELECT s.s_suppkey FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA')
+    GROUP BY l.l_partkey
+)
+SELECT l_partkey AS p_partkey,
+       CAST(ROUND(value, 2) AS DOUBLE) AS stock_value
+FROM per_part
+WHERE CAST(value AS DOUBLE)
+      > (SELECT CAST(SUM(value) AS DOUBLE) FROM per_part) * 0.0001
+"""
+
+Q16 = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+  AND l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+Q20 = """
+WITH pair_vol AS MATERIALIZED (
+    SELECT l.l_suppkey, l.l_partkey,
+           SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS sq
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY l.l_suppkey, l.l_partkey
+), part_tot AS (
+    SELECT l_partkey, SUM(sq) AS tot FROM pair_vol GROUP BY l_partkey
+)
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+WHERE s.s_suppkey IN (
+    SELECT v.l_suppkey
+    FROM pair_vol v JOIN part_tot t ON v.l_partkey = t.l_partkey
+    WHERE CAST(v.sq AS DOUBLE) > CAST(t.tot AS DOUBLE) * 0.15)
+"""
+
+Q21 = """
+WITH ret AS MATERIALIZED (
+    SELECT DISTINCT l.l_orderkey, l.l_suppkey
+    FROM lineitem l
+    WHERE l.l_returnflag = 'R'
+      AND l.l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+), multi AS (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) > 1
+), sole AS (
+    SELECT l_orderkey, MIN(l_suppkey) AS l_suppkey
+    FROM ret GROUP BY l_orderkey HAVING COUNT(*) = 1
+)
+SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+FROM sole
+JOIN multi USING (l_orderkey)
+JOIN supplier s ON s.s_suppkey = sole.l_suppkey
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+"""

@@ -139,6 +139,12 @@ def run_pregel(
       launch+write overhead), but k=3 is ~5x SLOWER (the duplication nests
       — 4 evaluations of the oldest deferred step — and reuse stops
       covering it). Keep k=2.
+      G2-scale crossover (4.8M V / 110M E full run, SCALE.md): the k=2
+      advantage flattens and slightly inverts — k=1 171.8 s, k=2 183.9 s,
+      k=3 200.6 s for PageRank k=10. When per-superstep work is O(100M)
+      messages, saved job launches are noise and deferred lineage
+      truncation costs ~7-16%. At cluster scale, measure the cadence at the
+      target graph size rather than extrapolating from a small fixture.
     """
     # edges: materialized ONCE into a flat LogicalRDD. localCheckpoint keeps
     # the physical outputPartitioning (so a pre-repartitioned edge table
@@ -152,6 +158,22 @@ def run_pregel(
     # cut makes the logical plan DOUBLE every superstep (exponential Catalyst
     # analysis; measured hang by superstep ~8 on a 6k-vertex graph).
     vertices = program.init(graph.vertices).localCheckpoint(eager=True)
+    # Catalyst's size estimate for a checkpointed LogicalRDD is inherited
+    # from the ORIGIN plan, and a generator-derived origin (spark.range →
+    # explode) undercounts by |fanout|: at G2 scale (4.8M V / 110M E) the
+    # static planner estimated the edge table under the 64 MB broadcast
+    # threshold and tried to build a 5+ GB broadcast hash relation (driver
+    # OOM). The engine KNOWS edges/vertices are the O(E)/O(V) relations, so
+    # when their true (counted once, on materialized blocks — cheap)
+    # cardinality can't possibly fit a broadcast, pin the superstep joins to
+    # shuffled-hash via hints on the SMALL sides we control (frontier for
+    # the message join, agg for the update join). Below the threshold,
+    # plans are left untouched — Catalyst's measured-good fixture choices
+    # (broadcast tiny frontiers/aggs) stand. ~40 in-memory bytes/row →
+    # 64 MB ≈ 1.6M rows.
+    _BIG_ROWS = 1_500_000
+    big_edges = edges.count() > _BIG_ROWS
+    big_vertices = vertices.count() > _BIG_ROWS
     prev_state = vertices  # last materialized state whose blocks we own
     metrics: list[dict] = []
     iterations = 0
@@ -160,8 +182,18 @@ def run_pregel(
     for i in range(max_iter):
         t0 = time.perf_counter()
         frontier = vertices.filter(F.col("active")) if early_stop else vertices
+        if big_edges:
+            # forbid broadcasting either side of the O(E) message join: the
+            # hinted (frontier) side becomes the per-partition build side of
+            # a ShuffledHashJoin — O(V)/n_partitions rows per hash table —
+            # and the pre-partitioned edge side streams without an exchange.
+            frontier = frontier.hint("shuffle_hash")
         msgs = program.messages(frontier, edges)
         agg = program.aggregate(msgs)
+        if big_vertices:
+            # same for the O(V) update join: agg (≤ frontier-reachable ids)
+            # is the build side; the state side streams.
+            agg = agg.hint("shuffle_hash")
         new_vertices = program.update(vertices, agg)
 
         iterations = i + 1

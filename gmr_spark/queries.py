@@ -41,6 +41,7 @@ from gmr_spark.algorithms.kmeans import kmeans
 from gmr_spark.operators import dedup as D
 from gmr_spark.operators import multimodal as M
 from gmr_spark.operators import relational as R
+from gmr_spark.operators import sampling as SAMP
 from gmr_spark.operators import similarity as S
 from gmr_spark.operators import text_analysis as TA
 from gmr_spark.oracle import llm_sql as LSQL
@@ -278,12 +279,18 @@ GRAPH_ORACLES: dict[str, str] = {
 
 RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": R.q1_pricing_summary,
+    "q2_min_cost_supplier": R.q2_min_cost_supplier,
     "q3_top_orders": R.q3_top_orders,
     "q4_late_orders": R.q4_late_orders,
     "q5_nation_revenue": R.q5_nation_revenue,
     "q6_forecast_revenue": R.q6_forecast_revenue,
     "q7_nation_trade": R.q7_nation_trade,
     "q8_market_share": R.q8_market_share,
+    "q9_product_profit": R.q9_product_profit,
+    "q11_important_stock": R.q11_important_stock,
+    "q16_supplier_part_counts": R.q16_supplier_part_counts,
+    "q20_bulk_suppliers": R.q20_bulk_suppliers,
+    "q21_waiting_suppliers": R.q21_waiting_suppliers,
     "q10_returned_items": R.q10_returned_items,
     "q12_priority_shipping": R.q12_priority_shipping,
     "q13_customer_distribution": R.q13_customer_distribution,
@@ -324,12 +331,18 @@ BENCH_ONLY_QUERIES: dict[str, QueryFn] = {
 
 RELATIONAL_ORACLES: dict[str, str] = {
     "q1_pricing_summary": RSQL.Q1,
+    "q2_min_cost_supplier": RSQL.Q2,
     "q3_top_orders": RSQL.Q3,
     "q4_late_orders": RSQL.Q4,
     "q5_nation_revenue": RSQL.Q5,
     "q6_forecast_revenue": RSQL.Q6,
     "q7_nation_trade": RSQL.Q7,
     "q8_market_share": RSQL.Q8,
+    "q9_product_profit": RSQL.Q9,
+    "q11_important_stock": RSQL.Q11,
+    "q16_supplier_part_counts": RSQL.Q16,
+    "q20_bulk_suppliers": RSQL.Q20,
+    "q21_waiting_suppliers": RSQL.Q21,
     "q10_returned_items": RSQL.Q10,
     "q12_priority_shipping": RSQL.Q12,
     "q13_customer_distribution": RSQL.Q13,
@@ -360,6 +373,28 @@ RELATIONAL_ORACLES: dict[str, str] = {
 }
 
 
+def _q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmr_spark.streaming.windowed import events_sliding_batch
+
+    return events_sliding_batch(spark, sf_dir)
+
+
+EVENTS_SLIDING_SQL = """
+WITH w AS (
+    SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                   date_trunc('hour', ts)]) AS wstart,
+           event_type, value
+    FROM events
+)
+SELECT CAST(epoch(wstart) AS BIGINT) AS window_epoch,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM w
+GROUP BY 1, 2
+"""
+
+
 LLM_QUERIES: dict[str, QueryFn] = {
     "dedup_exact": D.dedup_exact,
     "dedup_minhash": D.dedup_minhash,
@@ -381,6 +416,10 @@ LLM_QUERIES: dict[str, QueryFn] = {
     "multimodal_resize": M.multimodal_resize,
     "multimodal_frame_sample": M.multimodal_frame_sample,
     "multimodal_features": M.multimodal_features,
+    "dup_clusters": D.dup_clusters,
+    "stratified_sample": SAMP.stratified_sample,
+    "doc_chunking": TA.doc_chunking,
+    "pii_scrub": TA.pii_scrub,
 }
 
 
@@ -420,6 +459,10 @@ LLM_ORACLES: dict[str, str] = {
     "multimodal_resize": LSQL.MULTIMODAL_RESIZE,
     "multimodal_frame_sample": LSQL.MULTIMODAL_FRAME_SAMPLE,
     "multimodal_features": LSQL.MULTIMODAL_FEATURES,
+    "dup_clusters": LSQL.DUP_CLUSTERS,
+    "stratified_sample": LSQL.STRATIFIED_SAMPLE,
+    "doc_chunking": LSQL.DOC_CHUNKING,
+    "pii_scrub": LSQL.PII_SCRUB,
 }
 
 
@@ -431,6 +474,9 @@ _CHANGED_THIS_ROUND = (
     "q12_priority_shipping", "q10_returned_items",
     "q7_nation_trade", "q8_market_share", "q15_top_supplier",
     "q17_small_quantity",
+    # NEW in round 3:
+    "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
+    "q16_supplier_part_counts", "q20_bulk_suppliers", "q21_waiting_suppliers",
 )
 
 
@@ -446,6 +492,7 @@ def all_queries() -> dict[str, QueryFn]:
     registry: dict[str, QueryFn] = {}
     registry.update(LLM_QUERIES)
     registry["events_hourly"] = _q_events_hourly
+    registry["events_sliding"] = _q_events_sliding
     for name in _CHANGED_THIS_ROUND:
         registry[name] = RELATIONAL_QUERIES[name]
     registry.update(GRAPH_QUERIES)
@@ -457,6 +504,7 @@ def all_oracles() -> dict[str, str]:
     oracles: dict[str, str] = {}
     oracles.update(LLM_ORACLES)
     oracles["events_hourly"] = EVENTS_HOURLY_SQL
+    oracles["events_sliding"] = EVENTS_SLIDING_SQL
     for name in _CHANGED_THIS_ROUND:
         oracles[name] = RELATIONAL_ORACLES[name]
     oracles.update(GRAPH_ORACLES)

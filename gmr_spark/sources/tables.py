@@ -1,12 +1,17 @@
 """Parquet loaders for the driver's synthetic tables (TESTDATA.md).
 
-The driver's parquet stores timestamps as INT64 TIMESTAMP(NANOS), which
-Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL). We read nanos as LONG
-(``spark.sql.legacy.parquet.nanosAsLong``, runtime-settable) and rebuild a
-proper TimestampType via integer division to microseconds — lossless here
-(the data carries no sub-microsecond components; verified at load would cost
-a scan, so it is asserted in tests instead). DuckDB reads the same files as
-TIMESTAMP_NS natively, so both engines see identical instants.
+The driver's parquet stores timestamps as INT64 TIMESTAMP(NANOS). Spark's
+handling of that physical type has changed across 4.x: 4.0 rejects it
+outright unless ``spark.sql.legacy.parquet.nanosAsLong`` is set (then it
+reads as LONG nanos), while 4.1+ reads it natively as TIMESTAMP_NTZ
+(micros truncation — lossless here, the data carries no sub-microsecond
+components; asserted in tests rather than verified at load, which would
+cost a scan). ``_load_one`` normalizes BOTH representations to the
+session-TZ TimestampType the rest of the engine (and the r1/r2-green
+driver parity baseline) was built against: LONG → ``timestamp_micros(ns
+div 1000)``; NTZ → plain cast (session TZ is pinned to UTC in
+``get_session``, so the instant is unchanged). DuckDB reads the same files
+as TIMESTAMP_NS natively, so both engines see identical instants.
 """
 
 from __future__ import annotations
@@ -38,8 +43,11 @@ _NANO_TS_COLUMNS = {
 def _load_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANO_TS_COLUMNS.get(name, ()):
-        if isinstance(df.schema[c].dataType, T.LongType):
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.LongType):  # Spark 4.0 + nanosAsLong
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
+        elif isinstance(dt, T.TimestampNTZType):  # Spark 4.1+ native read
+            df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     return df
 
 

@@ -10,23 +10,17 @@ asserts the emitted key set equals the batch distinct.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession, functions as F
+from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from gmr_spark.streaming.windowed import EVENTS_STREAM_SCHEMA
+from gmr_spark.streaming.windowed import read_events_stream
 
 
 def start_events_dedup_stream(spark: SparkSession, sf_dir: str,
                               query_name: str = "events_dedup_stream") -> StreamingQuery:
     """File-source stream → watermarked dedup on (user_id, event_type) →
     memory sink holding one row per emitted key."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    events = read_events_stream(spark, sf_dir)
     deduped = (
         events.withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from gmr_spark.streaming.windowed import EVENTS_STREAM_SCHEMA
+from gmr_spark.streaming.windowed import read_events_stream
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint"
 STATE_SCHEMA = "cnt bigint"
@@ -36,12 +36,7 @@ def _make_count_fn():
 def start_user_running_counts(spark: SparkSession, sf_dir: str,
                               query_name: str = "user_running_counts") -> StreamingQuery:
     """File-source stream → per-user stateful running count → memory sink."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    raw = read_events_stream(spark, sf_dir)
     counted: DataFrame = raw.groupBy("user_id").applyInPandasWithState(
         _make_count_fn(),
         outputStructType=OUTPUT_SCHEMA,

@@ -7,9 +7,12 @@ streaming capabilities a modern engine owes its users, with the batch twin
 path is asserted equal to the batch path in tests, which is exactly the
 Dataset-duality guarantee Structured Streaming makes.
 
-The events parquet stores ts as TIMESTAMP(NANOS); streaming reads use an
-explicit LONG schema + timestamp_micros conversion (same trick as the batch
-loader, gmr_spark/sources/tables.py).
+The events parquet stores ts as TIMESTAMP(NANOS); Spark 4.1+ reads that
+natively as TIMESTAMP_NTZ (micros truncation — lossless for this data), so
+the stream schema declares NTZ and ``read_events_stream`` casts to the
+session-TZ TimestampType the engine standardizes on (session TZ is pinned
+UTC in get_session, so the instant is unchanged — same normalization as the
+batch loader, gmr_spark/sources/tables.py).
 """
 
 from __future__ import annotations
@@ -19,12 +22,24 @@ from pyspark.sql.streaming import StreamingQuery
 
 EVENTS_STREAM_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),  # nanos-as-long (see module docstring)
+    T.StructField("ts", T.TimestampNTZType()),  # see module docstring
     T.StructField("user_id", T.LongType()),
     T.StructField("event_type", T.StringType()),
     T.StructField("value", T.DoubleType()),
     T.StructField("props", T.StringType()),
 ])
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet with ts normalized to
+    TimestampType — the single entry point for every streaming query here.
+    (The file source requires a directory; glob-filter to the events file.)"""
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
 
 
 def _windowed_agg(events: DataFrame) -> DataFrame:
@@ -56,15 +71,49 @@ def start_events_hourly_stream(spark: SparkSession, sf_dir: str,
     """File-source streaming version of the same rollup: watermarked event
     time, complete-mode memory sink (for test/demo; production sinks swap in
     via writeStream options). One micro-batch drains the parquet file."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # the file source requires a directory; glob-filter to the events file
-    raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    events = read_events_stream(spark, sf_dir)
     agg = _windowed_agg(events.withWatermark("ts", "1 hour"))
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
+def _sliding_agg(events: DataFrame) -> DataFrame:
+    return (
+        events.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_epoch"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
+def events_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of a SLIDING-window rollup (2h windows, 1h slide): every
+    event lands in exactly two windows. Spark's ``window()`` generator
+    expands the assignment row-locally before the one groupBy shuffle — at
+    100 TB the shuffle doubles, which is the honest cost of overlapping
+    windows on any engine. (window_epoch BIGINT, event_type, n BIGINT,
+    total_value DOUBLE)."""
+    from gmr_spark.sources.tables import load_tables
+
+    return _sliding_agg(load_tables(spark, sf_dir)["events"])
+
+
+def start_events_sliding_stream(spark: SparkSession, sf_dir: str,
+                                query_name: str = "events_sliding_stream") -> StreamingQuery:
+    """Streaming version of the sliding rollup (same plan + watermark)."""
+    events = read_events_stream(spark, sf_dir)
+    agg = _sliding_agg(events.withWatermark("ts", "1 hour"))
     return (
         agg.writeStream.outputMode("complete")
         .format("memory")

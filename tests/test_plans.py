@@ -174,3 +174,33 @@ def test_asof_join_uses_partial_agg_not_window(spark):
     # contract is two phases — a map-side partial plus the post-shuffle final
     aggs = len(re.findall(r"\(\d+\) (?:Hash|Sort|ObjectHash)Aggregate", p))
     assert aggs >= 2, f"expected partial+final aggregate, got {aggs}"
+
+
+def test_pregel_big_graph_joins_never_broadcast(spark):
+    """G2-scale regression pin: a checkpointed LogicalRDD inherits its
+    ORIGIN plan's size estimate, and a generator-derived origin
+    (range → explode) undercounts by the fanout — at 4.8M V / 110M E the
+    static planner estimated the edge table broadcastable and OOM'd the
+    driver building a 5+ GB hash relation. run_pregel defeats this with
+    shuffle_hash hints on the frontier/agg sides once the counted edge or
+    vertex cardinality exceeds the broadcast-plausible bound. This pins the
+    mechanism: the hinted message join must plan as ShuffledHashJoin (build
+    side = frontier), never BroadcastHashJoin of either side."""
+    n = 2_000_000  # > run_pregel's _BIG_ROWS bound
+    edges = (
+        spark.range(n)
+        .selectExpr("id AS src", f"(id + 1) % {n} AS dst", "1.0 AS weight")
+        .localCheckpoint(eager=True)
+    )
+    frontier = (
+        spark.range(n)
+        .selectExpr("id", "CAST(0.0 AS DOUBLE) AS value", "true AS active")
+        .localCheckpoint(eager=True)
+        .filter("active")
+    )
+    f = frontier.selectExpr("id AS fid", "value AS fdist")
+    hinted = edges.join(f.hint("shuffle_hash"), edges["src"] == f["fid"])
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = hinted._jdf.queryExecution().explainString(mode)
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan

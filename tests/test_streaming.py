@@ -53,17 +53,10 @@ def test_stateful_running_counts(spark):
 def test_foreach_batch_sink(spark, tmp_path):
     import os
 
-    from gmr_spark.streaming.windowed import _windowed_agg, EVENTS_STREAM_SCHEMA
-    from pyspark.sql import functions as F
+    from gmr_spark.streaming.windowed import _windowed_agg, read_events_stream
 
     out_dir = str(tmp_path / "hourly_out")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(SF)
-    )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    events = read_events_stream(spark, SF)
     agg = _windowed_agg(events.withWatermark("ts", "1 hour"))
 
     def sink(batch_df, epoch_id):
