@@ -231,3 +231,122 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("props", "[0-9]+", "<NUM>").alias("scrubbed"),
         F.regexp_count("props", F.lit("[0-9]+")).alias("n_redactions"),
     )
+
+
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_words, top_word_frac, dup_2gram_frac, mean_word_len,
+    passes): repetition-based quality filters in the style of the Gopher
+    rules (Rae et al. 2021, public) — the standard pre-training corpus
+    hygiene pass. top_word_frac = count of the most frequent word / total
+    words; dup_2gram_frac = 1 - distinct 2-grams / total 2-grams (repetition
+    proxy); passes = all thresholds met.
+
+    Scale: two map-side-combinable aggregations keyed on doc_id (word
+    counts, 2-gram distincts), joined back — no window over the full corpus,
+    no driver collect. Ratios rounded to 6 dp on both engines."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    word_stats = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.max("c").alias("top_c"),
+        F.sum(F.length("w") * F.col("c")).alias("char_sum"),
+    )
+    sh2 = exploded_word_shingles(docs, k=2)
+    gram_stats = (
+        sh2.groupBy("doc_id", "sh").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_grams"),
+             F.count(F.lit(1)).alias("n_distinct_grams"))
+    )
+    top_frac = F.round(F.col("top_c").cast("double") / F.col("n_words"), 6)
+    dup_frac = F.coalesce(
+        F.round(F.lit(1.0) - F.col("n_distinct_grams").cast("double")
+                / F.col("n_grams"), 6),
+        F.lit(0.0),
+    )
+    mean_len = F.round(F.col("char_sum").cast("double") / F.col("n_words"), 6)
+    return (
+        word_stats.join(gram_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            top_frac.alias("top_word_frac"),
+            dup_frac.alias("dup_2gram_frac"),
+            mean_len.alias("mean_word_len"),
+            ((F.col("n_words") >= 10) & (top_frac <= 0.2)
+             & (dup_frac <= 0.6)).alias("passes"),
+        )
+    )
+
+
+CONTAM_SHINGLE_K = 5
+CONTAM_BENCH_SOURCE = "src0"
+CONTAM_THRESHOLD = 0.05
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_shingles, n_overlap, overlap_frac, contaminated):
+    benchmark-contamination scan — the fraction of each training doc's
+    distinct 5-gram shingles that also occur in a held-out benchmark set
+    (here: the source='src0' slice standing in for an eval suite). The
+    standard decontamination pass before training (public method: n-gram
+    overlap, e.g. GPT-2/3 appendix dedup methodology).
+
+    Scale: the benchmark shingle set is DISTINCT'd then broadcast (eval
+    suites are small by construction); the corpus side streams through one
+    partitioned left-semi-style count join — never all-pairs. Corpus docs
+    from the benchmark source are excluded from the scan."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    sh = (
+        exploded_word_shingles(docs, k=CONTAM_SHINGLE_K)
+        .select("doc_id", "sh").distinct()
+    )
+    bench_ids = docs.filter(F.col("source") == CONTAM_BENCH_SOURCE)
+    bench_sh = (
+        sh.join(F.broadcast(bench_ids.select("doc_id")), "doc_id", "left_semi")
+        .select("sh").distinct()
+    )
+    train_sh = sh.join(
+        F.broadcast(bench_ids.select("doc_id")), "doc_id", "left_anti"
+    )
+    hits = (
+        train_sh.join(F.broadcast(bench_sh.withColumn("_hit", F.lit(1))),
+                      "sh", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"),
+             F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_overlap"))
+    )
+    frac = F.round(F.col("n_overlap").cast("double") / F.col("n_shingles"), 6)
+    return hits.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        frac.alias("overlap_frac"),
+        (frac >= CONTAM_THRESHOLD).alias("contaminated"),
+    )
+
+
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, lo, n_docs, avg_words): power-of-two histogram of per-doc
+    word counts — the sequence-length planning view every training pipeline
+    derives before choosing context length / packing strategy. bucket =
+    floor(log2(n_words)) computed EXACTLY on both engines as
+    length(bin(n)) - 1 (no float log); lo = 2^bucket."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    n_words = F.size(tokens(F.col("text")))
+    bucket = (F.length(F.bin(n_words.cast("long"))) - 1).cast("int")
+    return (
+        docs.select(n_words.alias("nw"), bucket.alias("bucket"))
+        .filter(F.col("nw") > 0)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.col("nw").cast("double")), 6).alias("avg_words"),
+        )
+        .select(
+            "bucket",
+            F.expr("shiftleft(CAST(1 AS BIGINT), bucket)").alias("lo"),
+            "n_docs", "avg_words",
+        )
+    )

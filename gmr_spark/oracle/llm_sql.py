@@ -537,3 +537,85 @@ SELECT event_id,
        CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS n_redactions
 FROM events
 """
+
+
+GOPHER_QUALITY = f"""
+WITH toks AS MATERIALIZED (
+    SELECT doc_id, {_TOKS} AS t FROM documents
+),
+words AS MATERIALIZED (
+    SELECT doc_id, unnest(t) AS w FROM toks
+),
+wc AS (
+    SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+),
+word_stats AS (
+    SELECT doc_id, SUM(c) AS n_words, MAX(c) AS top_c,
+           SUM(length(w) * c) AS char_sum
+    FROM wc GROUP BY doc_id
+),
+grams AS MATERIALIZED (
+    SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                           for i in generate_series(1, len(t) - 1)]) AS sh
+    FROM toks WHERE len(t) >= 2
+),
+gram_stats AS (
+    SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT sh) AS n_distinct_grams
+    FROM grams GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(w.n_words AS BIGINT) AS n_words,
+       ROUND(CAST(w.top_c AS DOUBLE) / w.n_words, 6) AS top_word_frac,
+       COALESCE(ROUND(1.0 - CAST(g.n_distinct_grams AS DOUBLE) / g.n_grams, 6),
+                0.0) AS dup_2gram_frac,
+       ROUND(CAST(w.char_sum AS DOUBLE) / w.n_words, 6) AS mean_word_len,
+       (w.n_words >= 10
+        AND ROUND(CAST(w.top_c AS DOUBLE) / w.n_words, 6) <= 0.2
+        AND COALESCE(ROUND(1.0 - CAST(g.n_distinct_grams AS DOUBLE)
+                           / g.n_grams, 6), 0.0) <= 0.6) AS passes
+FROM word_stats w LEFT JOIN gram_stats g ON w.doc_id = g.doc_id
+"""
+
+CONTAMINATION_CHECK = f"""
+WITH toks AS MATERIALIZED (
+    SELECT doc_id, {_TOKS} AS t FROM documents
+),
+sh5 AS MATERIALIZED (
+    SELECT DISTINCT doc_id,
+           unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                   || ' ' || t[i+4]
+                   for i in generate_series(1, len(t) - 4)]) AS sh
+    FROM toks WHERE len(t) >= 5
+),
+bench_ids AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+bench_sh AS MATERIALIZED (
+    SELECT DISTINCT sh FROM sh5 WHERE doc_id IN (SELECT doc_id FROM bench_ids)
+),
+hits AS (
+    SELECT s.doc_id,
+           COUNT(*) AS n_shingles,
+           SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+    FROM sh5 s LEFT JOIN bench_sh b ON s.sh = b.sh
+    WHERE s.doc_id NOT IN (SELECT doc_id FROM bench_ids)
+    GROUP BY s.doc_id
+)
+SELECT doc_id,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_overlap AS BIGINT) AS n_overlap,
+       ROUND(CAST(n_overlap AS DOUBLE) / n_shingles, 6) AS overlap_frac,
+       ROUND(CAST(n_overlap AS DOUBLE) / n_shingles, 6) >= 0.05 AS contaminated
+FROM hits
+"""
+
+TOKEN_LENGTH_HISTOGRAM = f"""
+WITH toks AS (
+    SELECT len({_TOKS}) AS nw FROM documents
+)
+SELECT CAST(length(bin(nw)) - 1 AS INTEGER) AS bucket,
+       CAST(1 << (length(bin(nw)) - 1) AS BIGINT) AS lo,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(CAST(nw AS DOUBLE)), 6) AS avg_words
+FROM toks
+WHERE nw > 0
+GROUP BY 1, 2
+"""

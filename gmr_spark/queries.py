@@ -243,10 +243,13 @@ GRAPH_QUERIES: dict[str, QueryFn] = {
     "pagerank_big": _q_pagerank_big,
     "pagerank_hub": _q_pagerank_hub,
     "cc_cs": _q_cc_cs,
+    # scc changed this round (Observation census) — keep it inside the
+    # driver's 50-row window; lpa/triangles/degrees are unchanged since
+    # their green r2 rows and can sit beyond it
+    "scc_nation_ring": _q_scc_nation_ring,
     "label_propagation_geo": _q_label_propagation_geo,
     "triangles_ring": _q_triangles_ring,
     "degrees_cs": _q_degrees_cs,
-    "scc_nation_ring": _q_scc_nation_ring,
     "matmul_nation_ring": _q_matmul_nation_ring,
     "mst_nation_mesh": _q_mst_nation_mesh,
     "collect_neighbors_ring": _q_collect_neighbors,
@@ -420,6 +423,9 @@ LLM_QUERIES: dict[str, QueryFn] = {
     "stratified_sample": SAMP.stratified_sample,
     "doc_chunking": TA.doc_chunking,
     "pii_scrub": TA.pii_scrub,
+    "gopher_quality": TA.gopher_quality,
+    "contamination_check": TA.contamination_check,
+    "token_length_histogram": TA.token_length_histogram,
 }
 
 
@@ -463,6 +469,9 @@ LLM_ORACLES: dict[str, str] = {
     "stratified_sample": LSQL.STRATIFIED_SAMPLE,
     "doc_chunking": LSQL.DOC_CHUNKING,
     "pii_scrub": LSQL.PII_SCRUB,
+    "gopher_quality": LSQL.GOPHER_QUALITY,
+    "contamination_check": LSQL.CONTAMINATION_CHECK,
+    "token_length_histogram": LSQL.TOKEN_LENGTH_HISTOGRAM,
 }
 
 

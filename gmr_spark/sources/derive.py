@@ -170,6 +170,88 @@ def vertices_sql(name: str) -> str:
     return VERTICES_SQL_TEMPLATE.format(edges=GRAPH_SQL[name])
 
 
+def _lineitem_base(spark: SparkSession):
+    """Distributed twin of the shared-SQL ``base`` CTE: (rid, n) where rid is
+    ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 and n the table
+    count. The SQL form runs verbatim in DuckDB (single node — fine) but in
+    Spark an unpartitioned window funnels the whole table through ONE
+    partition (the r1 scale-killer pattern; WindowExec warns). This builds
+    the identical rid via the sample-sort shape ``global_sort_rank`` uses:
+    range-shuffle on the (unique) sort key, rank within each range partition
+    in parallel, add per-partition offsets (one row per partition). Same
+    total order, fully parallel at any scale."""
+    from pyspark.sql import Window as W
+
+    li = spark.table("lineitem").select("l_orderkey", "l_linenumber")
+    n_parts = spark.sparkContext.defaultParallelism
+    tagged = li.repartitionByRange(n_parts, "l_orderkey", "l_linenumber") \
+        .withColumn("_pid", F.spark_partition_id())
+    w_local = W.partitionBy("_pid").orderBy("l_orderkey", "l_linenumber")
+    local = tagged.withColumn("_rn", F.row_number().over(w_local))
+    offsets = (
+        local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("_n", F.sum("_cnt").over(
+            W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+        .select("_pid", "_offset", "_n")
+    )
+    return local.join(F.broadcast(offsets), "_pid").select(
+        (F.col("_rn") + F.col("_offset") - 1).cast("bigint").alias("rid"),
+        F.col("_n").cast("bigint").alias("n"),
+    )
+
+
+def _build_linked_lineitems(spark: SparkSession):
+    base = _lineitem_base(spark)
+    w = F.lit(1.0).cast("double").alias("weight")
+    ring = base.select(F.col("rid").alias("src"),
+                       ((F.col("rid") + 1) % F.col("n")).alias("dst"), w)
+    chord = base.select(F.col("rid").alias("src"),
+                        ((F.lit(2) * F.col("rid") + 1) % F.col("n")).alias("dst"), w)
+    return ring.unionAll(chord)
+
+
+def _build_hub(spark: SparkSession):
+    base = _lineitem_base(spark)
+    hub = (
+        F.when(F.col("rid") % 2 == 0, 0)
+        .when(F.col("rid") % 4 == 1, 1)
+        .when(F.col("rid") % 8 == 3, 2)
+        .when(F.col("rid") % 16 == 7, 3)
+        .when(F.col("rid") % 32 == 15, 4)
+        .otherwise(5)
+    )
+    spokes = base.select("rid", "n", hub.alias("hub"))
+    w = F.lit(1.0).cast("double").alias("weight")
+    to_hub = spokes.select((F.lit(1000) + F.col("rid")).alias("src"),
+                           F.col("hub").cast("bigint").alias("dst"), w)
+    ring = spokes.select((F.lit(1000) + F.col("rid")).alias("src"),
+                         (F.lit(1000) + (F.col("rid") + 1) % F.col("n")).alias("dst"), w)
+    fan_out = (
+        spokes.filter(F.col("rid") % 97 == F.col("hub"))
+        .select(F.col("hub").cast("bigint").alias("src"),
+                (F.lit(1000) + F.col("rid")).alias("dst"), w)
+    )
+    return to_hub.unionAll(ring).unionAll(fan_out)
+
+
+# Spark-side builders for derivations whose shared SQL contains an
+# unpartitioned global window. DuckDB still runs GRAPH_SQL verbatim — the
+# oracle-parity gate proves these produce identical graphs.
+_SPARK_BUILDERS = {
+    "linked_lineitems": _build_linked_lineitems,
+    "hub": _build_hub,
+}
+
+
 def derive_graph(spark: SparkSession, sf_dir: str, name: str,
                  num_partitions: int | None = None,
                  materialize: bool = False) -> PropertyGraph:
@@ -180,11 +262,14 @@ def derive_graph(spark: SparkSession, sf_dir: str, name: str,
     checkpoints on its own).
 
     Edges are always hash-partitioned by ``src`` (defaultParallelism unless
-    overridden): several derivations end in a global window (ROW_NUMBER over
-    the whole table) whose output is a single partition — without the
-    repartition every downstream join would run single-threaded."""
+    overridden). Derivations whose shared SQL contains an unpartitioned
+    global window (linked_lineitems, hub) use a distributed Spark-side
+    builder instead of running the SQL verbatim (see ``_lineitem_base``);
+    the oracle still runs GRAPH_SQL in DuckDB and the parity gate proves the
+    graphs identical."""
     register_views(spark, sf_dir)
-    edges = spark.sql(GRAPH_SQL[name])
+    builder = _SPARK_BUILDERS.get(name)
+    edges = builder(spark) if builder else spark.sql(GRAPH_SQL[name])
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
     g = PropertyGraph.from_edges(edges, num_partitions=num_partitions)

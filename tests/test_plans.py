@@ -204,3 +204,31 @@ def test_pregel_big_graph_joins_never_broadcast(spark):
     plan = hinted._jdf.queryExecution().explainString(mode)
     assert "BroadcastHashJoin" not in plan, plan
     assert "ShuffledHashJoin" in plan, plan
+
+
+def test_big_graph_derivations_have_no_global_window(spark):
+    """The linked_lineitems/hub fixtures assign a global contiguous rid.
+    The shared-SQL form (ROW_NUMBER over the whole table, fine in
+    single-node DuckDB) would funnel all of lineitem through ONE Spark
+    partition; derive_graph substitutes the distributed two-phase rank
+    (_lineitem_base: range-shuffle + per-partition row_number + offset
+    join, the global_sort_rank shape). Pin: every full-data Window node
+    carries a partitionBy; only the O(#partitions) offset table may use an
+    unpartitioned window."""
+    from gmr_spark.sources.derive import _SPARK_BUILDERS
+    from gmr_spark.sources.tables import register_views
+
+    register_views(spark, SF)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    for name, builder in _SPARK_BUILDERS.items():
+        p = builder(spark)._jdf.queryExecution().explainString(mode)
+        # formatted explain details: "Arguments: [row_number() ... ], [l_orderkey ASC" etc.
+        for m in re.finditer(r"\(\d+\) Window\n", p):
+            detail = p[m.end():m.end() + 400]
+            # the offset-table windows aggregate one row per partition and
+            # may be global; the full-data row_number window must lead its
+            # windowspecdefinition with the _pid partition column
+            assert re.search(r"windowspecdefinition\(_pid#\d+,", detail) or \
+                "row_number" not in detail, \
+                f"{name}: unpartitioned full-data window:\n{detail}"
