@@ -69,6 +69,9 @@ HEADLINE = [
     "events_sliding",
     "q9_product_profit",
     "q21_waiting_suppliers",
+    "gopher_quality",
+    "contamination_check",
+    "sequence_packing",
 ]
 
 

@@ -261,3 +261,23 @@ def dup_clusters(spark: SparkSession, sf_dir: str, *, min_jaccard: float = 0.1) 
         F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"),
         "cluster_size",
     )
+
+
+def dedup_survivors(spark: SparkSession, sf_dir: str, *, min_jaccard: float = 0.1) -> DataFrame:
+    """(doc_id, lang, source, n_chars): the corpus AFTER near-dup removal —
+    the materialization step every dedup pipeline ends with. Keep rule:
+    a doc survives iff it is not in any near-dup cluster, or it is its
+    cluster's canonical representative (the smallest doc_id — exactly the
+    ``dup_clusters`` label, so the rule is one anti-join on
+    cluster members minus representatives).
+
+    Scale: the retire list is |cluster members| - |clusters| rows — tiny
+    against the corpus — and broadcasts; the corpus side is a narrow scan +
+    broadcast anti-join, no shuffle of the full data."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    clusters = dup_clusters(spark, sf_dir, min_jaccard=min_jaccard)
+    retired = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return (
+        docs.join(F.broadcast(retired), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    )

@@ -784,11 +784,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated-scalar-subquery pattern ``cost = (SELECT MIN ...)``.
 
     Plan: one shuffle on (partkey, suppkey) for the offer rollup; the
-    per-part minimum re-aggregates the rollup (map-side combinable); the
-    winner join is an equi-join on (partkey, unit_cost) — no window, no
-    global sort. Dims (part/supplier/nation) broadcast. Determinism: unit
-    price is a double division, IEEE-identical on both engines, and MIN
-    picks an exact value of it; ties on cost are broken by MIN(suppkey)."""
+    per-part minimum is a WINDOW over the rollup partitioned by partkey
+    (one more shuffle, partition-bounded) and the winner agg reuses that
+    partitioning — no rollup⋈rollup self-join (the first-cut plan paid a
+    SortMergeJoin plus two extra exchanges for the same result). Dims
+    (part/supplier/nation) broadcast. Determinism: unit price is a double
+    division, IEEE-identical on both engines, and MIN picks an exact value
+    of it; ties on cost are broken by MIN(suppkey)."""
     t = load_tables(spark, sf_dir)
     parts = t["part"].filter((F.col("p_type") == "SMALL") & (F.col("p_size") >= 40))
     offers = (
@@ -798,9 +800,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
-    best = offers.groupBy("l_partkey").agg(F.min("unit_cost").alias("best_cost"))
+    w_part = W.partitionBy("l_partkey")
     winner = (
-        offers.join(best, ["l_partkey"])
+        offers.withColumn("best_cost", F.min("unit_cost").over(w_part))
         .filter(F.col("unit_cost") == F.col("best_cost"))
         .groupBy("l_partkey")
         .agg(F.min("l_suppkey").alias("s_suppkey"), F.min("unit_cost").alias("best_cost"))
@@ -903,9 +905,11 @@ def q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape adapted (availqty threshold proxied as volume share):
     suppliers in EUROPE-region nations that shipped more than 15% of some
     '%red%' part's total volume — the nested correlated-threshold semi-join.
-    Plan: one shuffle on (suppkey, partkey) for pair volumes; per-part
-    totals re-aggregate that rollup; the threshold compare is
-    double-on-both-engines; the supplier projection is a semi-join."""
+    Plan: one shuffle on (suppkey, partkey) for pair volumes; the per-part
+    total is a WINDOW over the rollup partitioned by partkey (not a
+    rollup⋈rollup self-join — saves a SortMergeJoin and two exchanges);
+    the threshold compare is double-on-both-engines; the supplier
+    projection is a semi-join."""
     t = load_tables(spark, sf_dir)
     parts = t["part"].filter(F.col("p_name").like("%red%")).select("p_partkey")
     pair_vol = (
@@ -914,16 +918,20 @@ def q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(_dec("l_quantity", 2, 12)).alias("sq"))
     )
-    part_tot = pair_vol.groupBy("l_partkey").agg(F.sum("sq").alias("tot"))
     dominant = (
-        pair_vol.join(part_tot, "l_partkey")
+        pair_vol
+        .withColumn("tot", F.sum("sq").over(W.partitionBy("l_partkey")))
         .filter(F.col("sq").cast("double") > F.col("tot").cast("double") * F.lit(0.15))
         .select("l_suppkey")
         .distinct()
     )
     return (
         t["supplier"]
-        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        # dominant is DISTINCT supplier keys — bounded by |supplier|, so the
+        # semi-join build side broadcasts (static stats can't see through
+        # the distinct; without the hint this planned as a SortMergeJoin)
+        .join(F.broadcast(dominant), F.col("s_suppkey") == F.col("l_suppkey"),
+              "left_semi")
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
               F.col("n_regionkey") == F.col("r_regionkey"), "left_semi")

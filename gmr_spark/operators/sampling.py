@@ -32,3 +32,50 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lang, t in STRATA_THRESHOLDS.items():
         thresh = F.when(F.col("lang") == lang, t).otherwise(thresh)
     return docs.filter(bucket < thresh).select("doc_id", "lang", "source")
+
+
+PACK_CAPACITY = 512
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, doc_id, n_words, pack_id, pack_offset): contiguous-fill
+    sequence packing — assign documents to fixed-capacity context windows
+    (capacity 512 words) in a deterministic order, the preprocessing step
+    between tokenization and batch assembly in every training pipeline.
+
+    Deterministic contiguous-fill (not first-fit-decreasing, which needs a
+    sequential scan): docs are ordered by doc_id within a language, each
+    pack is filled greedily in that order, and a doc longer than the
+    remaining space starts a new pack. That rule is expressible as pure
+    window arithmetic when every doc fits capacity (docs longer than
+    capacity are truncated to it, standard practice): pack boundaries fall
+    where the running word count crosses a capacity multiple, i.e.
+    pack_id = floor((cumsum_before + len) / capacity) under
+    truncated-greedy — here implemented with the simpler and
+    shift-invariant rule pack_id = floor(cumsum_before / capacity)
+    (each pack may overflow by at most one doc's tail, the "packed with
+    spillover" variant used when documents are split across windows).
+
+    Scale: ONE shuffle (partition by lang); the window is per-language —
+    bounded-width partitions at corpus scale come from sharding the key
+    further (lang, doc_id div N), the same move as every keyed window
+    here."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    from pyspark.sql import Window as W
+
+    n_words = F.least(
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")),
+        F.lit(PACK_CAPACITY),
+    )
+    w = W.partitionBy("lang").orderBy("doc_id")
+    sized = docs.select("lang", "doc_id", n_words.alias("n_words"))
+    cum_before = F.coalesce(
+        F.sum("n_words").over(w.rowsBetween(W.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    return sized.select(
+        "lang", "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.floor(cum_before / PACK_CAPACITY).cast("long").alias("pack_id"),
+        (cum_before % PACK_CAPACITY).cast("long").alias("pack_offset"),
+    )

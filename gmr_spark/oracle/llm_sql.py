@@ -475,7 +475,7 @@ FROM documents
 """
 
 
-DUP_CLUSTERS = f"""
+_DUP_CTES = f"""
 WITH RECURSIVE {_SHINGLED.strip()},
 {_SIGS.strip()},
 inter AS MATERIALIZED (
@@ -504,10 +504,18 @@ reach(doc, peer) AS (
 ),
 comp AS (
     SELECT doc AS doc_id, MIN(peer) AS cluster_id FROM reach GROUP BY doc
-)
+)"""
+
+DUP_CLUSTERS = _DUP_CTES + """
 SELECT doc_id, cluster_id,
        COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
 FROM comp
+"""
+
+DEDUP_SURVIVORS = _DUP_CTES + """
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
 """
 
 STRATIFIED_SAMPLE = """
@@ -618,4 +626,25 @@ SELECT CAST(length(bin(nw)) - 1 AS INTEGER) AS bucket,
 FROM toks
 WHERE nw > 0
 GROUP BY 1, 2
+"""
+
+
+SEQUENCE_PACKING = f"""
+WITH sized AS (
+    SELECT lang, doc_id,
+           LEAST(len({_TOKS}), 512) AS n_words
+    FROM documents
+),
+c AS (
+    SELECT lang, doc_id, n_words,
+           COALESCE(SUM(n_words) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM sized
+)
+SELECT lang, doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(cb // 512 AS BIGINT) AS pack_id,
+       CAST(cb % 512 AS BIGINT) AS pack_offset
+FROM c
 """

@@ -308,3 +308,29 @@ def matmul_sql(graph: str) -> str:
 SELECT x.src AS i, y.dst AS j, CAST(SUM(x.weight * y.weight) AS DOUBLE) AS v
 FROM edges x JOIN edges y ON x.dst = y.src
 GROUP BY x.src, y.dst"""
+
+
+def bfs_census_sql(graph: str, source: int | str, k: int,
+                   *, undirected: bool = False) -> str:
+    """Per-superstep active-vertex census for frontier BFS (O20 metrics
+    twin). After superstep s, the active set is exactly the vertices first
+    reached at level s (unit weights: BFS levels are final), so the census
+    sequence is |level 1|, |level 2|, …, |level D|, 0 — the trailing zero is
+    the convergence superstep the engine records before stopping."""
+    bfs = bfs_sql(graph, source, k, undirected=undirected)
+    return f"""
+WITH counts AS (
+    SELECT CAST(level AS BIGINT) AS lvl, COUNT(*) AS c
+    FROM ({bfs}) b
+    WHERE level IS NOT NULL AND level > 0
+    GROUP BY 1
+),
+mx AS (SELECT COALESCE(MAX(lvl), 0) AS m FROM counts),
+steps AS (
+    SELECT unnest(generate_series(1, (SELECT CAST(m + 1 AS INTEGER) FROM mx)))
+        AS superstep
+)
+SELECT CAST(s.superstep AS INTEGER) AS superstep,
+       CAST(COALESCE(c.c, 0) AS BIGINT) AS n_active
+FROM steps s LEFT JOIN counts c ON c.lvl = s.superstep
+"""

@@ -198,6 +198,7 @@ def run_pregel(
 
         iterations = i + 1
         at_checkpoint = (iterations % checkpoint_interval == 0) or iterations == max_iter
+        n_active: int | None = None
         if at_checkpoint:
             obs: Observation | None = None
             if early_stop:
@@ -208,11 +209,17 @@ def run_pregel(
             new_vertices = new_vertices.localCheckpoint(eager=True)
             _drop_checkpoint_blocks(prev_state)
             prev_state = new_vertices
-            if obs is not None and (obs.get["n_active"] or 0) == 0:
-                converged = True
+            if obs is not None:
+                # deterministic census (the reference's Allgather payload,
+                # igmr.cpp:139-152) — free: it rode the checkpoint job
+                n_active = int(obs.get["n_active"] or 0)
+                if n_active == 0:
+                    converged = True
         vertices = new_vertices
         if collect_metrics:
-            metrics.append({"superstep": iterations, "wall_s": time.perf_counter() - t0})
+            metrics.append({"superstep": iterations,
+                            "wall_s": time.perf_counter() - t0,
+                            "n_active": n_active})
         if converged:
             break
 

@@ -24,6 +24,7 @@ from gmr_spark.algorithms import (
     triangle_count,
 )
 from gmr_spark.oracle import (
+    bfs_census_sql,
     bfs_sql,
     cc_sql,
     degrees_sql,
@@ -68,6 +69,24 @@ _MIN_VERTEX = "(SELECT MIN(id) FROM vertices)"
 def _q_bfs_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = derive_graph(spark, sf_dir, "geo", materialize=True)
     return bfs(g, source=0, max_iter=K_BFS_GEO)
+
+
+def _q_pregel_census_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(superstep, n_active): the per-superstep Observation census for BFS
+    on geo — the O20 metrics surface as a declared, oracle-checked query
+    (the reference's per-superstep Allgather payload, igmr.cpp:139-152).
+    Deterministic: after superstep s the active set is exactly the vertices
+    first reached at level s; the trailing zero row is the convergence
+    superstep. The createDataFrame is #supersteps rows — bounded by graph
+    diameter, never data size."""
+    from gmr_spark.algorithms.sssp import _SSSPProgram
+    from gmr_spark.plans.pregel import run_pregel
+
+    g = derive_graph(spark, sf_dir, "geo", materialize=True)
+    res = run_pregel(g, _SSSPProgram(0, weighted=False), max_iter=K_BFS_GEO,
+                     checkpoint_interval=1, collect_metrics=True)
+    rows = [(m["superstep"], m["n_active"]) for m in res.metrics]
+    return spark.createDataFrame(rows, "superstep int, n_active long")
 
 
 def _q_sssp_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,6 +256,7 @@ def _graph_file_bfs_sql() -> str:
 GRAPH_QUERIES: dict[str, QueryFn] = {
     "kmeans_embeddings": _q_kmeans,
     "bfs_geo": _q_bfs_geo,
+    "pregel_census_bfs": _q_pregel_census_bfs,
     "sssp_cs": _q_sssp_cs,
     "sssp_cs_weighted": _q_sssp_cs_weighted,
     "pagerank_geo": _q_pagerank_geo,
@@ -260,6 +280,7 @@ GRAPH_QUERIES: dict[str, QueryFn] = {
 GRAPH_ORACLES: dict[str, str] = {
     "kmeans_embeddings": kmeans_sql(k=8, iters=2),
     "bfs_geo": bfs_sql("geo", 0, K_BFS_GEO),
+    "pregel_census_bfs": bfs_census_sql("geo", 0, K_BFS_GEO),
     "sssp_cs": sssp_sql("cs", _MIN_VERTEX, K_SSSP_CS, undirected=True),
     "sssp_cs_weighted": sssp_sql("cs_weighted", _MIN_VERTEX, K_SSSP_CS_WEIGHTED,
                                  undirected=True),
@@ -426,6 +447,8 @@ LLM_QUERIES: dict[str, QueryFn] = {
     "gopher_quality": TA.gopher_quality,
     "contamination_check": TA.contamination_check,
     "token_length_histogram": TA.token_length_histogram,
+    "dedup_survivors": D.dedup_survivors,
+    "sequence_packing": SAMP.sequence_packing,
 }
 
 
@@ -472,6 +495,8 @@ LLM_ORACLES: dict[str, str] = {
     "gopher_quality": LSQL.GOPHER_QUALITY,
     "contamination_check": LSQL.CONTAMINATION_CHECK,
     "token_length_histogram": LSQL.TOKEN_LENGTH_HISTOGRAM,
+    "dedup_survivors": LSQL.DEDUP_SURVIVORS,
+    "sequence_packing": LSQL.SEQUENCE_PACKING,
 }
 
 

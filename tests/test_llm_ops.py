@@ -119,3 +119,68 @@ def test_word_shingles_short_and_empty_docs(spark):
         "doc_id", word_shingles(tokens(F.col("text"))).alias("sh")).collect()}
     assert got[1] == [] and got[2] == [] and got[4] == []
     assert got[3] == ["x y z"]
+
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def test_sequence_packing_invariants(spark):
+    """pack_offset < capacity always; within a language, packs are
+    contiguous from 0 and offsets advance by the previous doc's (truncated)
+    length; no doc exceeds capacity."""
+    from gmr_spark.operators.sampling import PACK_CAPACITY, sequence_packing
+
+    rows = sequence_packing(spark, SF001).orderBy("lang", "doc_id").collect()
+    assert rows
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        assert rs[0].pack_id == 0 and rs[0].pack_offset == 0
+        cum = 0
+        for r in rs:
+            assert 0 < r.n_words <= PACK_CAPACITY
+            assert 0 <= r.pack_offset < PACK_CAPACITY
+            assert r.pack_id == cum // PACK_CAPACITY
+            assert r.pack_offset == cum % PACK_CAPACITY
+            cum += r.n_words
+        assert {r.pack_id for r in rs} == set(range(rs[-1].pack_id + 1)), \
+            f"{lang}: pack ids must be contiguous"
+
+
+def test_contamination_excludes_benchmark_docs(spark):
+    """Benchmark-source docs never appear in the scan output, and any doc
+    sharing no 5-gram with the benchmark slice scores 0."""
+    from gmr_spark.operators.text_analysis import (
+        CONTAM_BENCH_SOURCE, contamination_check)
+    from gmr_spark.sources.tables import load_tables
+    from pyspark.sql import functions as F
+
+    out = contamination_check(spark, SF001)
+    docs = load_tables(spark, SF001)["documents"]
+    bench = {r.doc_id for r in
+             docs.filter(F.col("source") == CONTAM_BENCH_SOURCE)
+             .select("doc_id").collect()}
+    got = out.collect()
+    assert got and bench
+    assert not ({r.doc_id for r in got} & bench)
+    for r in got:
+        assert 0 <= r.n_overlap <= r.n_shingles
+        assert r.contaminated == (round(r.n_overlap / r.n_shingles, 6) >= 0.05)
+
+
+def test_dedup_survivors_keep_rule(spark):
+    """survivors = all docs minus (cluster members that are not their
+    cluster's min-id representative); every cluster keeps exactly one."""
+    from gmr_spark.operators.dedup import dedup_survivors, dup_clusters
+    from gmr_spark.sources.tables import load_tables
+
+    clusters = dup_clusters(spark, SF001).collect()
+    survivors = {r.doc_id for r in dedup_survivors(spark, SF001).collect()}
+    n_docs = load_tables(spark, SF001)["documents"].count()
+    retired = {r.doc_id for r in clusters if r.doc_id != r.cluster_id}
+    assert survivors == (
+        {r.doc_id for r in clusters if r.doc_id == r.cluster_id}
+        | (set(range(n_docs)) - {r.doc_id for r in clusters})
+    )
+    assert len(survivors) == n_docs - len(retired)
