@@ -58,13 +58,22 @@ class PropertyGraph:
         Dedups FULL (src, dst, weight) rows — matching the oracle's UNION
         closure. Deduping on (src, dst) alone would keep an arbitrary
         (nondeterministic) weight when parallel edges carry different
-        weights."""
+        weights.
+
+        The closure is re-partitioned by ``src`` at the input's partition
+        count: distinct()'s exchange hashes on all three columns at
+        spark.sql.shuffle.partitions, which would otherwise both destroy
+        the co-partitioning every superstep's message join reuses and
+        override the |E|-proportional sizing picked at derivation
+        (one-time cost here vs a per-superstep edge shuffle in the loop)."""
         rev = self.edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
         )
+        n_parts = self.edges.rdd.getNumPartitions()
         return PropertyGraph(
             vertices=self.vertices,
-            edges=self.edges.unionByName(rev).distinct(),
+            edges=(self.edges.unionByName(rev).distinct()
+                   .repartition(n_parts, "src")),
         )
 
     def reverse(self) -> "PropertyGraph":
