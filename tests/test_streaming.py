@@ -95,3 +95,43 @@ def test_streaming_dedup_equals_batch_distinct(spark):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_transform_with_state_totals_equals_batch(spark):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API) running
+    per-user totals must equal the batch groupBy on the same file. Skips
+    where the API's protobuf dependency is absent (this container) — the
+    applyInPandasWithState duality test above still covers the stateful
+    capability."""
+    import pytest
+
+    from gmr_spark.streaming.stateful import start_user_value_totals, tws_available
+
+    if not tws_available():
+        pytest.skip("google.protobuf absent: transformWithStateInPandas unusable")
+    q = start_user_value_totals(spark, SF, query_name="t_user_totals")
+    try:
+        q.processAllAvailable()
+        got = {
+            r.user_id: (r.total_value, r.n_events)
+            for r in spark.sql(
+                "SELECT user_id, MAX(total_value) AS total_value,"
+                " MAX(n_events) AS n_events FROM t_user_totals GROUP BY user_id"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    from pyspark.sql import functions as F
+
+    from gmr_spark.sources.tables import load_tables
+
+    want = {
+        r.user_id: (r.tv, r.n)
+        for r in load_tables(spark, SF)["events"].groupBy("user_id")
+        .agg(F.round(F.sum("value"), 6).alias("tv"),
+             F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(got) == set(want)
+    for uid, (tv, n) in want.items():
+        gtv, gn = got[uid]
+        assert gn == n and abs(gtv - tv) < 1e-6, (uid, got[uid], (tv, n))
