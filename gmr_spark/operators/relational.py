@@ -976,3 +976,50 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+KMV_K = 64
+_KMV_NIBBLES = 13  # 16^13 = 2^52 < 2^53: every intermediate is double-exact
+
+
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k, k_eff, est_distinct, exact_distinct, rel_err): K-Minimum-Values
+    distinct-count sketch (Bar-Yossef et al. 2002, public) with a
+    DETERMINISTIC cross-engine value — unlike HLL/t-digest
+    (approx_sketch_stats, engine-specific internals), KMV is just "the k
+    smallest md5 hashes", identical on any engine: est = (k-1)/h_(k),
+    h_(k) = the k-th smallest hash mapped to (0,1].
+
+    Exactness contract: only the first 13 hex nibbles feed the estimate —
+    16^13 = 2^52 fits a double exactly, so Spark's conv(hex,16,10) and the
+    oracle's nibble expansion (digit * 2^(4j), each term exact, disjoint
+    binary ranges) produce bit-identical doubles.
+
+    Scale: the bottom-k is TakeOrderedAndProject over the distinct-hash
+    set — fully parallel, k rows cross the driver. exact_distinct is
+    included as the accuracy witness (at 100 TB you'd drop that column and
+    keep the sketch)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    hashes = ev.select(F.md5(F.col("user_id").cast("string")).alias("h")).distinct()
+    bottom = hashes.orderBy("h").limit(KMV_K)
+    kth = bottom.agg(
+        F.max("h").alias("hk"), F.count(F.lit(1)).alias("k_eff"))
+    exact = hashes.agg(F.count(F.lit(1)).alias("exact_distinct"))
+    frac = (
+        F.conv(F.substring("hk", 1, _KMV_NIBBLES), 16, 10).cast("double")
+        / F.lit(float(16 ** _KMV_NIBBLES))
+    )
+    est = F.round((F.col("k_eff") - 1).cast("double") / frac, 6)
+    return (
+        kth.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(KMV_K).cast("int").alias("k"),
+            F.col("k_eff").cast("long").alias("k_eff"),
+            est.alias("est_distinct"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            F.round(
+                F.abs(est - F.col("exact_distinct"))
+                / F.col("exact_distinct"), 6
+            ).alias("rel_err"),
+        )
+    )

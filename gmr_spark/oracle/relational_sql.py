@@ -498,3 +498,32 @@ GROUP BY s.s_suppkey, s.s_name
 ORDER BY numwait DESC, s.s_name
 LIMIT 20
 """
+
+
+KMV_SKETCH = """
+WITH hs AS MATERIALIZED (
+    SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h FROM events
+),
+bottom AS (
+    SELECT h FROM hs ORDER BY h LIMIT 64
+),
+kth AS (
+    SELECT MAX(h) AS hk, COUNT(*) AS k_eff FROM bottom
+),
+ex AS (SELECT COUNT(*) AS exact_distinct FROM hs),
+-- nibble expansion of the first 13 hex chars: digit * 2^(4j) terms are each
+-- exact in double (powers of two) and 16^13 = 2^52 < 2^53, so the sum is
+-- bit-identical to Spark's conv(hex,16,10) -> double
+val AS (
+    SELECT SUM((strpos('0123456789abcdef', substr(k.hk, i.i, 1)) - 1)
+               * POWER(16, 13 - i.i)) AS v
+    FROM kth k, (SELECT unnest(generate_series(1, 13)) AS i) i
+)
+SELECT CAST(64 AS INTEGER) AS k,
+       CAST(k.k_eff AS BIGINT) AS k_eff,
+       ROUND((k.k_eff - 1) / (v.v / POWER(16, 13)), 6) AS est_distinct,
+       CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
+       ROUND(ABS(ROUND((k.k_eff - 1) / (v.v / POWER(16, 13)), 6)
+                 - e.exact_distinct) / e.exact_distinct, 6) AS rel_err
+FROM kth k, ex e, val v
+"""

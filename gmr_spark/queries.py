@@ -315,6 +315,7 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q16_supplier_part_counts": R.q16_supplier_part_counts,
     "q20_bulk_suppliers": R.q20_bulk_suppliers,
     "q21_waiting_suppliers": R.q21_waiting_suppliers,
+    "kmv_distinct_sketch": R.kmv_distinct_sketch,
     "q10_returned_items": R.q10_returned_items,
     "q12_priority_shipping": R.q12_priority_shipping,
     "q13_customer_distribution": R.q13_customer_distribution,
@@ -367,6 +368,7 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "q16_supplier_part_counts": RSQL.Q16,
     "q20_bulk_suppliers": RSQL.Q20,
     "q21_waiting_suppliers": RSQL.Q21,
+    "kmv_distinct_sketch": RSQL.KMV_SKETCH,
     "q10_returned_items": RSQL.Q10,
     "q12_priority_shipping": RSQL.Q12,
     "q13_customer_distribution": RSQL.Q13,
@@ -511,6 +513,7 @@ _CHANGED_THIS_ROUND = (
     # NEW in round 3:
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
     "q16_supplier_part_counts", "q20_bulk_suppliers", "q21_waiting_suppliers",
+    "kmv_distinct_sketch",
 )
 
 
