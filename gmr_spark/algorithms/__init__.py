@@ -1,5 +1,5 @@
 from gmr_spark.algorithms.sssp import sssp, bfs
-from gmr_spark.algorithms.pagerank import pagerank
+from gmr_spark.algorithms.pagerank import pagerank, personalized_pagerank
 from gmr_spark.algorithms.cc import connected_components
 from gmr_spark.algorithms.triangles import triangle_count
 from gmr_spark.algorithms.scc import strongly_connected_components
@@ -12,6 +12,7 @@ __all__ = [
     "sssp",
     "bfs",
     "pagerank",
+    "personalized_pagerank",
     "connected_components",
     "triangle_count",
     "strongly_connected_components",

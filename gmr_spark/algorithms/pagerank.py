@@ -80,3 +80,54 @@ def pagerank(graph: PropertyGraph, *, k: int = 10, damping: float = 0.5,
         checkpoint_interval=checkpoint_interval,
     )
     return result.vertices.select("id", F.col("value").alias("rank"))
+
+
+class _PersonalizedPageRankProgram:
+    """Source-teleport PageRank: teleport mass returns to the source vertex
+    only (public formulation: Page et al. 1999 §6 'personalized' vector;
+    Haveliwala 2002). Same message/aggregate as global PageRank; only init
+    and the teleport term differ — vertices with no in-flow decay toward 0
+    except the source, which keeps its (1-d) restart mass."""
+
+    def __init__(self, source: int, damping: float):
+        self.source = int(source)
+        self.d = damping
+
+    def init(self, vertices: DataFrame) -> DataFrame:
+        return vertices.select(
+            "id",
+            F.when(F.col("id") == self.source, F.lit(1.0))
+            .otherwise(F.lit(0.0)).alias("value"),
+            F.lit(True).alias("active"),
+        )
+
+    messages = _PageRankProgram.messages
+    aggregate = _PageRankProgram.aggregate
+
+    def update(self, vertices: DataFrame, agg: DataFrame) -> DataFrame:
+        teleport = F.when(F.col("id") == self.source, 1.0 - self.d).otherwise(0.0)
+        return vertices.join(agg, "id", "left").select(
+            "id",
+            (self.d * F.coalesce(F.col("agg"), F.lit(0.0)) + teleport).alias("value"),
+            F.lit(True).alias("active"),
+        )
+
+
+def personalized_pagerank(graph: PropertyGraph, source: int, *, k: int = 10,
+                          damping: float = 0.5,
+                          checkpoint_interval: int = 2) -> DataFrame:
+    """Fixed-k personalized PageRank from ``source``.
+    -> (id BIGINT, rank DOUBLE). Same plan shape as ``pagerank``."""
+    out_deg = graph.edges.groupBy(F.col("src").alias("deg_id")).agg(
+        F.count("*").alias("deg")
+    )
+    edges_with_deg = graph.edges.join(
+        out_deg, F.col("src") == F.col("deg_id")
+    ).select("src", "dst", "deg")
+    program = _PersonalizedPageRankProgram(source, damping)
+    result = run_pregel(
+        PropertyGraph(vertices=graph.vertices, edges=edges_with_deg),
+        program, max_iter=k, early_stop=False,
+        checkpoint_interval=checkpoint_interval,
+    )
+    return result.vertices.select("id", F.col("value").alias("rank"))

@@ -334,3 +334,34 @@ SELECT CAST(s.superstep AS INTEGER) AS superstep,
        CAST(COALESCE(c.c, 0) AS BIGINT) AS n_active
 FROM steps s LEFT JOIN counts c ON c.lvl = s.superstep
 """
+
+
+def ppr_sql(graph: str, source: int, k: int, *, damping: float = 0.5,
+            round_to: int = 6) -> str:
+    """Fixed-k personalized PageRank: teleport mass returns to ``source``
+    only; vertices with no in-flow decay toward 0 (no keep-prior rule —
+    mirrors _PersonalizedPageRankProgram.update's COALESCE(agg, 0))."""
+    steps = [
+        "deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        f"r0 AS MATERIALIZED (SELECT id, CASE WHEN id = {source} THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS pr FROM vertices)",
+    ]
+    for i in range(1, k + 1):
+        p = f"r{i - 1}"
+        steps.append(f"""r{i} AS MATERIALIZED (
+    SELECT v.id,
+           {damping} * COALESCE(m.s, 0.0)
+           + CASE WHEN v.id = {source} THEN {1.0 - damping} ELSE 0.0 END AS pr
+    FROM {p} v
+    LEFT JOIN (
+        SELECT e.dst AS id, SUM(p.pr / g.outdeg) AS s
+        FROM {p} p
+        JOIN edges e ON e.src = p.id
+        JOIN deg g ON g.id = p.id
+        GROUP BY e.dst
+    ) m ON m.id = v.id
+)""")
+    return (
+        f"{_graph_ctes(graph)},\n"
+        + ",\n".join(steps)
+        + f"\nSELECT id, ROUND(pr, {round_to}) AS pr FROM r{k}"
+    )

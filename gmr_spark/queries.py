@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gmr_spark.algorithms import (
     bfs,
+    personalized_pagerank,
     connected_components,
     label_propagation,
     matmul_coo,
@@ -33,6 +34,7 @@ from gmr_spark.oracle import (
     collect_neighbors_sql,
     mst_sql,
     pagerank_sql,
+    ppr_sql,
     weighted_indegree_sql,
     scc_sql,
     sssp_sql,
@@ -87,6 +89,14 @@ def _q_pregel_census_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      checkpoint_interval=1, collect_metrics=True)
     rows = [(m["superstep"], m["n_active"]) for m in res.metrics]
     return spark.createDataFrame(rows, "superstep int, n_active long")
+
+
+def _q_ppr_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from vertex 0 on geo — the similar-entity /
+    recommendation primitive (teleport to source, not uniform)."""
+    g = derive_graph(spark, sf_dir, "geo", materialize=True)
+    pr = personalized_pagerank(g, source=0, k=K_PAGERANK, damping=0.5)
+    return pr.select("id", F.round("rank", 6).alias("pr"))
 
 
 def _q_sssp_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -257,6 +267,7 @@ GRAPH_QUERIES: dict[str, QueryFn] = {
     "kmeans_embeddings": _q_kmeans,
     "bfs_geo": _q_bfs_geo,
     "pregel_census_bfs": _q_pregel_census_bfs,
+    "ppr_geo": _q_ppr_geo,
     "sssp_cs": _q_sssp_cs,
     "sssp_cs_weighted": _q_sssp_cs_weighted,
     "pagerank_geo": _q_pagerank_geo,
@@ -281,6 +292,7 @@ GRAPH_ORACLES: dict[str, str] = {
     "kmeans_embeddings": kmeans_sql(k=8, iters=2),
     "bfs_geo": bfs_sql("geo", 0, K_BFS_GEO),
     "pregel_census_bfs": bfs_census_sql("geo", 0, K_BFS_GEO),
+    "ppr_geo": ppr_sql("geo", 0, K_PAGERANK),
     "sssp_cs": sssp_sql("cs", _MIN_VERTEX, K_SSSP_CS, undirected=True),
     "sssp_cs_weighted": sssp_sql("cs_weighted", _MIN_VERTEX, K_SSSP_CS_WEIGHTED,
                                  undirected=True),
