@@ -72,6 +72,8 @@ HEADLINE = [
     "gopher_quality",
     "contamination_check",
     "sequence_packing",
+    "kmv_distinct_sketch",
+    "ppr_geo",
 ]
 
 

@@ -232,3 +232,19 @@ def test_big_graph_derivations_have_no_global_window(spark):
             assert re.search(r"windowspecdefinition\(_pid#\d+,", detail) or \
                 "row_number" not in detail, \
                 f"{name}: unpartitioned full-data window:\n{detail}"
+
+
+def test_q2_q20_rollup_min_is_windowed_not_self_joined(spark):
+    """q2/q20 pin: the per-part best/total over the (partkey, suppkey)
+    rollup must be a partkey-partitioned Window, not a rollup⋈rollup
+    SortMergeJoin — the self-join formulation cost 3-4 extra exchanges.
+    Also pins zero SortMergeJoins overall (dims broadcast, dominant-keys
+    side broadcast)."""
+    for name, max_exchanges in (("q2_min_cost_supplier", 3),
+                                ("q20_bulk_suppliers", 4)):
+        p = plan_of(spark, name)
+        assert "SortMergeJoin" not in p, f"{name}:\n{p[:800]}"
+        assert re.search(r"windowspecdefinition\(l_partkey#\d+", p), \
+            f"{name}: expected partkey-partitioned window"
+        assert n_exchanges(p) <= max_exchanges, \
+            f"{name}: {n_exchanges(p)} exchanges"
