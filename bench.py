@@ -155,6 +155,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # headline set GREW round-over-round (r1: 33, r2: 34, r3: 47) —
+        # compare totals only per-query or normalized by n_queries
+        "n_queries": len(timings),
         "calibration_sec": calibration,
         "calibration_post_sec": calibration_post,
     }
