@@ -86,7 +86,15 @@ def dedup_minhash(spark: SparkSession, sf_dir: str, *, min_jaccard: float = 0.1)
     Jaccard ≥ threshold. The verification join touches candidates only."""
     docs = load_tables(spark, sf_dir)["documents"]
     shingled = _doc_shingles(docs)
-    pairs = lsh_candidate_pairs(minhash_signatures(shingled))
+    # candidate pairs are materialized: (a) the signature agg + band join
+    # would otherwise be re-evaluated inside the verification branch of the
+    # same action (measured 1.9x chain cost at 100k docs), and (b) AQE then
+    # sees the candidates' true (small) size and broadcasts them into the
+    # verify joins instead of shuffling the full shingle table twice. When
+    # candidates are genuinely huge, AQE falls back to shuffle — correct
+    # either way.
+    pairs = lsh_candidate_pairs(minhash_signatures(shingled)) \
+        .localCheckpoint(eager=True)
 
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = shingled.select(F.col("doc_id").alias("doc_a"), "sh")
