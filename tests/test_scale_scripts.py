@@ -1,0 +1,63 @@
+"""Smoke tests for the scale-proof scripts (scripts/scale_*.py) at toy size:
+the committed SCALE.md artifacts rely on these code paths, so the corpus
+generator's planted-duplicate property and the operators' recall on it are
+pinned in the suite."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "scripts"))
+
+
+def test_llm_scale_corpus_planted_recall(spark, tmp_path):
+    from scale_llm import build_corpus
+
+    from gmr_spark.operators.dedup import dedup_exact, dedup_minhash
+
+    n = 5000
+    sf = build_corpus(spark, n=n, scratch=str(tmp_path / "corpus"),
+                      base_sf="/root/testdata/sf0.001")
+    # every non-planted doc unique -> exact dedup sees n singleton groups
+    assert dedup_exact(spark, sf).count() == n
+    planted = (n // 2 + 24) // 25
+    pairs = dedup_minhash(spark, sf)
+    rows = pairs.collect()
+    # every found pair must BE a planted pair (2k, 2k+1 sharing seed)...
+    for r in rows:
+        assert r.doc_b == r.doc_a + 1 and r.doc_a % 2 == 0 \
+            and (r.doc_a // 2) % 25 == 0, f"false positive: {r}"
+        assert r.jaccard >= 0.85
+    # ...and recall over the planted set is near-total (LSH banding may
+    # miss a stray pair at J~0.93; 95% is far below observed 99.99%)
+    assert len(rows) >= 0.95 * planted, (len(rows), planted)
+
+
+def test_g2_generator_diameter_property(spark):
+    """The ring+power-chord construction must reach every vertex within
+    ceil(log2 N) + slack supersteps (binary-decomposition bound) — the
+    property the full-size SSSP run's assert relies on."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gmr_spark.algorithms.sssp import bfs
+    from gmr_spark.graph import PropertyGraph
+
+    n = 4096
+    chords = (n - 1).bit_length()
+    offsets = F.array(*[F.lit(2 ** j) for j in range(chords)])
+    edges = (
+        spark.range(n)
+        .select(F.col("id"), F.explode(offsets).alias("off"))
+        .select(F.col("id").alias("src"),
+                F.pmod(F.col("id") + F.col("off"), F.lit(n)).alias("dst"),
+                F.lit(1.0).alias("weight"))
+    )
+    g = PropertyGraph(vertices=spark.range(n).select("id"), edges=edges)
+    levels = bfs(g, source=0, max_iter=chords + 5)
+    reached = levels.filter(F.col("level").isNotNull()).count()
+    assert reached == n
+    max_level = levels.agg(F.max("level")).first()[0]
+    assert max_level <= chords, f"diameter {max_level} > log2 bound {chords}"
