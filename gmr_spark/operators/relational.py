@@ -75,10 +75,14 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_orderpriority")
         .agg(F.round(revenue, 2).cast("double").alias("revenue"))
     )
-    w = W.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    # top-10 via orderBy+limit -> TakeOrderedAndProject (per-partition local
+    # top-k, 10 rows per partition reach the driver-side merge) — not a
+    # row_number over an unpartitioned window, which funnels every
+    # per-order aggregate through one task (the q10/global_sort_rank
+    # scale-killer, removed here too)
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
+        joined.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
         .select("o_orderkey", "o_orderpriority", "revenue")
     )
 

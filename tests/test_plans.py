@@ -248,3 +248,11 @@ def test_q2_q20_rollup_min_is_windowed_not_self_joined(spark):
             f"{name}: expected partkey-partitioned window"
         assert n_exchanges(p) <= max_exchanges, \
             f"{name}: {n_exchanges(p)} exchanges"
+
+
+def test_q3_top10_is_take_ordered(spark):
+    """Same pin as q10: the global top-10 must plan as
+    TakeOrderedAndProject, never an unpartitioned row_number Window."""
+    p = plan_of(spark, "q3_top_orders")
+    assert "TakeOrderedAndProject" in p
+    assert not re.search(r"\(\d+\) Window", p)
