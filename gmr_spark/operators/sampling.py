@@ -79,3 +79,47 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(cum_before / PACK_CAPACITY).cast("long").alias("pack_id"),
         (cum_before % PACK_CAPACITY).cast("long").alias("pack_offset"),
     )
+
+
+MIX_ALPHA = 0.5  # 1/T with temperature T=2 — the standard flattening
+
+
+def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, source): temperature-flattened source mixture — keep
+    probability per source ∝ n_source^(α-1), normalized so the smallest
+    source keeps everything (α = 1/T; the public data-mixture recipe used
+    to stop head sources drowning tail sources in multi-corpus training
+    sets). Unlike ``stratified_sample``'s FIXED per-language thresholds,
+    the rates here are derived FROM the data (two-pass: per-source counts,
+    then a content-hash-thresholded filter).
+
+    Determinism: rate = pow(n, α-1)/max(pow(n, α-1)) uses only
+    correctly-rounded IEEE ops (pow(x,-0.5) = 1/sqrt), so both engines
+    compute identical doubles; membership compares an integer hash bucket
+    (first 2 md5 nibbles, 0..255) against floor(rate·256) — reproducible
+    across engines, re-runs, and partitionings, like every sampler here.
+
+    Scale: the counts aggregate is map-side combinable; the threshold table
+    is |sources| rows (broadcast); the filter is narrow."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    weight = F.pow(F.col("n").cast("double"), F.lit(MIX_ALPHA - 1.0))
+    mx = counts.agg(F.max(weight).alias("w_max"))
+    thresholds = (
+        counts.crossJoin(F.broadcast(mx))
+        .select(
+            "source",
+            F.floor(weight / F.col("w_max") * 256).cast("long").alias("thr"),
+        )
+    )
+    h = F.md5(F.col("text"))
+    nib = "0123456789abcdef"
+    bucket = (
+        (F.instr(F.lit(nib), F.substring(h, 1, 1)) - 1) * 16
+        + (F.instr(F.lit(nib), F.substring(h, 2, 1)) - 1)
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(thresholds), "source")
+        .filter(bucket < F.col("thr"))
+        .select("doc_id", "lang", "source")
+    )

@@ -648,3 +648,21 @@ SELECT lang, doc_id,
        CAST(cb % 512 AS BIGINT) AS pack_offset
 FROM c
 """
+
+
+TEMPERATURE_MIX_SAMPLE = """
+WITH counts AS MATERIALIZED (
+    SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+),
+thr AS MATERIALIZED (
+    SELECT source,
+           CAST(FLOOR(POWER(CAST(n AS DOUBLE), -0.5)
+                      / (SELECT MAX(POWER(CAST(n AS DOUBLE), -0.5)) FROM counts)
+                      * 256) AS BIGINT) AS thr
+    FROM counts
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN thr t ON d.source = t.source
+WHERE (strpos('0123456789abcdef', substr(md5(d.text), 1, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(md5(d.text), 2, 1)) - 1) < t.thr
+"""

@@ -463,6 +463,7 @@ LLM_QUERIES: dict[str, QueryFn] = {
     "token_length_histogram": TA.token_length_histogram,
     "dedup_survivors": D.dedup_survivors,
     "sequence_packing": SAMP.sequence_packing,
+    "temperature_mix_sample": SAMP.temperature_mix_sample,
 }
 
 
@@ -511,6 +512,7 @@ LLM_ORACLES: dict[str, str] = {
     "token_length_histogram": LSQL.TOKEN_LENGTH_HISTOGRAM,
     "dedup_survivors": LSQL.DEDUP_SURVIVORS,
     "sequence_packing": LSQL.SEQUENCE_PACKING,
+    "temperature_mix_sample": LSQL.TEMPERATURE_MIX_SAMPLE,
 }
 
 
