@@ -184,3 +184,37 @@ def test_dedup_survivors_keep_rule(spark):
         | (set(range(n_docs)) - {r.doc_id for r in clusters})
     )
     assert len(survivors) == n_docs - len(retired)
+
+
+def test_temperature_mix_flattens_skewed_sources(spark, tmp_path):
+    """On a 9:1 source skew with T=2: w = n^-0.5 gives the small source
+    rate 1.0 (keeps everything) and the big source rate sqrt(1/9) ≈ 1/3 —
+    the flattening contract. Membership is content-hash-deterministic, so
+    the kept fraction concentrates tightly around the rate."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gmr_spark.operators.sampling import temperature_mix_sample
+
+    scratch = str(tmp_path / "skewed")
+    os.makedirs(scratch)
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"):
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                   f"{scratch}/{t}.parquet")
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text body number "), F.col("id").cast("string")).alias("text"),
+        F.lit("en").alias("lang"),
+        F.when(F.col("id") % 10 == 0, "small").otherwise("big").alias("source"),
+        F.lit(20).alias("n_chars"),
+    )
+    docs.write.parquet(f"{scratch}/documents.parquet")
+
+    kept = temperature_mix_sample(spark, scratch).groupBy("source").count()
+    got = {r.source: r["count"] for r in kept.collect()}
+    assert got["small"] == 1_000  # rate 1.0: the tail source keeps all
+    # big: rate = (9000^-0.5)/(1000^-0.5) = 1/3 -> thr floor(256/3)=85;
+    # hash buckets are uniform, so kept ≈ 9000 * 85/256 = 2988 ± noise
+    assert 2700 <= got["big"] <= 3300, got
