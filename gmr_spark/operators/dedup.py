@@ -261,9 +261,12 @@ def dup_clusters(spark: SparkSession, sf_dir: str, *, min_jaccard: float = 0.1) 
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"),
         F.lit(1.0).alias("weight"),
     )
-    comp = connected_components(
-        PropertyGraph(vertices=vertices, edges=edges), max_iter=20
-    )
+    # default max_iter (120): CC early-stops on frontier collapse, so the
+    # higher bound is free for typical 2-3-hop dup clusters while staying
+    # correct on a pathological >20-link near-dup CHAIN (where a low cap
+    # would silently leave labels unconverged and diverge from the oracle's
+    # true transitive closure)
+    comp = connected_components(PropertyGraph(vertices=vertices, edges=edges))
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return comp.join(sizes, "component").select(
         F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"),
