@@ -147,6 +147,16 @@ def main() -> None:
             "a quiet host",
             file=sys.stderr,
         )
+    elif drift < 1 / 1.2:
+        # post FASTER than pre is also a red flag (both probes are warmed):
+        # the host was throttled at the START, inflating the early queries
+        print(
+            f"  WARNING: calibration drifted {calibration:.3f}s -> "
+            f"{calibration_post:.3f}s ({drift:.2f}x): the host was throttled "
+            "during the pre-run probe; early query timings are inflated — "
+            "re-run on a quiet host",
+            file=sys.stderr,
+        )
 
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
     result = {

@@ -93,17 +93,22 @@ def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rates here are derived FROM the data (two-pass: per-source counts,
     then a content-hash-thresholded filter).
 
-    Determinism: rate = pow(n, α-1)/max(pow(n, α-1)) uses only
-    correctly-rounded IEEE ops (pow(x,-0.5) = 1/sqrt), so both engines
+    Determinism: the weight n^(α-1) with α=0.5 is computed as
+    1/sqrt(n) — sqrt and division are IEEE-754 correctly-rounded on every
+    conforming platform, unlike pow(x, -0.5) (JVM Math.pow and libm pow
+    are only ~1-ulp accurate and may round a boundary case differently,
+    flipping the floor() below by one bucket). Both engines therefore
     compute identical doubles; membership compares an integer hash bucket
     (first 2 md5 nibbles, 0..255) against floor(rate·256) — reproducible
     across engines, re-runs, and partitionings, like every sampler here.
+    (A general α would need an integer-exact reformulation; 0.5 keeps the
+    correctly-rounded path.)
 
     Scale: the counts aggregate is map-side combinable; the threshold table
     is |sources| rows (broadcast); the filter is narrow."""
     docs = load_tables(spark, sf_dir)["documents"]
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    weight = F.pow(F.col("n").cast("double"), F.lit(MIX_ALPHA - 1.0))
+    weight = F.lit(1.0) / F.sqrt(F.col("n").cast("double"))
     mx = counts.agg(F.max(weight).alias("w_max"))
     thresholds = (
         counts.crossJoin(F.broadcast(mx))

@@ -655,9 +655,11 @@ WITH counts AS MATERIALIZED (
     SELECT source, COUNT(*) AS n FROM documents GROUP BY source
 ),
 thr AS MATERIALIZED (
+    -- 1/sqrt(n), NOT pow(n,-0.5): sqrt and division are correctly-rounded
+    -- IEEE ops on both engines; pow is only ~1-ulp and could flip the FLOOR
     SELECT source,
-           CAST(FLOOR(POWER(CAST(n AS DOUBLE), -0.5)
-                      / (SELECT MAX(POWER(CAST(n AS DOUBLE), -0.5)) FROM counts)
+           CAST(FLOOR(1.0 / SQRT(CAST(n AS DOUBLE))
+                      / (SELECT MAX(1.0 / SQRT(CAST(n AS DOUBLE))) FROM counts)
                       * 256) AS BIGINT) AS thr
     FROM counts
 )

@@ -37,6 +37,11 @@ from gmr_spark.graph import PropertyGraph
 
 # reference constants: gmr.h:29 (threshold), gmr.h:31-34 / igmr.cpp:116 (caps)
 DEFAULT_THRESHOLD = 1e-4
+
+# above this many edge/vertex rows the superstep joins are pinned to
+# shuffled-hash (never broadcast): ~40 in-memory bytes/row puts 1.5M rows
+# past the 64 MB autoBroadcastJoinThreshold with margin. See run_pregel.
+BIG_GRAPH_ROWS = 1_500_000
 MAX_ITERATION = 120
 
 
@@ -171,9 +176,11 @@ def run_pregel(
     # plans are left untouched — Catalyst's measured-good fixture choices
     # (broadcast tiny frontiers/aggs) stand. ~40 in-memory bytes/row →
     # 64 MB ≈ 1.6M rows.
-    _BIG_ROWS = 1_500_000
-    big_edges = edges.count() > _BIG_ROWS
-    big_vertices = vertices.count() > _BIG_ROWS
+    # (BIG_GRAPH_ROWS is module-level so tests can force this branch on
+    # fixture graphs; the two counts run on blocks the localCheckpoints
+    # just materialized — metadata-cheap, not plan recomputes.)
+    big_edges = edges.count() > BIG_GRAPH_ROWS
+    big_vertices = vertices.count() > BIG_GRAPH_ROWS
     prev_state = vertices  # last materialized state whose blocks we own
     metrics: list[dict] = []
     iterations = 0

@@ -179,7 +179,15 @@ def _lineitem_base(spark: SparkSession):
     the identical rid via the sample-sort shape ``global_sort_rank`` uses:
     range-shuffle on the (unique) sort key, rank within each range partition
     in parallel, add per-partition offsets (one row per partition). Same
-    total order, fully parallel at any scale."""
+    total order, fully parallel at any scale.
+
+    The ranked rows are materialized (localCheckpoint) before the offsets
+    aggregate derives from them: both subtrees otherwise contain their own
+    copy of the repartitionByRange exchange, and range boundaries come from
+    SEEDED SAMPLING — correctness would silently ride on ReuseExchange
+    deduplicating the two instances. With the checkpoint there is exactly
+    one evaluation of the range shuffle by construction, not by optimizer
+    grace."""
     from pyspark.sql import Window as W
 
     li = spark.table("lineitem").select("l_orderkey", "l_linenumber")
@@ -187,7 +195,8 @@ def _lineitem_base(spark: SparkSession):
     tagged = li.repartitionByRange(n_parts, "l_orderkey", "l_linenumber") \
         .withColumn("_pid", F.spark_partition_id())
     w_local = W.partitionBy("_pid").orderBy("l_orderkey", "l_linenumber")
-    local = tagged.withColumn("_rn", F.row_number().over(w_local))
+    local = tagged.withColumn("_rn", F.row_number().over(w_local)) \
+        .localCheckpoint(eager=True)
     offsets = (
         local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
         .withColumn(

@@ -47,7 +47,17 @@ def _load_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(dt, T.LongType):  # Spark 4.0 + nanosAsLong
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
         elif isinstance(dt, T.TimestampNTZType):  # Spark 4.1+ native read
-            df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
+            # wall-clock -> instant via epoch arithmetic, NOT cast: a plain
+            # NTZ->TIMESTAMP cast interprets the wall time in the SESSION
+            # time zone, so on a non-UTC driver session every instant (and
+            # every epoch the queries emit) would shift by the UTC offset
+            # while DuckDB reads the same file as naive TIMESTAMP_NS.
+            # timestampdiff from the NTZ epoch is session-TZ-independent
+            # and lands on exactly the instants the (r1/r2-green)
+            # timestamp_micros path produced.
+            df = df.withColumn(c, F.timestamp_micros(F.expr(
+                f"timestampdiff(MICROSECOND, "
+                f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})")))
     return df
 
 

@@ -33,13 +33,16 @@ EVENTS_STREAM_SCHEMA = T.StructType([
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet with ts normalized to
     TimestampType — the single entry point for every streaming query here.
-    (The file source requires a directory; glob-filter to the events file.)"""
+    (The file source requires a directory; glob-filter to the events file.)
+    Epoch arithmetic, not a cast: see sources/tables.py — a plain NTZ cast
+    would shift instants by the session TZ offset on non-UTC sessions."""
     raw = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")))
 
 
 def _windowed_agg(events: DataFrame) -> DataFrame:

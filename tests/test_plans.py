@@ -256,3 +256,19 @@ def test_q3_top10_is_take_ordered(spark):
     p = plan_of(spark, "q3_top_orders")
     assert "TakeOrderedAndProject" in p
     assert not re.search(r"\(\d+\) Window", p)
+
+
+def test_pregel_big_graph_gating_end_to_end(spark, monkeypatch):
+    """Executes run_pregel's gated shuffle_hash branch (not just the hint
+    semantics the test above pins): with BIG_GRAPH_ROWS forced to 0 every
+    graph takes the big-graph path, and results must be identical to the
+    ungated run — the hints may only change physical join strategy."""
+    from gmr_spark.algorithms.sssp import bfs
+    from gmr_spark.sources.derive import derive_graph
+    import gmr_spark.plans.pregel as P
+
+    g = derive_graph(spark, SF, "geo", materialize=True)
+    want = {(r.id, r.level) for r in bfs(g, source=0, max_iter=8).collect()}
+    monkeypatch.setattr(P, "BIG_GRAPH_ROWS", 0)
+    got = {(r.id, r.level) for r in bfs(g, source=0, max_iter=8).collect()}
+    assert got == want and len(want) > 0

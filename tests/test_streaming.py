@@ -135,3 +135,26 @@ def test_transform_with_state_totals_equals_batch(spark):
     for uid, (tv, n) in want.items():
         gtv, gn = got[uid]
         assert gn == n and abs(gtv - tv) < 1e-6, (uid, got[uid], (tv, n))
+
+
+def test_sliding_stream_equals_batch(spark):
+    """The SLIDING-window streaming rollup must equal its declared batch
+    twin (every event in exactly two 2h/1h windows) — same duality pin the
+    tumbling window has."""
+    from gmr_spark.streaming.windowed import (events_sliding_batch,
+                                              start_events_sliding_stream)
+
+    q = start_events_sliding_stream(spark, SF, query_name="t_sliding")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.window_epoch, r.event_type): (r.n, r.total_value)
+            for r in spark.sql("SELECT * FROM t_sliding").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.window_epoch, r.event_type): (r.n, r.total_value)
+        for r in events_sliding_batch(spark, SF).collect()
+    }
+    assert got == want and len(want) > 0
