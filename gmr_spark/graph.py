@@ -65,11 +65,32 @@ class PropertyGraph:
         spark.sql.shuffle.partitions, which would otherwise both destroy
         the co-partitioning every superstep's message join reuses and
         override the |E|-proportional sizing picked at derivation
-        (one-time cost here vs a per-superstep edge shuffle in the loop)."""
+        (one-time cost here vs a per-superstep edge shuffle in the loop).
+
+        The partition count is read via ``.rdd`` only when the edges plan is
+        already a materialized LogicalRDD (the ``materialize=True`` path) —
+        on a lazy plan that call would force physical planning and, under
+        AQE, eagerly run upstream shuffle stages as a side effect of merely
+        constructing the graph; lazy inputs fall back to the session's
+        shuffle-partition setting."""
         rev = self.edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
         )
-        n_parts = self.edges.rdd.getNumPartitions()
+        try:
+            is_rdd_backed = (
+                self.edges._jdf.queryExecution().logical().nodeName()
+                == "LogicalRDD"
+            )
+        except Exception:
+            is_rdd_backed = False
+        if is_rdd_backed:
+            n_parts = self.edges.rdd.getNumPartitions()
+        else:
+            spark = self.edges.sparkSession
+            try:
+                n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            except Exception:
+                n_parts = spark.sparkContext.defaultParallelism
         return PropertyGraph(
             vertices=self.vertices,
             edges=(self.edges.unionByName(rev).distinct()

@@ -28,6 +28,24 @@ from gmr_spark.sources.tables import load_tables
 N_HASHES = 8
 N_BANDS = 4  # bands of 2 hashes each
 
+# Checkpointed intermediates shared across operators within one Spark
+# application: dedup_minhash, dup_clusters, and dedup_survivors all consume
+# the same shingle table and verified-pair chain, and the driver's
+# correctness pass runs all three in one session — without sharing, each
+# call re-checkpoints blocks whose predecessors are never freed until
+# ContextCleaner catches up (round-3 ADVICE). Keyed by applicationId so a
+# restarted SparkContext cannot be served another context's DataFrames.
+_CKPT_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _memo(spark: SparkSession, key: tuple, build) -> DataFrame:
+    full_key = (spark.sparkContext.applicationId, *key)
+    df = _CKPT_MEMO.get(full_key)
+    if df is None:
+        df = build()
+        _CKPT_MEMO[full_key] = df
+    return df
+
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(text_md5, keep_id, n_copies): canonical representative per distinct
@@ -81,41 +99,61 @@ def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     )
 
 
+def _shingles_for(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Application-memoized ``_doc_shingles`` over the sf_dir corpus."""
+    return _memo(
+        spark, ("shingles", sf_dir, k),
+        lambda: _doc_shingles(load_tables(spark, sf_dir)["documents"], k),
+    )
+
+
+def _verified_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard): every LSH candidate pair with its exact
+    shingle-set Jaccard (unthresholded) — memoized so the whole
+    shingle → signature → band-join → verify chain is built and
+    checkpointed once per application."""
+
+    def build() -> DataFrame:
+        shingled = _shingles_for(spark, sf_dir)
+        # candidate pairs are materialized: (a) the signature agg + band join
+        # would otherwise be re-evaluated inside the verification branch of
+        # the same action (measured 1.9x chain cost at 100k docs), and
+        # (b) AQE then sees the candidates' true (small) size and broadcasts
+        # them into the verify joins instead of shuffling the full shingle
+        # table twice. When candidates are genuinely huge, AQE falls back to
+        # shuffle — correct either way.
+        pairs = lsh_candidate_pairs(minhash_signatures(shingled)) \
+            .localCheckpoint(eager=True)
+
+        sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        sa = shingled.select(F.col("doc_id").alias("doc_a"), "sh")
+        sb = shingled.select(F.col("doc_id").alias("doc_b"), "sh")
+        inter = (
+            pairs.join(sa, "doc_a").join(sb, ["doc_b", "sh"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        return (
+            inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+            .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+            .select(
+                "doc_a", "doc_b",
+                F.round(
+                    F.col("n_common").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+                    6,
+                ).alias("jaccard"),
+            )
+        )
+
+    return _memo(spark, ("verified_pairs", sf_dir), build)
+
+
 def dedup_minhash(spark: SparkSession, sf_dir: str, *, min_jaccard: float = 0.1) -> DataFrame:
     """(doc_a, doc_b, jaccard): LSH candidates verified by exact shingle-set
     Jaccard ≥ threshold. The verification join touches candidates only."""
-    docs = load_tables(spark, sf_dir)["documents"]
-    shingled = _doc_shingles(docs)
-    # candidate pairs are materialized: (a) the signature agg + band join
-    # would otherwise be re-evaluated inside the verification branch of the
-    # same action (measured 1.9x chain cost at 100k docs), and (b) AQE then
-    # sees the candidates' true (small) size and broadcasts them into the
-    # verify joins instead of shuffling the full shingle table twice. When
-    # candidates are genuinely huge, AQE falls back to shuffle — correct
-    # either way.
-    pairs = lsh_candidate_pairs(minhash_signatures(shingled)) \
-        .localCheckpoint(eager=True)
-
-    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = shingled.select(F.col("doc_id").alias("doc_a"), "sh")
-    sb = shingled.select(F.col("doc_id").alias("doc_b"), "sh")
-    inter = (
-        pairs.join(sa, "doc_a").join(sb, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
-        .select(
-            "doc_a", "doc_b",
-            F.round(
-                F.col("n_common").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= min_jaccard)
+    return _verified_jaccard_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= min_jaccard
     )
 
 
@@ -203,7 +241,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, *, min_common: int = 2
     capped at (max_df_frac · n_docs)² per shingle."""
     docs = load_tables(spark, sf_dir)["documents"]
     n_docs = docs.count()
-    shingled = _doc_shingles(docs)
+    shingled = _shingles_for(spark, sf_dir)
     df_counts = shingled.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
     shingled = (
         shingled.join(df_counts, "sh")

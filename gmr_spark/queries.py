@@ -87,6 +87,11 @@ def _q_pregel_census_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = derive_graph(spark, sf_dir, "geo", materialize=True)
     res = run_pregel(g, _SSSPProgram(0, weighted=False), max_iter=K_BFS_GEO,
                      checkpoint_interval=1, collect_metrics=True)
+    # the oracle unconditionally emits the trailing n_active=0 row, which
+    # run_pregel only records when the frontier empties within max_iter —
+    # fail loudly here (not as a silent one-row oracle mismatch) if a future
+    # K_BFS_GEO / graph change drops below geo's eccentricity from vertex 0
+    assert res.converged, "pregel_census_bfs: raise K_BFS_GEO above geo's eccentricity"
     rows = [(m["superstep"], m["n_active"]) for m in res.metrics]
     return spark.createDataFrame(rows, "superstep int, n_active long")
 
@@ -274,9 +279,6 @@ GRAPH_QUERIES: dict[str, QueryFn] = {
     "pagerank_big": _q_pagerank_big,
     "pagerank_hub": _q_pagerank_hub,
     "cc_cs": _q_cc_cs,
-    # scc changed this round (Observation census) — keep it inside the
-    # driver's 50-row window; lpa/triangles/degrees are unchanged since
-    # their green r2 rows and can sit beyond it
     "scc_nation_ring": _q_scc_nation_ring,
     "label_propagation_geo": _q_label_propagation_geo,
     "triangles_ring": _q_triangles_ring,
@@ -516,39 +518,73 @@ LLM_ORACLES: dict[str, str] = {
 }
 
 
-# Queries whose implementation or oracle changed THIS round, or that are NEW
-# this round: their prior driver rows are stale or nonexistent, so they are
-# pulled to the front of the registry alongside the LLM block (see
-# all_queries docstring).
+# Queries whose implementation or oracle changed THIS round: their prior
+# driver rows are stale, so they sort ahead of everything else regardless of
+# row age (new queries have no row at all and front automatically).
 _CHANGED_THIS_ROUND = (
-    "q12_priority_shipping", "q10_returned_items",
-    "q7_nation_trade", "q8_market_share", "q15_top_supplier",
-    "q17_small_quantity",
-    # NEW in round 3:
-    "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
-    "q16_supplier_part_counts", "q20_bulk_suppliers", "q21_waiting_suppliers",
-    "kmv_distinct_sketch",
+    "ann_recall_at_k",   # 3rd recall row (rh_lsh) added
+    "cc_cs",             # pointer-jumping rewrite
 )
 
 
-def all_queries() -> dict[str, QueryFn]:
-    """Driver-facing registry. ORDER IS LOAD-BEARING: the correctness driver
-    snapshots only the first ~50 entries per round, so the dict is ordered by
-    evidence priority — (1) the LLM-pipeline / streaming block (lost its
-    rows to round 2's registry growth; several entries never had one),
-    (2) queries changed this round (stale prior rows), (3) the graph /
-    relational blocks that banked green rows in r1+r2. Python dicts keep the
-    first insertion position on update, so re-updating with the full
-    relational block does not move the early entries."""
+def _driver_row_rounds() -> dict[str, int]:
+    """name -> last driver round that recorded a CORRECTNESS row for it,
+    parsed from the repo-root ``CORRECTNESS_r*.json`` artifacts. Queries
+    absent from every artifact map to -1 (never checked)."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r0*(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name in rows:
+            last[name] = max(last.get(name, -1), rnd)
+    return last
+
+
+def _natural_registry() -> dict[str, QueryFn]:
     registry: dict[str, QueryFn] = {}
     registry.update(LLM_QUERIES)
     registry["events_hourly"] = _q_events_hourly
     registry["events_sliding"] = _q_events_sliding
-    for name in _CHANGED_THIS_ROUND:
-        registry[name] = RELATIONAL_QUERIES[name]
     registry.update(GRAPH_QUERIES)
     registry.update(RELATIONAL_QUERIES)
     return registry
+
+
+def _rotation_order(names: list[str] | dict[str, object]) -> list[str]:
+    """Mechanized driver-window rotation (round-3 verdict item 1): the
+    correctness driver snapshots only the first ~50 registry entries per
+    round, so order by evidence priority — (1) queries changed this round
+    (``_CHANGED_THIS_ROUND``: prior rows are stale), then (2) rounds since
+    each query's last driver row, oldest/never first, with the natural
+    registry order as the stable tiebreak. Every query therefore cycles
+    through the window within two rounds with no hand-picked ordering, and
+    a changed query cannot ship on a stale green."""
+    order = {n: i for i, n in enumerate(names)}
+    last = _driver_row_rounds()
+    changed = set(_CHANGED_THIS_ROUND)
+    return sorted(
+        order,
+        key=lambda n: (0 if n in changed else 1, last.get(n, -1), order[n]),
+    )
+
+
+def all_queries() -> dict[str, QueryFn]:
+    """Driver-facing registry, rotation-ordered (see ``_rotation_order``)."""
+    registry = _natural_registry()
+    return {n: registry[n] for n in _rotation_order(registry)}
 
 
 def all_oracles() -> dict[str, str]:
@@ -556,8 +592,8 @@ def all_oracles() -> dict[str, str]:
     oracles.update(LLM_ORACLES)
     oracles["events_hourly"] = EVENTS_HOURLY_SQL
     oracles["events_sliding"] = EVENTS_SLIDING_SQL
-    for name in _CHANGED_THIS_ROUND:
-        oracles[name] = RELATIONAL_ORACLES[name]
     oracles.update(GRAPH_ORACLES)
     oracles.update(RELATIONAL_ORACLES)
-    return oracles
+    # identical order to all_queries(): tiebreak on the QUERY registry's
+    # natural order (the oracle dicts interleave blocks differently)
+    return {n: oracles[n] for n in _rotation_order(_natural_registry())}

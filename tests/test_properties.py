@@ -262,3 +262,27 @@ def test_bucket_cap_bounds_adversarial_bucket():
         cap=cap,
     )
     assert small.select("sub").distinct().count() == 1
+
+
+def test_cc_path_graph_converges_in_log_rounds():
+    """Round-3 verdict item 4: pointer jumping makes CC O(log n) rounds, not
+    O(diameter). A 10k-vertex PATH is the adversarial case — plain min-label
+    propagation needs ~9,999 supersteps; with per-round pointer doubling the
+    loop must close in a handful of propagation rounds plus ~log2(n) jump
+    joins."""
+    from gmr_spark.algorithms.cc import _cc_labels
+
+    spark = _get_spark()
+    n = 10_000
+    edges = spark.range(n - 1).selectExpr(
+        "id AS src", "id + 1 AS dst", "CAST(1.0 AS DOUBLE) AS weight"
+    )
+    vertices = spark.range(n).select("id")
+    g = PropertyGraph(vertices=vertices, edges=edges).undirected()
+
+    labels, stats = _cc_labels(g, max_iter=40)
+    assert stats["converged"], stats
+    assert labels.filter(F.col("label") != 0).count() == 0
+    # ceil(log2(10000)) = 14; allow slack but stay firmly sub-linear
+    assert stats["rounds"] <= 16, stats
+    assert stats["jump_joins"] <= 64, stats
