@@ -74,6 +74,10 @@ HEADLINE = [
     "sequence_packing",
     "kmv_distinct_sketch",
     "ppr_geo",
+    # round 4 additions: the JVM-window z-score twin (headline variant of
+    # the applyInPandas declared surface) and random-hyperplane LSH
+    "zscore_events_window",
+    "ann_rh_lsh",
 ]
 
 

@@ -326,6 +326,47 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bound-check oracle for the sketch surface (round-3 verdict item 2):
+    sketch OUTPUTS are engine-specific (HLL++ registers, sketch internals),
+    so the cross-engine-checkable claim is the sketch's accuracy CONTRACT —
+    computed Spark-side against the exact aggregates in the same pass, with
+    the DuckDB twin asserting every bound holds (literal TRUEs per group).
+    Both sketches are deterministic for a fixed dataset, so the booleans are
+    stable rows, not flaky assertions:
+
+    - HLL++ at the default rsd=0.05: relative error of approx_count_distinct
+      vs exact COUNT(DISTINCT) within 10% (2·rsd headroom);
+    - approx_percentile at the default accuracy 10000 guarantees rank error
+      ≤ 1e-4·n, so each approx quantile must land inside a generous exact
+      rank band (±0.05 of the target quantile; p99's upper band is max).
+
+    The raw-value twin ``approx_sketch_stats`` stays bench-only (HEADLINE)
+    as the 100 TB performance path."""
+    ev = load_tables(spark, sf_dir)["events"]
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("au"),
+        F.countDistinct("user_id").alias("eu"),
+        F.expr("approx_percentile(value, 0.5)").alias("ap50"),
+        F.expr("approx_percentile(value, 0.9)").alias("ap90"),
+        F.expr("approx_percentile(value, 0.99)").alias("ap99"),
+        F.expr("percentile(value, 0.45)").alias("lo50"),
+        F.expr("percentile(value, 0.55)").alias("hi50"),
+        F.expr("percentile(value, 0.85)").alias("lo90"),
+        F.expr("percentile(value, 0.95)").alias("hi90"),
+        F.expr("percentile(value, 0.94)").alias("lo99"),
+        F.max("value").alias("hi99"),
+    )
+    return agg.select(
+        "event_type",
+        (F.abs(F.col("au") - F.col("eu")) / F.col("eu") <= 0.10)
+        .alias("users_within_10pct"),
+        F.col("ap50").between(F.col("lo50"), F.col("hi50")).alias("p50_in_band"),
+        F.col("ap90").between(F.col("lo90"), F.col("hi90")).alias("p90_in_band"),
+        F.col("ap99").between(F.col("lo99"), F.col("hi99")).alias("p99_in_band"),
+    )
+
+
 def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-expression surface: regexp extraction from the JSON props
     column, string + conditional functions — all JVM-codegen'd."""
@@ -414,15 +455,37 @@ def make_zscore_fn():
 def zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type z-score via ``applyInPandas`` — the declared Arrow
     grouped-map surface (the batch sibling of streaming's
-    applyInPandasWithState). A window function could express this exact
-    query JVM-side; the operator exists to prove the custom-Python path
-    against the same SQL oracle."""
+    applyInPandasWithState), proving the custom-Python path against the same
+    SQL oracle. The JVM twin ``zscore_events_window`` is the headline/
+    production variant (round-3 verdict item 5): at 100× this one pays Arrow
+    serialization of the full events table that the window twin doesn't."""
     ev = load_tables(spark, sf_dir)["events"]
     return (
         ev.select("event_id", "event_type", "value")
         .groupBy("event_type")
         .applyInPandas(make_zscore_fn(),
                        schema="event_id bigint, event_type string, z double")
+    )
+
+
+def zscore_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score entirely in whole-stage codegen: one
+    ``Window.partitionBy(event_type)`` computes the group mean and sample
+    stddev next to each row — no Python, no Arrow transfer, one shuffle on
+    the group key. Same oracle SQL as ``zscore_events`` (the applyInPandas
+    declared-surface twin); a plan pin asserts no Python eval node."""
+    from pyspark.sql import Window as W
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w = W.partitionBy("event_type")
+    return (
+        ev.select("event_id", "event_type", "value")
+        .withColumn("_m", F.avg("value").over(w))
+        .withColumn("_s", F.stddev_samp("value").over(w))
+        .select(
+            "event_id", "event_type",
+            F.round((F.col("value") - F.col("_m")) / F.col("_s"), 6).alias("z"),
+        )
     )
 
 

@@ -128,13 +128,13 @@ def ann_ivf(spark: SparkSession, sf_dir: str, *, k_cells: int = 8,
 
 def ann_recall_at_k(spark: SparkSession, sf_dir: str, *, n_queries: int = 5,
                     k: int = 3) -> DataFrame:
-    """(method, hits, recall): measured recall@k of both ANN paths
-    (``ann_ivf``, ``ann_sign_lsh``) against the exact brute-force top-k
-    (``cosine_topk``) on the same query set — turns the "standard recall
-    tradeoff" claims in the bucket-cap docstrings into a declared,
-    regression-guarded number. Tiny output (one row per method); the cost
-    is the three underlying similarity passes, each of which keeps its own
-    bucketed / broadcast plan."""
+    """(method, hits, recall): measured recall@k of every ANN path
+    (``ann_ivf``, ``ann_sign_lsh``, ``ann_rh_lsh``) against the exact
+    brute-force top-k (``cosine_topk``) on the same query set — turns the
+    "standard recall tradeoff" claims in the bucket-cap docstrings into a
+    declared, regression-guarded number. Tiny output (one row per method);
+    the cost is the underlying similarity passes, each of which keeps its
+    own bucketed / broadcast plan."""
     truth = (
         cosine_topk(spark, sf_dir, n_queries=n_queries, k=10)
         .filter(F.col("rnk") <= k)
@@ -144,6 +144,7 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str, *, n_queries: int = 5,
     parts = []
     for method, approx in (
         ("ivf", ann_ivf(spark, sf_dir)),
+        ("rh_lsh", ann_rh_lsh(spark, sf_dir)),
         ("sign_lsh", ann_sign_lsh(spark, sf_dir)),
     ):
         cand = (
@@ -158,7 +159,10 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str, *, n_queries: int = 5,
                 F.round(F.col("hits") / F.lit(denom), 6).alias("recall"),
             )
         )
-    return parts[0].unionByName(parts[1])
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def sign_bucket(vec: F.Column, n_bits: int = 16) -> F.Column:
@@ -171,6 +175,68 @@ def sign_bucket(vec: F.Column, n_bits: int = 16) -> F.Column:
     for b in bits[1:]:
         acc = acc + b
     return acc.cast("bigint")
+
+
+# Multi-table random-hyperplane LSH (round-3 verdict item 6). Amplification
+# is REQUIRED on this corpus: exact top-3 cosines are only ~0.3-0.4
+# (angle ~70°, per-plane agreement p ~0.6), so one 16-bit table collides
+# true neighbors with probability p^16 ~ 3e-4 — measured recall 0, same as
+# the axis-aligned variant. OR-amplification over RH_N_TABLES tables of
+# RH_N_BITS bits each lifts the collision probability to 1-(1-p^b)^L
+# (~0.3 here) while keeping candidates ~L/2^b of the corpus per query —
+# the standard recall/cost dial (tune b up as n grows).
+RH_N_TABLES = 6
+RH_N_BITS = 6
+RH_DIM = 64
+RH_SEED = 20240814
+
+
+def rh_planes(n_planes: int = RH_N_TABLES * RH_N_BITS, dim: int = RH_DIM,
+              seed: int = RH_SEED) -> list[list[float]]:
+    """Seeded pseudo-random hyperplane coefficients in [-1, 1), rounded to
+    6dp — the general random-hyperplane LSH that ``sign_bucket`` specializes
+    to axis-aligned planes (correlated dims degrade axis-aligned recall;
+    random projections are the standard fix). Generated by a 64-bit LCG
+    (Knuth MMIX constants) so the matrix is a deterministic runtime
+    constant, and the DuckDB twin's VALUES list is rendered FROM this exact
+    list (oracle.llm_sql._rh_planes_values) — the two engines cannot
+    drift. Row t*RH_N_BITS+i is bit i of table t."""
+    planes: list[list[float]] = []
+    state = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % 2**64
+            row.append(round((state >> 11) / float(2**53) * 2.0 - 1.0, 6))
+        planes.append(row)
+    return planes
+
+
+_RH_PLANES = rh_planes()
+
+
+def rh_bucket(vec: F.Column, planes: list[list[float]]) -> F.Column:
+    """Single-table random-hyperplane bucket id: bit i = sign of
+    ``vec · plane_i``. Dots are ROUND(·, 6) before the sign test so both
+    engines take the same branch despite fold-order float drift (~1e-12)."""
+    acc: F.Column | None = None
+    for i, row in enumerate(planes):
+        dot = F.round(_dot(vec, F.array(*[F.lit(c) for c in row])), 6)
+        bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        acc = bit if acc is None else acc + bit
+    return acc.cast("bigint")
+
+
+def rh_buckets_array(vec: F.Column, *, n_tables: int = RH_N_TABLES,
+                     n_bits: int = RH_N_BITS) -> F.Column:
+    """ARRAY of ``n_tables`` global bucket ids (table-disambiguated:
+    ``t * 2^n_bits + local_bucket``) — explode it to index a vector into
+    every table."""
+    return F.array(*[
+        rh_bucket(vec, _RH_PLANES[t * n_bits:(t + 1) * n_bits])
+        + F.lit(t * (1 << n_bits))
+        for t in range(n_tables)
+    ])
 
 
 BUCKET_CAP = 256
@@ -197,16 +263,15 @@ def split_oversized_buckets(vecs: DataFrame, cap: int = BUCKET_CAP) -> DataFrame
     )
 
 
-def ann_sign_lsh(spark: SparkSession, sf_dir: str, *, k: int = 3,
-                 n_bits: int = 16, bucket_cap: int = BUCKET_CAP) -> DataFrame:
-    """(query_id, neighbor_id, sim, rnk): top-k same-bucket neighbors for
-    EVERY vector — an all-pairs ANN pass via bucket equi-join, hot buckets
-    capped (``split_oversized_buckets``)."""
+def _bucketed_topk(spark: SparkSession, sf_dir: str, bucket_expr: F.Column,
+                   *, k: int, bucket_cap: int) -> DataFrame:
+    """Shared body of the bucketed ANN variants: bucket → cap hot buckets →
+    same-bucket self-join → exact-cosine re-rank, top-k per query."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     vecs = split_oversized_buckets(
         emb.select(
             F.col("vec_id").alias("id"), _vec().alias("v"),
-            sign_bucket(_vec(), n_bits).alias("bucket"),
+            bucket_expr.alias("bucket"),
         ),
         bucket_cap,
     )
@@ -219,6 +284,59 @@ def ann_sign_lsh(spark: SparkSession, sf_dir: str, *, k: int = 3,
             "query_id", "neighbor_id",
             F.round(_dot(F.col("q"), F.col("v"))
                     / (_norm(F.col("q")) * _norm(F.col("v"))), 6).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )
+
+
+def ann_sign_lsh(spark: SparkSession, sf_dir: str, *, k: int = 3,
+                 n_bits: int = 16, bucket_cap: int = BUCKET_CAP) -> DataFrame:
+    """(query_id, neighbor_id, sim, rnk): top-k same-bucket neighbors for
+    EVERY vector — an all-pairs ANN pass via bucket equi-join, hot buckets
+    capped (``split_oversized_buckets``)."""
+    return _bucketed_topk(spark, sf_dir, sign_bucket(_vec(), n_bits),
+                          k=k, bucket_cap=bucket_cap)
+
+
+def ann_rh_lsh(spark: SparkSession, sf_dir: str, *, k: int = 3,
+               bucket_cap: int = BUCKET_CAP) -> DataFrame:
+    """(query_id, neighbor_id, sim, rnk): multi-table random-hyperplane LSH
+    — each vector is indexed into ``RH_N_TABLES`` bucket tables (explode of
+    ``rh_buckets_array``); candidate pairs = same (table-qualified) bucket
+    in ANY table, deduped, then exact-cosine re-ranked via an id re-join
+    (vectors are NOT carried through the distinct — at scale the pair set
+    is ids only). Hot buckets capped like every bucketed path."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    base = emb.select(F.col("vec_id").alias("id"), _vec().alias("v"))
+    indexed = split_oversized_buckets(
+        base.select(
+            "id", F.explode(rh_buckets_array(F.col("v"))).alias("bucket")
+        ),
+        bucket_cap,
+    )
+    a = indexed.select(F.col("id").alias("query_id"), "bucket", "sub")
+    b = indexed.select(F.col("id").alias("neighbor_id"), "bucket", "sub")
+    pairs = (
+        a.join(b, ["bucket", "sub"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = base.select(F.col("id").alias("query_id"), F.col("v").alias("q"))
+    n = base.select(F.col("id").alias("neighbor_id"), F.col("v").alias("nv"))
+    sims = (
+        pairs.join(q, "query_id").join(n, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(_dot(F.col("q"), F.col("nv"))
+                    / (_norm(F.col("q")) * _norm(F.col("nv"))), 6).alias("sim"),
         )
     )
     from pyspark.sql import Window as W

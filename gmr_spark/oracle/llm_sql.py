@@ -204,6 +204,79 @@ FROM (
 ) t WHERE rnk <= 3
 """
 
+def _rh_planes_values() -> str:
+    """VALUES list (tbl, bit, pos, coef) rendered from the SAME plane matrix
+    the Spark side projects with (operators.similarity.rh_planes; row
+    t*RH_N_BITS+i = bit i of table t) — repr() keeps the shortest
+    round-trip decimal, which DuckDB parses back to the identical double,
+    so the two engines share the constants bit for bit."""
+    from gmr_spark.operators.similarity import RH_N_BITS, rh_planes
+
+    return ", ".join(
+        f"({row_idx // RH_N_BITS},{row_idx % RH_N_BITS},{pos},{coef!r})"
+        for row_idx, row in enumerate(rh_planes())
+        for pos, coef in enumerate(row, start=1)
+    )
+
+
+from gmr_spark.operators.similarity import RH_N_BITS as _RH_N_BITS  # noqa: E402
+
+ANN_RH_LSH = f"""
+WITH {_EMB.strip()},
+planes AS MATERIALIZED (
+    SELECT CAST(c1 AS INTEGER) AS tbl, CAST(c2 AS INTEGER) AS bit,
+           CAST(c3 AS BIGINT) AS pos, CAST(c4 AS DOUBLE) AS coef
+    FROM (VALUES {_rh_planes_values()}) p(c1, c2, c3, c4)
+),
+-- bit i of table t's bucket = sign of (vec . plane_(t,i)); dots ROUND(.,6)
+-- before the sign test, mirroring similarity.rh_bucket; global bucket id is
+-- table-qualified (tbl * 2^RH_N_BITS + local), mirroring rh_buckets_array
+pdots AS MATERIALIZED (
+    SELECT x.id, p.tbl, p.bit, ROUND(SUM(x.val * p.coef), 6) AS dot
+    FROM expl x JOIN planes p ON x.pos = p.pos
+    GROUP BY x.id, p.tbl, p.bit
+),
+buckets AS MATERIALIZED (
+    SELECT id,
+           CAST(tbl * {1 << _RH_N_BITS} + SUM(CASE WHEN dot > 0 THEN CAST(POWER(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+    FROM pdots GROUP BY id, tbl
+),
+-- hot-bucket cap (mirrors similarity.split_oversized_buckets, cap=256)
+bsub AS MATERIALIZED (
+    SELECT b.id, b.bucket, b.id % c.n_sub AS sub
+    FROM buckets b
+    JOIN (SELECT bucket, CAST(CEIL(COUNT(*) / 256.0) AS BIGINT) AS n_sub
+          FROM buckets GROUP BY bucket) c USING (bucket)
+),
+-- candidate = same bucket in ANY table, deduped (the OR-amplification)
+cand AS MATERIALIZED (
+    SELECT DISTINCT a.id AS query_id, b.id AS neighbor_id
+    FROM bsub a JOIN bsub b
+      ON a.bucket = b.bucket AND a.sub = b.sub AND a.id <> b.id
+),
+dots AS MATERIALIZED (
+    SELECT c.query_id, c.neighbor_id, SUM(q.val * v.val) AS dot
+    FROM cand c
+    JOIN expl q ON q.id = c.query_id
+    JOIN expl v ON v.id = c.neighbor_id AND v.pos = q.pos
+    GROUP BY c.query_id, c.neighbor_id
+),
+sims AS MATERIALIZED (
+    SELECT d.query_id, d.neighbor_id,
+           ROUND(d.dot / (nq.nrm * nv.nrm), 6) AS sim
+    FROM dots d
+    JOIN norms nq ON nq.id = d.query_id
+    JOIN norms nv ON nv.id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, sim, CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS rnk
+    FROM sims
+) t WHERE rnk <= 3
+"""
+
+
 DEDUP_EMBEDDING = f"""
 WITH {_EMB.strip()},
 buckets AS MATERIALIZED (
@@ -284,16 +357,19 @@ FROM (
 ) t WHERE rnk <= 3
 """
 
-# Recall@3 of both ANN paths vs the exact top-3 on the 5-query set: the
-# three component queries are reused verbatim as subqueries (a DuckDB
-# subquery may carry its own WITH), so this oracle can never drift from the
-# per-method oracles it audits. Denominator = n_queries * k = 15.
+# Recall@3 of every ANN path vs the exact top-3 on the 5-query set: the
+# component queries are reused verbatim as subqueries (a DuckDB subquery may
+# carry its own WITH), so this oracle can never drift from the per-method
+# oracles it audits. Denominator = n_queries * k = 15.
 ANN_RECALL_AT_K = f"""
 WITH truth AS MATERIALIZED (
     SELECT query_id, neighbor_id FROM ({COSINE_TOPK}) t WHERE rnk <= 3
 ),
 lsh AS MATERIALIZED (
     SELECT query_id, neighbor_id FROM ({ANN_SIGN_LSH}) t WHERE query_id < 5
+),
+rh AS MATERIALIZED (
+    SELECT query_id, neighbor_id FROM ({ANN_RH_LSH}) t WHERE query_id < 5
 ),
 ivf AS MATERIALIZED (
     SELECT query_id, neighbor_id FROM ({ANN_IVF}) t WHERE query_id < 5
@@ -302,6 +378,9 @@ SELECT method, hits, ROUND(hits / 15.0, 6) AS recall
 FROM (
     SELECT 'ivf' AS method, CAST(COUNT(*) AS BIGINT) AS hits
     FROM truth JOIN ivf USING (query_id, neighbor_id)
+    UNION ALL
+    SELECT 'rh_lsh' AS method, CAST(COUNT(*) AS BIGINT) AS hits
+    FROM truth JOIN rh USING (query_id, neighbor_id)
     UNION ALL
     SELECT 'sign_lsh' AS method, CAST(COUNT(*) AS BIGINT) AS hits
     FROM truth JOIN lsh USING (query_id, neighbor_id)

@@ -195,6 +195,19 @@ LEFT JOIN events e2 ON e2.user_id = e1.user_id
 GROUP BY e1.event_id
 """
 
+# Bound-check oracle for the sketch surface: the Spark side computes the
+# sketch-vs-exact accuracy booleans itself (operators.relational.
+# approx_sketch_bounds); the oracle asserts every bound holds. Both Spark
+# sketches are deterministic for a fixed dataset, so these are stable rows.
+APPROX_SKETCH_BOUNDS = """
+SELECT event_type,
+       TRUE AS users_within_10pct,
+       TRUE AS p50_in_band,
+       TRUE AS p90_in_band,
+       TRUE AS p99_in_band
+FROM events GROUP BY event_type
+"""
+
 ZSCORE_EVENTS = """
 SELECT event_id, event_type,
        ROUND((value - AVG(value) OVER (PARTITION BY event_type))

@@ -357,6 +357,8 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "anti_join_quiet_customers": R.anti_join_quiet_customers,
     "range_join_events": R.range_join_events,
     "zscore_events": R.zscore_events,
+    "zscore_events_window": R.zscore_events_window,
+    "approx_sketch_bounds": R.approx_sketch_bounds,
 }
 
 # Bench-only surface: sketch outputs (HLL++/t-digest) are engine-specific,
@@ -410,6 +412,8 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "anti_join_quiet_customers": RSQL.ANTI_JOIN_QUIET_CUSTOMERS,
     "range_join_events": RSQL.RANGE_JOIN_EVENTS,
     "zscore_events": RSQL.ZSCORE_EVENTS,
+    "zscore_events_window": RSQL.ZSCORE_EVENTS,  # same oracle, JVM-window plan
+    "approx_sketch_bounds": RSQL.APPROX_SKETCH_BOUNDS,
 }
 
 
@@ -443,6 +447,7 @@ LLM_QUERIES: dict[str, QueryFn] = {
     "ngram_jaccard": D.ngram_jaccard_pairs,
     "cosine_topk": S.cosine_topk,
     "ann_sign_lsh": S.ann_sign_lsh,
+    "ann_rh_lsh": S.ann_rh_lsh,
     "ann_ivf": S.ann_ivf,
     "ann_recall_at_k": S.ann_recall_at_k,
     "lang_id": TA.lang_id,
@@ -492,6 +497,7 @@ LLM_ORACLES: dict[str, str] = {
     "ngram_jaccard": LSQL.NGRAM_JACCARD,
     "cosine_topk": LSQL.COSINE_TOPK,
     "ann_sign_lsh": LSQL.ANN_SIGN_LSH,
+    "ann_rh_lsh": LSQL.ANN_RH_LSH,
     "ann_ivf": LSQL.ANN_IVF,
     "ann_recall_at_k": LSQL.ANN_RECALL_AT_K,
     "lang_id": LSQL.LANG_ID,

@@ -218,3 +218,19 @@ def test_temperature_mix_flattens_skewed_sources(spark, tmp_path):
     # big: rate = (9000^-0.5)/(1000^-0.5) = 1/3 -> thr floor(256/3)=85;
     # hash buckets are uniform, so kept ≈ 9000 * 85/256 = 2988 ± noise
     assert 2700 <= got["big"] <= 3300, got
+
+
+def test_rh_lsh_recall_beats_axis_aligned(spark):
+    """Round-3 verdict item 6 done-criterion: the seeded random-hyperplane
+    multi-table LSH must recall at least as much of the exact top-3 as the
+    axis-aligned single-table variant (whose measured recall on this corpus
+    is 0 — single 16-bit tables cannot collide ~70° neighbors), and
+    strictly more than nothing."""
+    from gmr_spark.operators.similarity import ann_recall_at_k
+
+    from tests.conftest import SF_ORACLE
+
+    rows = {r.method: r.recall for r in ann_recall_at_k(spark, SF_ORACLE).collect()}
+    assert set(rows) == {"ivf", "rh_lsh", "sign_lsh"}
+    assert rows["rh_lsh"] >= rows["sign_lsh"]
+    assert rows["rh_lsh"] >= 0.2

@@ -272,3 +272,19 @@ def test_pregel_big_graph_gating_end_to_end(spark, monkeypatch):
     monkeypatch.setattr(P, "BIG_GRAPH_ROWS", 0)
     got = {(r.id, r.level) for r in bfs(g, source=0, max_iter=8).collect()}
     assert got == want and len(want) > 0
+
+
+def test_zscore_window_twin_is_pure_jvm(spark):
+    """zscore_events_window is the headline z-score (round-3 verdict item 5):
+    the whole normalization must stay in whole-stage codegen — no Arrow/
+    Python eval node anywhere in the plan (the applyInPandas variant
+    zscore_events is the declared custom-Python surface, benched separately),
+    and the window must be keyed (no global partition)."""
+    p = plan_of(spark, "zscore_events_window")
+    for node in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
+                 "MapInPandas"):
+        assert node not in p, node
+    assert "Window" in p
+    # the Window's partition spec carries event_type (not an empty spec)
+    win_detail = p.split("Window")[1]
+    assert "event_type" in win_detail
