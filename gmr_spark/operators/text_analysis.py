@@ -32,15 +32,54 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 
 BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
+# Tiny public multilingual vocabulary (common function words + everyday
+# nouns/adjectives; romanized pinyin for zh) used to build the in-repo
+# fixture corpus below — the first 5 words of each language ARE its
+# LANG_PROFILES entry, so a fixture doc's dominant vocabulary decides its
+# argmax. Documented in FIXTURES.md.
+MULTILINGUAL_VOCAB: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is",
+           "house", "water", "day", "good", "new"),
+    "de": ("der", "die", "und", "das", "ist",
+           "haus", "wasser", "tag", "gut", "neu"),
+    "es": ("el", "la", "los", "y", "es",
+           "casa", "agua", "dia", "bueno", "nuevo"),
+    "fr": ("le", "la", "les", "et", "est",
+           "maison", "eau", "jour", "bon", "nouveau"),
+    "zh": ("de", "le", "shi", "he", "zai",
+           "fangzi", "shui", "tian", "hao", "xin"),
+}
+
+N_FIXTURE_DOCS_PER_LANG = 5
+FIXTURE_DOC_LEN = 12
+
+
+def multilingual_fixture_rows() -> list[tuple[int, str, str]]:
+    """(doc_id, lang, text): ``N_FIXTURE_DOCS_PER_LANG`` deterministic docs
+    per language — word j of doc i is ``vocab[(i + j) % 10]``, so every doc
+    is dominated by its own language's function words while sharing the
+    cross-language homographs (es/fr 'la', fr/zh 'le') that make the argmax
+    non-trivial. The DuckDB twin's VALUES list is rendered from this exact
+    list (oracle.llm_sql.LANG_ID_MULTILINGUAL)."""
+    rows: list[tuple[int, str, str]] = []
+    doc_id = 0
+    for lang in sorted(MULTILINGUAL_VOCAB):
+        vocab = MULTILINGUAL_VOCAB[lang]
+        for i in range(N_FIXTURE_DOCS_PER_LANG):
+            words = [vocab[(i + j) % len(vocab)] for j in range(FIXTURE_DOC_LEN)]
+            rows.append((doc_id, lang, " ".join(words)))
+            doc_id += 1
+    return rows
+
 
 def _score(toks: F.Column, words: tuple[str, ...]) -> F.Column:
     return F.size(F.filter(toks, lambda x: x.isin(*words)))
 
 
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, lang_actual, lang_pred, score): argmax stopword-profile hits,
-    ties to the lexicographically first language."""
-    docs = load_tables(spark, sf_dir)["documents"]
+def _lang_id_frame(docs: DataFrame) -> DataFrame:
+    """Scoring pipeline shared by ``lang_id`` (corpus) and
+    ``lang_id_multilingual`` (fixture): argmax stopword-profile hits, ties
+    to the lexicographically first language."""
     toks = tokens(F.col("text"))
     scored = F.array(*[
         F.struct(
@@ -56,6 +95,26 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         best["lang"].alias("lang_pred"),
         (-best["neg_hits"]).cast("int").alias("score"),
     )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang_actual, lang_pred, score) over the documents corpus.
+    The synthetic corpus shares one vocabulary across langs, so predictions
+    here are degenerate by construction; ``lang_id_multilingual`` runs the
+    SAME pipeline on the embedded multilingual fixture where they are not."""
+    return _lang_id_frame(load_tables(spark, sf_dir)["documents"])
+
+
+def lang_id_multilingual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang_actual, lang_pred, score) over the embedded
+    multilingual fixture corpus (round-3 verdict stretch item: a corpus
+    where the predictions are non-degenerate — every language is actually
+    predicted). ``sf_dir`` is unused by design: fixture corpora ship with
+    the repo, exactly like ``graph_file_bfs``'s wheel13.graph."""
+    docs = spark.createDataFrame(
+        multilingual_fixture_rows(), "doc_id long, lang string, text string"
+    )
+    return _lang_id_frame(docs)
 
 
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -416,6 +416,36 @@ SELECT doc_id, lang AS lang_actual,
 FROM scored
 """
 
+def _multilingual_values() -> str:
+    """VALUES list rendered from the SAME fixture rows the Spark side builds
+    (operators.text_analysis.multilingual_fixture_rows)."""
+    from gmr_spark.operators.text_analysis import multilingual_fixture_rows
+
+    return ", ".join(
+        f"({doc_id}, '{lang}', '{text}')"
+        for doc_id, lang, text in multilingual_fixture_rows()
+    )
+
+
+LANG_ID_MULTILINGUAL = f"""
+WITH docs AS MATERIALIZED (
+    SELECT CAST(c1 AS BIGINT) AS doc_id, c2 AS lang, c3 AS text
+    FROM (VALUES {_multilingual_values()}) v(c1, c2, c3)
+),
+toks AS MATERIALIZED (
+    SELECT doc_id, lang, {_TOKS} AS t FROM docs
+),
+scored AS MATERIALIZED (
+    SELECT doc_id, lang,
+           {", ".join(f"CAST({_hits(w)} AS INTEGER) AS s_{lang}" for lang, w in sorted(_PROFILES_SQL.items()))}
+    FROM toks
+)
+SELECT doc_id, lang AS lang_actual,
+       CASE {" ".join(f"WHEN GREATEST(s_de, s_en, s_es, s_fr, s_zh) = s_{lang} THEN '{lang}'" for lang in sorted(_PROFILES_SQL))} END AS lang_pred,
+       GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS score
+FROM scored
+"""
+
 QUALITY_SCORE = f"""
 WITH toks AS MATERIALIZED (
     SELECT doc_id, {_TOKS} AS t FROM documents

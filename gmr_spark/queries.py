@@ -451,6 +451,7 @@ LLM_QUERIES: dict[str, QueryFn] = {
     "ann_ivf": S.ann_ivf,
     "ann_recall_at_k": S.ann_recall_at_k,
     "lang_id": TA.lang_id,
+    "lang_id_multilingual": TA.lang_id_multilingual,
     "quality_score": TA.quality_score,
     "token_stats": TA.token_stats,
     "term_frequencies": TA.term_frequencies,
@@ -501,6 +502,7 @@ LLM_ORACLES: dict[str, str] = {
     "ann_ivf": LSQL.ANN_IVF,
     "ann_recall_at_k": LSQL.ANN_RECALL_AT_K,
     "lang_id": LSQL.LANG_ID,
+    "lang_id_multilingual": LSQL.LANG_ID_MULTILINGUAL,
     "quality_score": LSQL.QUALITY_SCORE,
     "token_stats": LSQL.TOKEN_STATS,
     "term_frequencies": LSQL.TERM_FREQUENCIES,

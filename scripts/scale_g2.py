@@ -90,6 +90,33 @@ def main() -> None:
           file=sys.stderr)
     assert pr_rows == N
 
+    # Optional TriangleCount row (G2_RUN_TC=1): the reference's hardest
+    # recorded G2 number (BASELINE.md sheet1: 16m47s-11m17s). The expected
+    # count is EXACT and closed-form by translation invariance: every vertex
+    # sees the same neighbor-offset structure (S = {±2^j mod N}), so
+    # T = N * t0 / 3 where t0 = triangles incident to vertex 0 =
+    # #{(u,v) in S, u<v, u~v} — a ~46-element pairwise check in pure Python.
+    if os.environ.get("G2_RUN_TC", ""):
+        from gmr_spark.algorithms.triangles import triangle_count
+
+        offs = sorted({pow(2, j, N) for j in range(CHORDS)} - {0})
+        adj = set(offs) | {(N - d) % N for d in offs}
+        nbrs = sorted(adj)  # neighbors of vertex 0
+        t0 = sum(
+            1
+            for i, u in enumerate(nbrs)
+            for v in nbrs[i + 1:]
+            if (v - u) % N in adj or (u - v) % N in adj
+        )
+        expected = N * t0 // 3
+        assert (N * t0) % 3 == 0, (N, t0)
+        t0_time = time.perf_counter()
+        got = triangle_count(g).first().tri_cnt
+        timings["triangle_count"] = round(time.perf_counter() - t0_time, 1)
+        print(f"triangles: {got} (expected {expected}, "
+              f"{timings['triangle_count']}s)", file=sys.stderr)
+        assert got == expected, f"triangle count {got} != expected {expected}"
+
     # Optional checkpoint-cadence sweep (G2_CADENCE_SWEEP="1,3"): re-times
     # PageRank at the given checkpoint_intervals to confirm the k=2 default
     # (measured on the 600k fixture; see run_pregel scale notes) still wins

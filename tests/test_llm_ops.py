@@ -234,3 +234,14 @@ def test_rh_lsh_recall_beats_axis_aligned(spark):
     assert set(rows) == {"ivf", "rh_lsh", "sign_lsh"}
     assert rows["rh_lsh"] >= rows["sign_lsh"]
     assert rows["rh_lsh"] >= 0.2
+
+
+def test_lang_id_multilingual_predicts_every_language(spark):
+    """The embedded fixture makes lang-id predictions non-degenerate: every
+    language is predicted, and each doc's argmax is its own language."""
+    from gmr_spark.operators.text_analysis import lang_id_multilingual
+
+    rows = lang_id_multilingual(spark, "unused").collect()
+    assert len(rows) == 25
+    assert all(r.lang_pred == r.lang_actual for r in rows)
+    assert len({r.lang_pred for r in rows}) == 5
