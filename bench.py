@@ -78,6 +78,12 @@ HEADLINE = [
     # the applyInPandas declared surface) and random-hyperplane LSH
     "zscore_events_window",
     "ann_rh_lsh",
+    # round 4 additions: warehouse MERGE/upsert, stream-stream join batch
+    # twin, k-core peeling, per-vertex clustering coefficient
+    "merge_upsert_orders",
+    "stream_attribution_join",
+    "kcore_cs",
+    "clustering_coeff_hub",
 ]
 
 

@@ -1,7 +1,8 @@
 from gmr_spark.algorithms.sssp import sssp, bfs
 from gmr_spark.algorithms.pagerank import pagerank, personalized_pagerank
 from gmr_spark.algorithms.cc import connected_components
-from gmr_spark.algorithms.triangles import triangle_count
+from gmr_spark.algorithms.triangles import local_clustering, triangle_count
+from gmr_spark.algorithms.kcore import k_core
 from gmr_spark.algorithms.scc import strongly_connected_components
 from gmr_spark.algorithms.matmul import matmul_coo
 from gmr_spark.algorithms.mst import minimum_spanning_forest
@@ -15,6 +16,8 @@ __all__ = [
     "personalized_pagerank",
     "connected_components",
     "triangle_count",
+    "local_clustering",
+    "k_core",
     "strongly_connected_components",
     "matmul_coo",
     "minimum_spanning_forest",

@@ -1,0 +1,79 @@
+"""k-core decomposition by iterative peeling.
+
+The reference's roadmap cites GraphX's operator list as the algorithms to
+grow into (algorithms.h:217-222); coreness/peeling is the canonical
+degree-constrained-subgraph member of that family (GraphX ships it as a
+library algorithm). Semantics: the k-core is the maximal induced subgraph of
+the *canonical undirected* graph in which every vertex has degree >= k.
+
+Distributed shape (the standard one): repeat
+    deg     = degrees of the subgraph induced by the surviving vertex set
+    survive = deg >= k
+until no vertex is dropped. Each peel is one semi-join (edges against the
+alive set on both endpoints) + one groupBy — partial+final aggregated, no
+driver data beyond the per-iteration count. Iteration count is bounded by
+the peel depth (the graph's degeneracy ordering height), which is tiny for
+real corpora relative to |V|; lineage is cut with a localCheckpoint per
+peel exactly like plans/pregel.py does per superstep, so the 100 TB risk is
+peel passes over the edge table, not plan growth.
+
+Declared-query convergence contract: raises if the fixpoint is not reached
+within ``max_iter`` so a graph/k change fails loudly instead of as a silent
+oracle mismatch (same policy as pregel_census_bfs, queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from gmr_spark.algorithms.triangles import canonical_undirected
+from gmr_spark.graph import PropertyGraph
+
+
+def k_core(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
+    """-> (id BIGINT, core_degree BIGINT): vertices of the k-core with their
+    degree *inside* the core. Vertices peeled away are omitted."""
+    from gmr_spark.plans.pregel import _drop_checkpoint_blocks
+
+    und = canonical_undirected(graph.edges)
+    # symmetric view so degree = out-degree in one groupBy
+    sym = und.unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+
+    deg = sym.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )
+    alive = deg.filter(F.col("core_degree") >= k).localCheckpoint(eager=True)
+    n_alive = alive.count()
+
+    try:
+        for _ in range(max_iter):
+            if n_alive == 0:
+                return alive
+            induced = (
+                sym.join(alive.select(F.col("id").alias("a")), "a", "left_semi")
+                .join(alive.select(F.col("id").alias("b")), "b", "left_semi")
+            )
+            deg = induced.groupBy(F.col("a").alias("id")).agg(
+                F.count(F.lit(1)).alias("core_degree")
+            )
+            nxt = deg.filter(F.col("core_degree") >= k).localCheckpoint(eager=True)
+            n_nxt = nxt.count()
+            # superseded peel state is dead weight — drop its blocks now
+            # instead of waiting for ContextCleaner (same hygiene as
+            # run_pregel's per-superstep truncation)
+            _drop_checkpoint_blocks(alive)
+            if n_nxt == n_alive:
+                # fixpoint: induced degrees are all >= k -> this IS the core
+                return nxt
+            alive, n_alive = nxt, n_nxt
+    finally:
+        # the survivors are their own eager checkpoint; the symmetric edge
+        # view is no longer reachable from the result
+        _drop_checkpoint_blocks(sym)
+
+    raise AssertionError(
+        f"k_core(k={k}) did not reach the peeling fixpoint within "
+        f"{max_iter} iterations — raise max_iter (and the oracle unroll K)"
+    )

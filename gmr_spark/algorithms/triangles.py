@@ -34,12 +34,23 @@ def canonical_undirected(edges: DataFrame) -> DataFrame:
 
 
 def triangle_count(graph: PropertyGraph) -> DataFrame:
-    """-> single row (tri_cnt BIGINT): number of distinct triangles a<b<c."""
+    """-> single row (tri_cnt BIGINT): number of distinct triangles a<b<c.
+
+    Both self-joins carry an explicit ``shuffle_hash`` hint on the edge-set
+    side: the canonical edge set sits behind distinct-over-checkpoint plans
+    whose size statistics Catalyst cannot see, and at G2 scale (110M
+    canonical edges ≈ 10.6 GiB) the resulting broadcast mis-plan aborts the
+    job outright — the identical estimate trap run_pregel pins against
+    (plans/pregel.py:166-183; hit live on the first G2 TC run, round 4).
+    Shuffle-hash is also the shape you want: no sort of the multi-billion-row
+    wedge stream (SMJ would), and the build side is |E|/num_partitions per
+    task."""
     und = canonical_undirected(graph.edges)
     e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
     tri = (
-        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
-        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        e1.join(e2.hint("shuffle_hash"), F.col("e1.b") == F.col("e2.a"))
+        .join(e3.hint("shuffle_hash"),
+              (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
     )
     return tri.agg(F.count(F.lit(1)).alias("tri_cnt"))
 
@@ -91,6 +102,41 @@ def triangle_count_reference_semantics(graph: PropertyGraph) -> DataFrame:
     return per_edge.agg(F.sum("tri").cast("long").alias("tri_cnt"))
 
 
+def local_clustering(graph: PropertyGraph) -> DataFrame:
+    """-> (id BIGINT, degree BIGINT, tri_cnt BIGINT, lcc DOUBLE): local
+    clustering coefficient 2·T(v) / (d(v)·(d(v)−1)) over the canonical
+    undirected graph, 0.0 where d < 2, rounded to 6 places for cross-engine
+    compare. GraphX-roadmap surface (reference algorithms.h:217-222):
+    composition of the per-vertex triangle join with an undirected degree
+    aggregation — two shuffles total (the triangle join's and the degree
+    groupBy's), both on vertex id, so AQE coalesces them onto one
+    partitioning; no Python anywhere."""
+    und = canonical_undirected(graph.edges)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_count_per_vertex(graph)
+    return (
+        deg.join(tri, "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce(F.col("tri_cnt"), F.lit(0)).alias("tri_cnt"),
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    2.0 * F.coalesce(F.col("tri_cnt"), F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - F.lit(1))),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("lcc"),
+        )
+    )
+
+
 def triangle_count_per_vertex(graph: PropertyGraph) -> DataFrame:
     """-> (id BIGINT, tri_cnt BIGINT): triangles incident to each vertex
     (each triangle counted once per member vertex). Vertices in no triangle
@@ -98,9 +144,11 @@ def triangle_count_per_vertex(graph: PropertyGraph) -> DataFrame:
     dense output is needed."""
     und = canonical_undirected(graph.edges)
     e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    # shuffle_hash for the same estimate-trap reason as triangle_count
     tri = (
-        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
-        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        e1.join(e2.hint("shuffle_hash"), F.col("e1.b") == F.col("e2.a"))
+        .join(e3.hint("shuffle_hash"),
+              (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
         .select(F.col("e1.a").alias("va"), F.col("e1.b").alias("vb"), F.col("e2.b").alias("vc"))
     )
     members = (

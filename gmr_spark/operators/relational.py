@@ -1090,3 +1090,69 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+MERGE_PIVOT = "1998-05-01"  # late pivot: all three actions occur (U/I/K)
+
+
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / CDC-upsert semantics as a declared batch operator: the
+    warehouse-maintenance primitive the reference (batch-only graph engine)
+    has no counterpart for. Base snapshot = each customer's latest order
+    strictly before MERGE_PIVOT; update batch = each customer's latest order
+    on/after it. MERGE upserts the batch into the snapshot keyed on custkey:
+
+        matched     -> replace with the update row  (action 'U')
+        not matched -> insert the update row        (action 'I')
+        untouched   -> keep the base row            (action 'K')
+
+    -> (c_custkey, o_orderkey, o_totalprice, action) — the (unique)
+    orderkey pins row identity, so the date column adds nothing to the
+    cross-engine check and timestamp-vs-date comparison semantics stay out
+    of the compare entirely.
+
+    Scale shape: both "latest per key" reductions are max_by aggregations
+    (partial+final, no window over the full table), and the merge itself is
+    one full-outer shuffle join on the merge key — exactly the shape Delta/
+    Iceberg MERGE compiles to, minus the file-level pruning a table format
+    adds. No collect, no broadcast of the big side."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    ts_t = orders.schema["o_orderdate"].dataType
+    pivot = F.lit(f"{MERGE_PIVOT} 00:00:00").cast(ts_t)
+
+    def latest(df: DataFrame) -> DataFrame:
+        # max_by with the (unique) orderkey as tiebreak-free selector:
+        # order dates repeat per customer, so select the lexicographically
+        # greatest (date, orderkey) pair for determinism on both engines
+        return df.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+            F.max(F.struct("o_orderdate", "o_orderkey", "o_totalprice")).alias("s")
+        ).select(
+            "c_custkey",
+            F.col("s.o_orderkey").alias("o_orderkey"),
+            F.col("s.o_orderdate").alias("o_orderdate"),
+            F.col("s.o_totalprice").alias("o_totalprice"),
+        )
+
+    base = latest(orders.filter(F.col("o_orderdate") < pivot))
+    updates = latest(orders.filter(F.col("o_orderdate") >= pivot))
+
+    b = base.select(
+        "c_custkey",
+        F.col("o_orderkey").alias("b_orderkey"),
+        F.col("o_totalprice").alias("b_totalprice"),
+    )
+    u = updates.select(
+        "c_custkey",
+        F.col("o_orderkey").alias("u_orderkey"),
+        F.col("o_totalprice").alias("u_totalprice"),
+    )
+    merged = b.join(u, "c_custkey", "full_outer")
+    return merged.select(
+        "c_custkey",
+        F.coalesce("u_orderkey", "b_orderkey").alias("o_orderkey"),
+        F.coalesce("u_totalprice", "b_totalprice").alias("o_totalprice"),
+        F.when(F.col("u_orderkey").isNull(), F.lit("K"))
+        .when(F.col("b_orderkey").isNull(), F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("action"),
+    )

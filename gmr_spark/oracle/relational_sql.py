@@ -540,3 +540,55 @@ SELECT CAST(64 AS INTEGER) AS k,
                  - e.exact_distinct) / e.exact_distinct, 6) AS rel_err
 FROM kth k, ex e, val v
 """
+
+
+MERGE_UPSERT = """
+WITH latest_base AS MATERIALIZED (
+    SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '1998-05-01 00:00:00'
+    ) WHERE rn = 1
+),
+latest_upd AS MATERIALIZED (
+    SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-05-01 00:00:00'
+    ) WHERE rn = 1
+)
+SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
+       COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+       COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+       CASE WHEN u.o_orderkey IS NULL THEN 'K'
+            WHEN b.o_orderkey IS NULL THEN 'I'
+            ELSE 'U' END AS action
+FROM latest_base b
+FULL OUTER JOIN latest_upd u ON u.c_custkey = b.c_custkey
+"""
+
+
+ATTRIBUTION = """
+WITH p AS MATERIALIZED (
+    SELECT event_id AS purchase_id, user_id, ts AS p_ts
+    FROM events WHERE event_type = 'purchase'
+),
+v AS MATERIALIZED (
+    SELECT event_id AS view_id, user_id, ts AS v_ts
+    FROM events WHERE event_type = 'view'
+)
+SELECT p.purchase_id, p.user_id,
+       COUNT(*) AS n_views,
+       MIN(v.view_id) AS first_view_id
+FROM p
+JOIN v ON v.user_id = p.user_id
+      AND v.v_ts < p.p_ts
+      AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR
+GROUP BY p.purchase_id, p.user_id
+"""

@@ -181,6 +181,73 @@ JOIN und e2 ON e1.b = e2.a
 JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"""
 
 
+def clustering_sql(graph: str) -> str:
+    """Local clustering coefficient twin of algorithms.triangles.local_clustering:
+    per-vertex triangle incidence over the canonical undirected graph, LCC =
+    2T/(d(d-1)) rounded to 6, 0.0 where d < 2."""
+    return f"""{_graph_ctes(graph)},
+und AS MATERIALIZED (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+),
+deg AS MATERIALIZED (
+    SELECT id, COUNT(*) AS degree FROM (
+        SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und
+    ) GROUP BY id
+),
+tri_raw AS MATERIALIZED (
+    SELECT e1.a AS va, e1.b AS vb, e2.b AS vc
+    FROM und e1
+    JOIN und e2 ON e1.b = e2.a
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tri AS MATERIALIZED (
+    SELECT id, COUNT(*) AS tri_cnt FROM (
+        SELECT va AS id FROM tri_raw
+        UNION ALL SELECT vb FROM tri_raw
+        UNION ALL SELECT vc FROM tri_raw
+    ) GROUP BY id
+)
+SELECT d.id, d.degree,
+       COALESCE(t.tri_cnt, CAST(0 AS BIGINT)) AS tri_cnt,
+       ROUND(CASE WHEN d.degree >= 2
+                  THEN 2.0 * COALESCE(t.tri_cnt, 0)
+                       / (d.degree * (d.degree - 1))
+                  ELSE 0.0 END, 6) AS lcc
+FROM deg d LEFT JOIN tri t ON t.id = d.id"""
+
+
+def kcore_sql(graph: str, k: int, iters: int) -> str:
+    """k-core peeling unrolled ``iters`` times (exact when iters >= the peel
+    depth — the engine side raises if its fixpoint needs more, same contract
+    as the other K-bounded oracles in this module). alive0 filters on
+    full-graph degree; alive{{i}} recomputes degree induced on alive{{i-1}};
+    at the fixpoint the surviving rows carry their in-core degree."""
+    steps = [f"""alive0 AS MATERIALIZED (
+    SELECT a AS id, COUNT(*) AS deg FROM sym GROUP BY a
+    HAVING COUNT(*) >= {k}
+)"""]
+    for i in range(1, iters + 1):
+        steps.append(f"""alive{i} AS MATERIALIZED (
+    SELECT s.a AS id, COUNT(*) AS deg
+    FROM sym s
+    JOIN alive{i - 1} x ON s.a = x.id
+    JOIN alive{i - 1} y ON s.b = y.id
+    GROUP BY s.a
+    HAVING COUNT(*) >= {k}
+)""")
+    return f"""{_graph_ctes(graph)},
+und AS MATERIALIZED (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+),
+sym AS MATERIALIZED (
+    SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und
+),
+""" + ",\n".join(steps) + f"""
+SELECT id, deg AS core_degree FROM alive{iters}"""
+
+
 def degrees_sql(graph: str) -> str:
     return f"""{_graph_ctes(graph)}
 SELECT v.id,

@@ -16,7 +16,9 @@ from gmr_spark.algorithms import (
     bfs,
     personalized_pagerank,
     connected_components,
+    k_core,
     label_propagation,
+    local_clustering,
     matmul_coo,
     minimum_spanning_forest,
     pagerank,
@@ -28,6 +30,8 @@ from gmr_spark.oracle import (
     bfs_census_sql,
     bfs_sql,
     cc_sql,
+    clustering_sql,
+    kcore_sql,
     degrees_sql,
     lpa_sql,
     matmul_sql,
@@ -167,6 +171,27 @@ def _q_triangles_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(g)
 
 
+def _q_clustering_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient on ``hub_tri`` (hub + spoke +2 chord) —
+    the one derived graph where LCC is non-degenerate: hub 0 closes a
+    triangle with every adjacent even-spoke pair, the other hubs sit in
+    open wedges only, and even/odd spokes carry different triangle loads."""
+    g = derive_graph(spark, sf_dir, "hub_tri", materialize=True)
+    return local_clustering(g)
+
+
+KCORE_K = 3        # peel threshold
+K_KCORE_ITERS = 24  # oracle unroll bound; k_core raises if fixpoint needs more
+
+
+def _q_kcore_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the bipartite customer–supplier graph: low-order customers
+    peel first, which can drop supplier degrees below k and cascade — the
+    non-trivial fixpoint the operator exists for."""
+    g = derive_graph(spark, sf_dir, "cs", materialize=True)
+    return k_core(g, k=KCORE_K, max_iter=K_KCORE_ITERS)
+
+
 def _q_degrees_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = derive_graph(spark, sf_dir, "cs", materialize=True)
     out_d = g.out_degrees()
@@ -282,6 +307,8 @@ GRAPH_QUERIES: dict[str, QueryFn] = {
     "scc_nation_ring": _q_scc_nation_ring,
     "label_propagation_geo": _q_label_propagation_geo,
     "triangles_ring": _q_triangles_ring,
+    "clustering_coeff_hub": _q_clustering_hub,
+    "kcore_cs": _q_kcore_cs,
     "degrees_cs": _q_degrees_cs,
     "matmul_nation_ring": _q_matmul_nation_ring,
     "mst_nation_mesh": _q_mst_nation_mesh,
@@ -305,6 +332,8 @@ GRAPH_ORACLES: dict[str, str] = {
     "cc_cs": cc_sql("cs", K_CC_CS, undirected=True),
     "label_propagation_geo": lpa_sql("geo", K_LPA),
     "triangles_ring": triangle_sql("ring"),
+    "clustering_coeff_hub": clustering_sql("hub_tri"),
+    "kcore_cs": kcore_sql("cs", KCORE_K, K_KCORE_ITERS),
     "degrees_cs": degrees_sql("cs"),
     "scc_nation_ring": scc_sql("nation_ring", K_SCC_NATION),
     "matmul_nation_ring": matmul_sql("nation_ring"),
@@ -359,6 +388,7 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "zscore_events": R.zscore_events,
     "zscore_events_window": R.zscore_events_window,
     "approx_sketch_bounds": R.approx_sketch_bounds,
+    "merge_upsert_orders": R.merge_upsert_orders,
 }
 
 # Bench-only surface: sketch outputs (HLL++/t-digest) are engine-specific,
@@ -414,6 +444,7 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "zscore_events": RSQL.ZSCORE_EVENTS,
     "zscore_events_window": RSQL.ZSCORE_EVENTS,  # same oracle, JVM-window plan
     "approx_sketch_bounds": RSQL.APPROX_SKETCH_BOUNDS,
+    "merge_upsert_orders": RSQL.MERGE_UPSERT,
 }
 
 
@@ -481,6 +512,15 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_hourly_batch(spark, sf_dir)
 
 
+def _q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream attribution join (streaming/joins.py);
+    the streaming path's raw pairs are duality-pinned in
+    tests/test_streaming.py."""
+    from gmr_spark.streaming.joins import attribution_batch
+
+    return attribution_batch(spark, sf_dir)
+
+
 EVENTS_HOURLY_SQL = """
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
        event_type,
@@ -532,6 +572,10 @@ LLM_ORACLES: dict[str, str] = {
 _CHANGED_THIS_ROUND = (
     "ann_recall_at_k",   # 3rd recall row (rh_lsh) added
     "cc_cs",             # pointer-jumping rewrite
+    "dedup_minhash",     # memoized shingle/pair chain (checkpoint sharing)
+    "dup_clusters",      # rides the memoized pair chain + CC rewrite
+    "dedup_survivors",   # rides the memoized pair chain
+    "triangles_ring",    # shuffle_hash join pins (G2 estimate-trap fix)
 )
 
 
@@ -566,6 +610,7 @@ def _natural_registry() -> dict[str, QueryFn]:
     registry.update(LLM_QUERIES)
     registry["events_hourly"] = _q_events_hourly
     registry["events_sliding"] = _q_events_sliding
+    registry["stream_attribution_join"] = _q_stream_attribution
     registry.update(GRAPH_QUERIES)
     registry.update(RELATIONAL_QUERIES)
     return registry
@@ -600,6 +645,7 @@ def all_oracles() -> dict[str, str]:
     oracles.update(LLM_ORACLES)
     oracles["events_hourly"] = EVENTS_HOURLY_SQL
     oracles["events_sliding"] = EVENTS_SLIDING_SQL
+    oracles["stream_attribution_join"] = RSQL.ATTRIBUTION
     oracles.update(GRAPH_ORACLES)
     oracles.update(RELATIONAL_ORACLES)
     # identical order to all_queries(): tiebreak on the QUERY registry's

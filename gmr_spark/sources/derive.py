@@ -139,6 +139,42 @@ GRAPH_SQL: dict[str, str] = {
         FROM spokes
         WHERE rid % 97 = hub
     """,
+    "hub_tri": """
+        WITH base AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rid,
+                   COUNT(*) OVER () AS n
+            FROM lineitem
+        ), spokes AS (
+            SELECT rid, n,
+                   CASE WHEN rid % 2 = 0 THEN 0
+                        WHEN rid % 4 = 1 THEN 1
+                        WHEN rid % 8 = 3 THEN 2
+                        WHEN rid % 16 = 7 THEN 3
+                        WHEN rid % 32 = 15 THEN 4
+                        ELSE 5 END AS hub
+            FROM base
+        )
+        SELECT CAST(1000 + rid AS BIGINT) AS src,
+               CAST(hub AS BIGINT)        AS dst,
+               CAST(1.0 AS DOUBLE)        AS weight
+        FROM spokes
+        UNION ALL
+        SELECT CAST(1000 + rid AS BIGINT),
+               CAST(1000 + (rid + 1) % n AS BIGINT),
+               CAST(1.0 AS DOUBLE)
+        FROM spokes
+        UNION ALL
+        SELECT CAST(1000 + rid AS BIGINT),
+               CAST(1000 + (rid + 2) % n AS BIGINT),
+               CAST(1.0 AS DOUBLE)
+        FROM spokes
+        UNION ALL
+        SELECT CAST(hub AS BIGINT),
+               CAST(1000 + rid AS BIGINT),
+               CAST(1.0 AS DOUBLE)
+        FROM spokes
+        WHERE rid % 97 = hub
+    """,
     "nation_mesh": """
         SELECT CAST(a.n_nationkey AS BIGINT) AS src,
                CAST(b.n_nationkey AS BIGINT) AS dst,
@@ -252,12 +288,43 @@ def _build_hub(spark: SparkSession):
     return to_hub.unionAll(ring).unionAll(fan_out)
 
 
+def _build_hub_tri(spark: SparkSession):
+    """hub + a +2 spoke chord: consecutive-triple triangles on the spoke
+    ring, and hub 0 closes a triangle with every adjacent even-spoke pair —
+    the fixture where local clustering coefficients are non-degenerate
+    (hub has none of that structure: all its wedges are open)."""
+    base = _lineitem_base(spark)
+    hub = (
+        F.when(F.col("rid") % 2 == 0, 0)
+        .when(F.col("rid") % 4 == 1, 1)
+        .when(F.col("rid") % 8 == 3, 2)
+        .when(F.col("rid") % 16 == 7, 3)
+        .when(F.col("rid") % 32 == 15, 4)
+        .otherwise(5)
+    )
+    spokes = base.select("rid", "n", hub.alias("hub"))
+    w = F.lit(1.0).cast("double").alias("weight")
+    to_hub = spokes.select((F.lit(1000) + F.col("rid")).alias("src"),
+                           F.col("hub").cast("bigint").alias("dst"), w)
+    ring = spokes.select((F.lit(1000) + F.col("rid")).alias("src"),
+                         (F.lit(1000) + (F.col("rid") + 1) % F.col("n")).alias("dst"), w)
+    chord = spokes.select((F.lit(1000) + F.col("rid")).alias("src"),
+                          (F.lit(1000) + (F.col("rid") + 2) % F.col("n")).alias("dst"), w)
+    fan_out = (
+        spokes.filter(F.col("rid") % 97 == F.col("hub"))
+        .select(F.col("hub").cast("bigint").alias("src"),
+                (F.lit(1000) + F.col("rid")).alias("dst"), w)
+    )
+    return to_hub.unionAll(ring).unionAll(chord).unionAll(fan_out)
+
+
 # Spark-side builders for derivations whose shared SQL contains an
 # unpartitioned global window. DuckDB still runs GRAPH_SQL verbatim — the
 # oracle-parity gate proves these produce identical graphs.
 _SPARK_BUILDERS = {
     "linked_lineitems": _build_linked_lineitems,
     "hub": _build_hub,
+    "hub_tri": _build_hub_tri,
 }
 
 # auto-sizing target for derived graphs (see derive_graph)

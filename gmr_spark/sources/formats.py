@@ -6,7 +6,9 @@ The reference reads one text format and writes stdout only
 general-purpose IO: parquet / csv / json readers and writers with optional
 hive-style partition columns. Partitioned parquet is the 100 TB default —
 partition pruning on the directory keys plus parquet row-group statistics
-give scan-time filtering for free; csv/json exist for interchange.
+give scan-time filtering for free; orc is the equivalent columnar
+alternative (stripe statistics, same pushdown story); csv/json exist for
+interchange.
 """
 
 from __future__ import annotations
@@ -14,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-_FORMATS = ("parquet", "csv", "json")
+_FORMATS = ("parquet", "orc", "csv", "json")
 
 
 def write_table(df: DataFrame, path: str, *, fmt: str = "parquet",

@@ -75,20 +75,27 @@ def main() -> None:
     print(f"graph: {N} vertices, {n_edges} edges "
           f"({timings['build_graph']}s)", file=sys.stderr)
 
-    t0 = time.perf_counter()
-    res = sssp(g, source=0, weighted=True, max_iter=CHORDS + 10)
-    n_reached = res.filter(F.col("dist").isNotNull()).count()
-    timings["sssp"] = round(time.perf_counter() - t0, 1)
-    print(f"sssp: {n_reached} reached ({timings['sssp']}s)", file=sys.stderr)
-    assert n_reached == N, f"expected all {N} reachable, got {n_reached}"
+    # G2_SKIP="sssp,pagerank" re-runs a single algorithm (e.g. TC) without
+    # paying for the others; the committed SCALE.md artifact records which
+    # rows came from which run.
+    skip = {s.strip() for s in os.environ.get("G2_SKIP", "").split(",") if s.strip()}
 
-    t0 = time.perf_counter()
-    pr = pagerank(g, k=10, damping=0.5)
-    pr_rows = pr.count()
-    timings["pagerank_k10"] = round(time.perf_counter() - t0, 1)
-    print(f"pagerank: {pr_rows} rows ({timings['pagerank_k10']}s)",
-          file=sys.stderr)
-    assert pr_rows == N
+    if "sssp" not in skip:
+        t0 = time.perf_counter()
+        res = sssp(g, source=0, weighted=True, max_iter=CHORDS + 10)
+        n_reached = res.filter(F.col("dist").isNotNull()).count()
+        timings["sssp"] = round(time.perf_counter() - t0, 1)
+        print(f"sssp: {n_reached} reached ({timings['sssp']}s)", file=sys.stderr)
+        assert n_reached == N, f"expected all {N} reachable, got {n_reached}"
+
+    if "pagerank" not in skip:
+        t0 = time.perf_counter()
+        pr = pagerank(g, k=10, damping=0.5)
+        pr_rows = pr.count()
+        timings["pagerank_k10"] = round(time.perf_counter() - t0, 1)
+        print(f"pagerank: {pr_rows} rows ({timings['pagerank_k10']}s)",
+              file=sys.stderr)
+        assert pr_rows == N
 
     # Optional TriangleCount row (G2_RUN_TC=1): the reference's hardest
     # recorded G2 number (BASELINE.md sheet1: 16m47s-11m17s). The expected

@@ -123,6 +123,12 @@ def test_format_round_trips(spark, tmp_path):
     import os
     assert any(d.startswith("o_orderstatus=") for d in os.listdir(pq))
 
+    # orc is columnar/self-describing like parquet — no schema needed
+    orc = str(tmp_path / "orders_orc")
+    write_table(orders, orc, fmt="orc", partition_by=["o_orderstatus"])
+    got_orc = read_table(spark, orc, fmt="orc").select(*orders.columns)
+    assert sorted(tuple(r) for r in got_orc.collect()) == want
+
     for fmt in ("csv", "json"):
         p = str(tmp_path / f"orders_{fmt}")
         write_table(orders, p, fmt=fmt)

@@ -288,3 +288,49 @@ def test_zscore_window_twin_is_pure_jvm(spark):
     # the Window's partition spec carries event_type (not an empty spec)
     win_detail = p.split("Window")[1]
     assert "event_type" in win_detail
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Bucketed tables co-locate the join: writing both sides bucketed on
+    the join key (bucketBy + sortBy) lets SortMergeJoin read the buckets
+    directly — ZERO Exchange nodes in the joined plan. This is the 100 TB
+    fact⋈fact strategy (pre-shuffle once at write time, join free forever);
+    external-path tables keep the warehouse out of the repo."""
+    from pyspark.sql import functions as F
+
+    from gmr_spark.sources.tables import load_tables
+
+    t = load_tables(spark, SF)
+    # force the SMJ path: at sf0.001 either side fits a broadcast, which
+    # would bypass the bucket co-location this test exists to pin (restore
+    # the session factory's value afterwards, gmr_spark/session.py)
+    prev = str(64 * 1024 * 1024)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, df, cols in [
+            ("b_orders", t["orders"], ["o_orderkey", "o_custkey", "o_totalprice"]),
+            ("b_lineitem", t["lineitem"], ["l_orderkey", "l_quantity"]),
+        ]:
+            key = cols[0]
+            (df.select(*cols).write.bucketBy(8, key).sortBy(key)
+             .option("path", str(tmp_path / name))
+             .mode("overwrite").saveAsTable(name))
+        joined = (
+            spark.table("b_orders")
+            .join(spark.table("b_lineitem"),
+                  F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        plan = joined._jdf.queryExecution().explainString(mode)
+        assert "SortMergeJoin" in plan
+        assert n_exchanges(plan) == 0, plan
+        # the bucket layout also covers the groupBy on the same key
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -286,3 +286,42 @@ def test_cc_path_graph_converges_in_log_rounds():
     # ceil(log2(10000)) = 14; allow slack but stay firmly sub-linear
     assert stats["rounds"] <= 16, stats
     assert stats["jump_joins"] <= 64, stats
+
+
+@settings(max_examples=5, deadline=None)
+@given(edge_sets)
+def test_kcore_matches_bruteforce_peel(edges):
+    from gmr_spark.algorithms import k_core
+
+    g = _graph(edges)
+    got = {(r.id, r.core_degree) for r in k_core(g, k=2, max_iter=20).collect()}
+    # brute-force peel on the canonical undirected graph
+    und = {frozenset(e) for e in edges}
+    alive = {v for e in und for v in e}
+    while True:
+        deg = {v: sum(1 for e in und if v in e and e <= alive) for v in alive}
+        nxt = {v for v in alive if deg[v] >= 2}
+        if nxt == alive:
+            break
+        alive = nxt
+    want = {(v, sum(1 for e in und if v in e and e <= alive)) for v in alive}
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(edge_sets)
+def test_local_clustering_matches_bruteforce(edges):
+    from gmr_spark.algorithms import local_clustering
+
+    g = _graph(edges)
+    got = {r.id: (r.degree, r.tri_cnt, r.lcc) for r in local_clustering(g).collect()}
+    und = {frozenset(e) for e in edges}
+    nodes = {v for e in und for v in e}
+    nbrs = {v: {u for e in und if v in e for u in e if u != v} for v in nodes}
+    for v in nodes:
+        d = len(nbrs[v])
+        t = sum(1 for a, b in combinations(sorted(nbrs[v]), 2)
+                if frozenset((a, b)) in und)
+        lcc = round(2.0 * t / (d * (d - 1)), 6) if d >= 2 else 0.0
+        assert got[v] == (d, t, lcc), (v, got[v], (d, t, lcc))
+    assert set(got) == nodes

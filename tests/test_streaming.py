@@ -158,3 +158,28 @@ def test_sliding_stream_equals_batch(spark):
         for r in events_sliding_batch(spark, SF).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """Stream-stream inner join (two-sided watermarks, time-range condition)
+    emits exactly the batch twin's attribution pairs."""
+    from gmr_spark.streaming.joins import (
+        attribution_pairs_batch,
+        start_attribution_stream,
+    )
+
+    q = start_attribution_stream(spark, SF, query_name="t_attrib")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.purchase_id, r.view_id)
+            for r in spark.sql("SELECT * FROM t_attrib").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.purchase_id, r.view_id)
+        for r in attribution_pairs_batch(spark, SF).collect()
+    }
+    assert got == want
+    assert len(want) > 0
