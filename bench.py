@@ -84,6 +84,7 @@ HEADLINE = [
     "stream_attribution_join",
     "kcore_cs",
     "clustering_coeff_hub",
+    "scd2_order_history",
 ]
 
 

@@ -1156,3 +1156,36 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("U"))
         .alias("action"),
     )
+
+
+SCD2_OPEN_EPOCH = 253370764800  # 9999-01-01 00:00:00 UTC
+
+
+def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type-2 build: each customer's order stream
+    versioned into effective-dated rows — (c_custkey, version, o_orderkey,
+    valid_from_epoch, valid_to_epoch, is_current), valid_to = next version's
+    valid_from; the open (current) row carries the standard SCD2 high-date
+    sentinel (9999-01-01 = epoch 253370764800) instead of NULL, which also
+    keeps the column integral end-to-end (a NULL-bearing BIGINT round-trips
+    through pandas as float64 and breaks the driver's type-class hash). The companion warehouse
+    primitive to merge_upsert_orders: MERGE maintains the latest state,
+    SCD2 keeps the full history queryable by time-travel predicates
+    (valid_from <= t < valid_to).
+
+    Scale shape: ONE window partitioned by the dimension key (never a
+    full-data window — the r1 scale-killer pin applies), so it shuffles
+    once on c_custkey and both row_number and lead ride the same sort."""
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w).cast("long")
+    return o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.row_number().over(w).alias("version"),
+        "o_orderkey",
+        F.col("o_orderdate").cast("long").alias("valid_from_epoch"),
+        F.coalesce(nxt, F.lit(SCD2_OPEN_EPOCH)).alias("valid_to_epoch"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -592,3 +592,16 @@ JOIN v ON v.user_id = p.user_id
       AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR
 GROUP BY p.purchase_id, p.user_id
 """
+
+
+SCD2_HISTORY = """
+SELECT o_custkey AS c_custkey,
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+       o_orderkey,
+       CAST(epoch(o_orderdate) AS BIGINT) AS valid_from_epoch,
+       COALESCE(CAST(epoch(LEAD(o_orderdate) OVER w) AS BIGINT),
+                253370764800) AS valid_to_epoch,
+       (LEAD(o_orderdate) OVER w IS NULL) AS is_current
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""

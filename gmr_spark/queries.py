@@ -389,6 +389,7 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "zscore_events_window": R.zscore_events_window,
     "approx_sketch_bounds": R.approx_sketch_bounds,
     "merge_upsert_orders": R.merge_upsert_orders,
+    "scd2_order_history": R.scd2_order_history,
 }
 
 # Bench-only surface: sketch outputs (HLL++/t-digest) are engine-specific,
@@ -445,6 +446,7 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "zscore_events_window": RSQL.ZSCORE_EVENTS,  # same oracle, JVM-window plan
     "approx_sketch_bounds": RSQL.APPROX_SKETCH_BOUNDS,
     "merge_upsert_orders": RSQL.MERGE_UPSERT,
+    "scd2_order_history": RSQL.SCD2_HISTORY,
 }
 
 

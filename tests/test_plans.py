@@ -334,3 +334,18 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_scd2_single_keyed_shuffle(spark):
+    """SCD2 history: ONE hash exchange on the dimension key, and both window
+    functions (row_number + lead) ride the same keyed Window — no
+    SinglePartition anywhere (the r01 full-data-window killer)."""
+    p = plan_of(spark, "scd2_order_history")
+    assert n_exchanges(p) == 1, p
+    assert "SinglePartition" not in p
+    for block in p.split("\n\n"):
+        if not re.match(r"\(\d+\) Window", block):
+            continue
+        args = next(l for l in block.splitlines() if l.startswith("Arguments:"))
+        groups = re.findall(r"\[[^\[\]]*\]", args)
+        assert len(groups) >= 3 and "o_custkey" in groups[-2], args

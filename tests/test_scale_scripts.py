@@ -61,3 +61,24 @@ def test_g2_generator_diameter_property(spark):
     assert reached == n
     max_level = levels.agg(F.max("level")).first()[0]
     assert max_level <= chords, f"diameter {max_level} > log2 bound {chords}"
+
+
+def test_llm_scale_embedding_planted_recall(spark, tmp_path):
+    """The synthetic embeddings twin plants the same (2k, 2k+1) pairs as the
+    text corpus; the 16-bit sign-LSH bucket join + cosine verify must find
+    them with ~(1-0.005)^16 ≈ 92% expected recall and zero false positives
+    at min_sim=0.9 (random same-bucket cosines sit ~7σ below)."""
+    from scale_llm import build_corpus
+
+    from gmr_spark.operators.dedup import dedup_embedding
+
+    n = 5000
+    sf = build_corpus(spark, n=n, scratch=str(tmp_path / "corpus"),
+                      base_sf="/root/testdata/sf0.001")
+    planted = (n // 2 + 24) // 25
+    pairs = dedup_embedding(spark, sf, n_bits=16, min_sim=0.9).collect()
+    for r in pairs:
+        assert r.vec_b == r.vec_a + 1 and r.vec_a % 2 == 0 \
+            and (r.vec_a // 2) % 25 == 0, f"false positive: {r}"
+        assert r.sim >= 0.99
+    assert len(pairs) >= 0.8 * planted, (len(pairs), planted)
