@@ -85,6 +85,8 @@ HEADLINE = [
     "kcore_cs",
     "clustering_coeff_hub",
     "scd2_order_history",
+    "events_session_windows",
+    "dq_audit",
 ]
 
 

@@ -1189,3 +1189,55 @@ def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(nxt, F.lit(SCD2_OPEN_EPOCH)).alias("valid_to_epoch"),
         nxt.isNull().alias("is_current"),
     )
+
+
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit — the pipeline-gate primitive (constraint checks a
+    training-data ingest runs before accepting a drop): one row per declared
+    check, (check_name, n_violations, passed). Checks: primary-key
+    uniqueness, two referential-integrity directions, two domain checks, and
+    completeness (orders with no lineitems — genuinely nonzero on the
+    driver's synthetic data, so the audit surface is exercised on both
+    outcomes).
+
+    Scale shape: every check is one scan+aggregate or one anti-join+count —
+    partial+final agg, no collect; the six single-row branches union for
+    free. At 100 TB you'd run the checks off one cached scan per table;
+    the per-check plans are unchanged."""
+    t = load_tables(spark, sf_dir)
+    o, li, c = t["orders"], t["lineitem"], t["customer"]
+
+    def count_rows(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    checks = [
+        count_rows(
+            "orderkey_unique",
+            o.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1),
+        ),
+        count_rows(
+            "orders_custkey_fk",
+            o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti"),
+        ),
+        count_rows(
+            "lineitem_orderkey_fk",
+            li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti"),
+        ),
+        count_rows("totalprice_positive", o.filter(F.col("o_totalprice") <= 0)),
+        count_rows(
+            "discount_domain",
+            li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)),
+        ),
+        count_rows(
+            "orders_have_lineitems",
+            o.join(li.select("l_orderkey").distinct(),
+                   o["o_orderkey"] == F.col("l_orderkey"), "left_anti"),
+        ),
+    ]
+    out = checks[0]
+    for c_df in checks[1:]:
+        out = out.unionAll(c_df)
+    return out.withColumn("passed", F.col("n_violations") == 0)

@@ -605,3 +605,35 @@ SELECT o_custkey AS c_custkey,
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
+
+
+DQ_AUDIT = """
+SELECT 'orderkey_unique' AS check_name,
+       (SELECT COUNT(*) FROM (
+            SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+        )) AS n_violations
+UNION ALL
+SELECT 'orders_custkey_fk',
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'lineitem_orderkey_fk',
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'totalprice_positive',
+       (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+UNION ALL
+SELECT 'discount_domain',
+       (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 0.1)
+UNION ALL
+SELECT 'orders_have_lineitems',
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+"""
+
+
+DQ_AUDIT_WRAPPED = f"""
+SELECT check_name, n_violations, (n_violations = 0) AS passed
+FROM ({DQ_AUDIT.strip()})
+"""

@@ -390,6 +390,7 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "approx_sketch_bounds": R.approx_sketch_bounds,
     "merge_upsert_orders": R.merge_upsert_orders,
     "scd2_order_history": R.scd2_order_history,
+    "dq_audit": R.dq_audit,
 }
 
 # Bench-only surface: sketch outputs (HLL++/t-digest) are engine-specific,
@@ -447,6 +448,7 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "approx_sketch_bounds": RSQL.APPROX_SKETCH_BOUNDS,
     "merge_upsert_orders": RSQL.MERGE_UPSERT,
     "scd2_order_history": RSQL.SCD2_HISTORY,
+    "dq_audit": RSQL.DQ_AUDIT_WRAPPED,
 }
 
 
@@ -512,6 +514,41 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmr_spark.streaming.windowed import events_hourly_batch
 
     return events_hourly_batch(spark, sf_dir)
+
+
+def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the native session-window rollup (streaming/windowed);
+    append-mode emission duality is pinned in tests/test_streaming.py."""
+    from gmr_spark.streaming.windowed import events_session_windows_batch
+
+    return events_session_windows_batch(spark, sf_dir)
+
+
+EVENTS_SESSIONS_SQL = """
+WITH se AS MATERIALIZED (
+    SELECT user_id, event_id, value,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s
+    FROM events
+), lagged AS (
+    SELECT user_id, event_id, s, value,
+           LAG(s) OVER (PARTITION BY user_id ORDER BY s, event_id) AS prev_s
+    FROM se
+), flagged AS (
+    SELECT user_id, event_id, s, value,
+           CASE WHEN prev_s IS NULL OR s - prev_s >= 1800 THEN 1 ELSE 0 END AS is_new
+    FROM lagged
+), sess AS (
+    SELECT user_id, s, value,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       MIN(s) AS session_start_epoch,
+       MAX(s) + 1800 AS session_end_epoch,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM sess GROUP BY user_id, sid
+"""
 
 
 def _q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -613,6 +650,7 @@ def _natural_registry() -> dict[str, QueryFn]:
     registry["events_hourly"] = _q_events_hourly
     registry["events_sliding"] = _q_events_sliding
     registry["stream_attribution_join"] = _q_stream_attribution
+    registry["events_session_windows"] = _q_events_sessions
     registry.update(GRAPH_QUERIES)
     registry.update(RELATIONAL_QUERIES)
     return registry
@@ -648,6 +686,7 @@ def all_oracles() -> dict[str, str]:
     oracles["events_hourly"] = EVENTS_HOURLY_SQL
     oracles["events_sliding"] = EVENTS_SLIDING_SQL
     oracles["stream_attribution_join"] = RSQL.ATTRIBUTION
+    oracles["events_session_windows"] = EVENTS_SESSIONS_SQL
     oracles.update(GRAPH_ORACLES)
     oracles.update(RELATIONAL_ORACLES)
     # identical order to all_queries(): tiebreak on the QUERY registry's

@@ -123,3 +123,60 @@ def start_events_sliding_stream(spark: SparkSession, sf_dir: str,
         .queryName(query_name)
         .start()
     )
+
+
+def _session_agg(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Native session windows (30-min gap), the state-store sessionization
+    operator — vs ``operators.relational.sessionize`` which builds the same
+    sessions out of lag/flag/running-sum windows. Timestamps are truncated
+    to whole seconds BEFORE windowing so the session-break decision
+    (gap >= 1800 s) is integral on both engines: Spark's session_window
+    merges on exact microsecond arithmetic, while the DuckDB twin works in
+    truncated epoch seconds — sub-second gap differences would otherwise
+    flip a merge at the 1800 s boundary."""
+    tsec = F.timestamp_seconds(F.col("ts").cast("long"))
+    truncated = events.withColumn("tsec", tsec)
+    if watermark is not None:
+        # the watermark must ride the SAME event-time column session_window
+        # keys on (the truncated one), not the raw ts it derives from
+        truncated = truncated.withWatermark("tsec", watermark)
+    return (
+        truncated
+        .groupBy(F.session_window("tsec", "30 minutes").alias("w"),
+                 F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start_epoch"),
+            F.col("w.end").cast("long").alias("session_end_epoch"),
+            "n_events", "total_value",
+        )
+    )
+
+
+def events_session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming session-window rollup (declared,
+    oracle-checked): (user_id, session_start_epoch, session_end_epoch,
+    n_events, total_value); session_end = last event + gap."""
+    from gmr_spark.sources.tables import load_tables
+
+    return _session_agg(load_tables(spark, sf_dir)["events"])
+
+
+def start_events_session_stream(spark: SparkSession, sf_dir: str,
+                                query_name: str = "events_session_stream") -> StreamingQuery:
+    """Streaming session windows: watermarked event time, append mode (the
+    state store emits a session once the watermark passes its close — the
+    production shape; sessions still open at end-of-input stay in state,
+    which the duality test accounts for)."""
+    events = read_events_stream(spark, sf_dir)
+    agg = _session_agg(events, watermark="0 seconds")
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

@@ -183,3 +183,32 @@ def test_stream_stream_join_equals_batch(spark):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_session_window_stream_append_duality(spark):
+    """Append-mode session windows emit exactly the batch twin's rows for
+    every session the watermark closed; sessions still open at end-of-input
+    remain in state (the production contract). With a 0-second watermark
+    delay, the final watermark is the max event time, so any session whose
+    end precedes it must have been emitted."""
+    from pyspark.sql import functions as F
+
+    from gmr_spark.sources.tables import load_tables
+    from gmr_spark.streaming.windowed import (
+        events_session_windows_batch,
+        start_events_session_stream,
+    )
+
+    q = start_events_session_stream(spark, SF, query_name="t_sessions")
+    try:
+        q.processAllAvailable()
+        got = {tuple(r) for r in spark.sql("SELECT * FROM t_sessions").collect()}
+    finally:
+        q.stop()
+    batch = {tuple(r) for r in events_session_windows_batch(spark, SF).collect()}
+    assert got <= batch, f"stream emitted rows not in batch: {got - batch}"
+    max_s = load_tables(spark, SF)["events"].agg(
+        F.max(F.col("ts").cast("long"))).first()[0]
+    must_emit = {r for r in batch if r[2] < max_s}  # end < final watermark
+    assert must_emit <= got, f"closed sessions not emitted: {must_emit - got}"
+    assert len(got) > 0
