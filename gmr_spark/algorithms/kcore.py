@@ -32,7 +32,12 @@ from gmr_spark.graph import PropertyGraph
 
 def k_core(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
     """-> (id BIGINT, core_degree BIGINT): vertices of the k-core with their
-    degree *inside* the core. Vertices peeled away are omitted."""
+    degree *inside* the core. Vertices peeled away are omitted. Requires
+    k >= 1: isolated (and self-loop-only) vertices never enter the degree
+    table, so the k=0 core — the whole graph by definition — is not
+    representable here."""
+    if k < 1:
+        raise ValueError(f"k_core requires k >= 1, got {k}")
     from gmr_spark.plans.pregel import _drop_checkpoint_blocks
 
     und = canonical_undirected(graph.edges)

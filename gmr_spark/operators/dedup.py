@@ -34,8 +34,22 @@ N_BANDS = 4  # bands of 2 hashes each
 # correctness pass runs all three in one session — without sharing, each
 # call re-checkpoints blocks whose predecessors are never freed until
 # ContextCleaner catches up (round-3 ADVICE). Keyed by applicationId so a
-# restarted SparkContext cannot be served another context's DataFrames.
+# restarted SparkContext cannot be served another context's DataFrames, and
+# by the documents.parquet mtime/size fingerprint so a corpus REWRITTEN at
+# the same path within one session (scale_llm.build_corpus does rmtree +
+# rewrite) invalidates the cache instead of being served stale results.
 _CKPT_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _corpus_token(sf_dir: str) -> tuple:
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return ()
 
 
 def _memo(spark: SparkSession, key: tuple, build) -> DataFrame:
@@ -102,7 +116,7 @@ def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
 def _shingles_for(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """Application-memoized ``_doc_shingles`` over the sf_dir corpus."""
     return _memo(
-        spark, ("shingles", sf_dir, k),
+        spark, ("shingles", sf_dir, _corpus_token(sf_dir), k),
         lambda: _doc_shingles(load_tables(spark, sf_dir)["documents"], k),
     )
 
@@ -146,7 +160,7 @@ def _verified_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return _memo(spark, ("verified_pairs", sf_dir), build)
+    return _memo(spark, ("verified_pairs", sf_dir, _corpus_token(sf_dir)), build)
 
 
 def dedup_minhash(spark: SparkSession, sf_dir: str, *, min_jaccard: float = 0.1) -> DataFrame:

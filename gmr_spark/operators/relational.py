@@ -359,7 +359,11 @@ def approx_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "event_type",
-        (F.abs(F.col("au") - F.col("eu")) / F.col("eu") <= 0.10)
+        # eu = 0 (all-NULL user_ids in a group) divides by zero -> NULL,
+        # which would mismatch the oracle's literal TRUE; the sketch of an
+        # empty set is vacuously in bounds
+        F.when(F.col("eu") == 0, F.lit(True))
+        .otherwise(F.abs(F.col("au") - F.col("eu")) / F.col("eu") <= 0.10)
         .alias("users_within_10pct"),
         F.col("ap50").between(F.col("lo50"), F.col("hi50")).alias("p50_in_band"),
         F.col("ap90").between(F.col("lo90"), F.col("hi90")).alias("p90_in_band"),
@@ -474,8 +478,6 @@ def zscore_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     stddev next to each row — no Python, no Arrow transfer, one shuffle on
     the group key. Same oracle SQL as ``zscore_events`` (the applyInPandas
     declared-surface twin); a plan pin asserts no Python eval node."""
-    from pyspark.sql import Window as W
-
     ev = load_tables(spark, sf_dir)["events"]
     w = W.partitionBy("event_type")
     return (

@@ -232,6 +232,10 @@ def rh_buckets_array(vec: F.Column, *, n_tables: int = RH_N_TABLES,
     """ARRAY of ``n_tables`` global bucket ids (table-disambiguated:
     ``t * 2^n_bits + local_bucket``) — explode it to index a vector into
     every table."""
+    if n_tables * n_bits > len(_RH_PLANES):
+        raise ValueError(
+            f"n_tables*n_bits = {n_tables * n_bits} exceeds the "
+            f"{len(_RH_PLANES)} seeded planes shared with the DuckDB twin")
     return F.array(*[
         rh_bucket(vec, _RH_PLANES[t * n_bits:(t + 1) * n_bits])
         + F.lit(t * (1 << n_bits))

@@ -585,7 +585,7 @@ v AS MATERIALIZED (
 )
 SELECT p.purchase_id, p.user_id,
        COUNT(*) AS n_views,
-       MIN(v.view_id) AS first_view_id
+       FIRST(v.view_id ORDER BY v.v_ts, v.view_id) AS first_view_id
 FROM p
 JOIN v ON v.user_id = p.user_id
       AND v.v_ts < p.p_ts

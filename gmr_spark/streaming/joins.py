@@ -50,7 +50,7 @@ def _attribution_pairs(purchases: DataFrame, views: DataFrame) -> DataFrame:
         & (F.col("v_ts") < F.col("p_ts"))
         & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {ATTRIB_WINDOW}")),
         "inner",
-    ).select("purchase_id", "view_id", "p_user")
+    ).select("purchase_id", "view_id", "p_user", "v_ts")
 
 
 def attribution_pairs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -62,14 +62,15 @@ def attribution_pairs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def attribution_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared batch twin: per purchase, how many views preceded it within
-    the window and the earliest such view — (purchase_id, user_id, n_views,
+    the window and the EARLIEST such view by event time (view id as the
+    deterministic tiebreak) — (purchase_id, user_id, n_views,
     first_view_id)."""
     pairs = attribution_pairs_batch(spark, sf_dir)
     return pairs.groupBy(
         F.col("purchase_id"), F.col("p_user").alias("user_id")
     ).agg(
         F.count(F.lit(1)).alias("n_views"),
-        F.min("view_id").alias("first_view_id"),
+        F.min_by("view_id", F.struct("v_ts", "view_id")).alias("first_view_id"),
     )
 
 

@@ -302,9 +302,8 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
 
     t = load_tables(spark, SF)
     # force the SMJ path: at sf0.001 either side fits a broadcast, which
-    # would bypass the bucket co-location this test exists to pin (restore
-    # the session factory's value afterwards, gmr_spark/session.py)
-    prev = str(64 * 1024 * 1024)
+    # would bypass the bucket co-location this test exists to pin
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try:
