@@ -87,6 +87,7 @@ HEADLINE = [
     "scd2_order_history",
     "events_session_windows",
     "dq_audit",
+    "shortest_paths_geo",
 ]
 
 

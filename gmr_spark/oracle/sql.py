@@ -87,6 +87,43 @@ def bfs_sql(graph: str, source: int | str, k: int, *, undirected: bool = False) 
                     dist_col="level")
 
 
+def landmarks_sql(graph: str, landmarks: list[int], k: int) -> str:
+    """GraphX-library shortestPaths twin: K-step unit BFS unrolled once per
+    landmark inside one WITH, final projection one dist_l{i} column per
+    landmark (NULL = unreachable)."""
+    steps = []
+    for li, src in enumerate(landmarks):
+        steps.append(
+            f"l{li}_d0 AS MATERIALIZED (SELECT id, CASE WHEN id = {src} "
+            f"THEN CAST(0.0 AS DOUBLE) END AS dist FROM vertices)")
+        for i in range(1, k + 1):
+            p = f"l{li}_d{i - 1}"
+            steps.append(f"""l{li}_d{i} AS MATERIALIZED (
+    SELECT v.id,
+           CASE WHEN m.nd IS NULL THEN v.dist
+                WHEN v.dist IS NULL THEN m.nd
+                WHEN m.nd < v.dist THEN m.nd
+                ELSE v.dist END AS dist
+    FROM {p} v
+    LEFT JOIN (
+        SELECT e.dst AS id, MIN(p.dist + CAST(1.0 AS DOUBLE)) AS nd
+        FROM {p} p JOIN edges e ON e.src = p.id
+        WHERE p.dist IS NOT NULL
+        GROUP BY e.dst
+    ) m ON m.id = v.id
+)""")
+    cols = ", ".join(
+        f"t{li}.dist AS dist_l{li}" for li in range(len(landmarks)))
+    joins = "".join(
+        f" JOIN l{li}_d{k} t{li} ON t{li}.id = t0.id"
+        for li in range(1, len(landmarks)))
+    return (
+        f"{_graph_ctes(graph)},\n"
+        + ",\n".join(steps)
+        + f"\nSELECT t0.id, {cols} FROM l0_d{k} t0{joins}"
+    )
+
+
 def pagerank_sql(graph: str, k: int, *, damping: float = 0.5,
                  round_to: int = 6) -> str:
     """Fixed-k PageRank, reference semantics with global-N fix (FIXTURES §3.7)."""

@@ -32,6 +32,7 @@ from gmr_spark.oracle import (
     cc_sql,
     clustering_sql,
     kcore_sql,
+    landmarks_sql,
     degrees_sql,
     lpa_sql,
     matmul_sql,
@@ -180,6 +181,25 @@ def _q_clustering_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_clustering(g)
 
 
+LANDMARKS_GEO = [0, 1, 2]  # region vertices of the geo hierarchy
+
+
+def _q_shortest_paths_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphX-library shortestPaths (multi-landmark BFS distances):
+    (id, dist_l0, dist_l1, dist_l2), NULL = unreachable. Composed of one
+    scale-proven Pregel BFS per landmark joined on id — the vertex state of
+    this engine's Pregel is the reference's single float (partition.h:39),
+    so a landmark *map* per vertex is out of contract; per-landmark passes
+    keep each run's plan identical to bfs_geo's."""
+    g = derive_graph(spark, sf_dir, "geo", materialize=True)
+    out = g.vertices.select("id")
+    for i, src in enumerate(LANDMARKS_GEO):
+        d = bfs(g, source=src, max_iter=K_BFS_GEO).select(
+            "id", F.col("level").alias(f"dist_l{i}"))
+        out = out.join(d, "id", "left")
+    return out
+
+
 KCORE_K = 3        # peel threshold
 K_KCORE_ITERS = 24  # oracle unroll bound; k_core raises if fixpoint needs more
 
@@ -309,6 +329,7 @@ GRAPH_QUERIES: dict[str, QueryFn] = {
     "triangles_ring": _q_triangles_ring,
     "clustering_coeff_hub": _q_clustering_hub,
     "kcore_cs": _q_kcore_cs,
+    "shortest_paths_geo": _q_shortest_paths_geo,
     "degrees_cs": _q_degrees_cs,
     "matmul_nation_ring": _q_matmul_nation_ring,
     "mst_nation_mesh": _q_mst_nation_mesh,
@@ -334,6 +355,7 @@ GRAPH_ORACLES: dict[str, str] = {
     "triangles_ring": triangle_sql("ring"),
     "clustering_coeff_hub": clustering_sql("hub_tri"),
     "kcore_cs": kcore_sql("cs", KCORE_K, K_KCORE_ITERS),
+    "shortest_paths_geo": landmarks_sql("geo", LANDMARKS_GEO, K_BFS_GEO),
     "degrees_cs": degrees_sql("cs"),
     "scc_nation_ring": scc_sql("nation_ring", K_SCC_NATION),
     "matmul_nation_ring": matmul_sql("nation_ring"),
