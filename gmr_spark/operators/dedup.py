@@ -52,6 +52,20 @@ def _corpus_token(sf_dir: str) -> tuple:
         return ()
 
 
+def clear_dedup_memo() -> None:
+    """Release every memoized chain. The shingle checkpoint is ~GBs of
+    executor storage at corpus scale (92M rows in the 2M-doc proof) and the
+    memo intentionally pins it for cross-operator sharing; a pipeline that
+    is DONE with the dedup stage calls this so ContextCleaner can reclaim
+    the blocks before later stages pay the memory pressure (scale_llm.py
+    does). Dropping the dict releases the only Python references; the JVM
+    side is reclaimed asynchronously."""
+    _CKPT_MEMO.clear()
+    import gc
+
+    gc.collect()
+
+
 def _memo(spark: SparkSession, key: tuple, build) -> DataFrame:
     full_key = (spark.sparkContext.applicationId, *key)
     df = _CKPT_MEMO.get(full_key)
