@@ -177,17 +177,12 @@ def _verified_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
+        # raw overlap columns — jaccard AND containment derive from these,
+        # so both operators share one memoized chain
         return (
             inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
             .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
-            .select(
-                "doc_a", "doc_b",
-                F.round(
-                    F.col("n_common").cast("double")
-                    / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
-                    6,
-                ).alias("jaccard"),
-            )
+            .select("doc_a", "doc_b", "n_common", "na", "nb")
         )
 
     return _memo(spark, ("verified_pairs", sf_dir, _corpus_token(sf_dir)), build)
@@ -196,7 +191,15 @@ def _verified_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash(spark: SparkSession, sf_dir: str, *, min_jaccard: float = 0.1) -> DataFrame:
     """(doc_a, doc_b, jaccard): LSH candidates verified by exact shingle-set
     Jaccard ≥ threshold. The verification join touches candidates only."""
-    return _verified_jaccard_pairs(spark, sf_dir).filter(
+    raw = _verified_jaccard_pairs(spark, sf_dir)
+    return raw.select(
+        "doc_a", "doc_b",
+        F.round(
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    ).filter(
         F.col("jaccard") >= min_jaccard
     )
 
@@ -374,3 +377,25 @@ def dedup_survivors(spark: SparkSession, sf_dir: str, *, min_jaccard: float = 0.
         docs.join(F.broadcast(retired), "doc_id", "left_anti")
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str, *,
+                      min_containment: float = 0.5) -> DataFrame:
+    """(doc_a, doc_b, containment): asymmetric near-duplication — shingle
+    CONTAINMENT |A∩B| / min(|A|,|B|) over the same LSH-candidate chain as
+    ``dedup_minhash`` (memoized; zero extra corpus passes). Catches the
+    doc-inside-doc case Jaccard under-scores: a short document wholly
+    quoted by a long one has containment ~1 but Jaccard ~|A|/|B| — the
+    boilerplate-inclusion signal a corpus pipeline filters on. Recall
+    caveat inherited from LSH banding: candidates are Jaccard-biased, so
+    very-asymmetric pairs may not surface as candidates — the documented
+    tradeoff of reusing one candidate set for both scores."""
+    raw = _verified_jaccard_pairs(spark, sf_dir)
+    return raw.select(
+        "doc_a", "doc_b",
+        F.round(
+            F.col("n_common").cast("double")
+            / F.least("na", "nb").cast("double"),
+            6,
+        ).alias("containment"),
+    ).filter(F.col("containment") >= min_containment)

@@ -777,3 +777,24 @@ FROM documents d JOIN thr t ON d.source = t.source
 WHERE (strpos('0123456789abcdef', substr(md5(d.text), 1, 1)) - 1) * 16
       + (strpos('0123456789abcdef', substr(md5(d.text), 2, 1)) - 1) < t.thr
 """
+
+
+DEDUP_CONTAINMENT = f"""
+WITH {_SHINGLED.strip()},
+{_SIGS.strip()},
+inter AS MATERIALIZED (
+    SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+    FROM pairs p
+    JOIN shingled sa ON sa.doc_id = p.doc_a
+    JOIN shingled sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+    GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(i.n_common AS DOUBLE)
+             / CAST(LEAST(za.n_sh, zb.n_sh) AS DOUBLE), 6) AS containment
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE ROUND(CAST(i.n_common AS DOUBLE)
+            / CAST(LEAST(za.n_sh, zb.n_sh) AS DOUBLE), 6) >= 0.5
+"""

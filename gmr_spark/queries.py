@@ -499,6 +499,7 @@ GROUP BY 1, 2
 LLM_QUERIES: dict[str, QueryFn] = {
     "dedup_exact": D.dedup_exact,
     "dedup_minhash": D.dedup_minhash,
+    "dedup_containment": D.dedup_containment,
     "dedup_simhash": D.dedup_simhash,
     "dedup_embedding": D.dedup_embedding,
     "ngram_jaccard": D.ngram_jaccard_pairs,
@@ -594,6 +595,7 @@ GROUP BY 1, 2
 LLM_ORACLES: dict[str, str] = {
     "dedup_exact": LSQL.DEDUP_EXACT,
     "dedup_minhash": LSQL.DEDUP_MINHASH,
+    "dedup_containment": LSQL.DEDUP_CONTAINMENT,
     "dedup_simhash": LSQL.DEDUP_SIMHASH,
     "dedup_embedding": LSQL.DEDUP_EMBEDDING,
     "ngram_jaccard": LSQL.NGRAM_JACCARD,
