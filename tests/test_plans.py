@@ -348,3 +348,27 @@ def test_scd2_single_keyed_shuffle(spark):
         args = next(l for l in block.splitlines() if l.startswith("Arguments:"))
         groups = re.findall(r"\[[^\[\]]*\]", args)
         assert len(groups) >= 3 and "o_custkey" in groups[-2], args
+
+
+def test_triangle_joins_pinned_shuffle_hash(spark):
+    """The G2 estimate-trap regression guard: Catalyst cannot size the
+    distinct-over-checkpoint canonical edge set and once chose to broadcast
+    10.6 GiB of it (aborting the G2 TC run) — both triangle self-joins must
+    stay ShuffledHashJoin with no broadcast anywhere."""
+    p = plan_of(spark, "triangles_ring")
+    assert p.count("ShuffledHashJoin") >= 2, p
+    assert "BroadcastHashJoin" not in p
+
+
+def test_minhash_verify_semi_filters_shingles(spark):
+    """The 2M-doc scale fix's regression guard: the exact-Jaccard verify
+    stage must reach the shingle table through a broadcast LEFT-SEMI on the
+    candidate-doc id list (a map-side filter), never by reshuffling the
+    full corpus shingle set for a small candidate pair set."""
+    from gmr_spark.operators import dedup as D
+
+    D.clear_dedup_memo()  # force a fresh build so the plan is inspectable
+    df = D.dedup_minhash(spark, SF)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p = df._jdf.queryExecution().explainString(mode)
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", p), p
