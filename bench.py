@@ -88,6 +88,7 @@ HEADLINE = [
     "events_session_windows",
     "dq_audit",
     "shortest_paths_geo",
+    "dedup_containment",
 ]
 
 
