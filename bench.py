@@ -89,6 +89,7 @@ HEADLINE = [
     "dq_audit",
     "shortest_paths_geo",
     "dedup_containment",
+    "ktruss_hub_tri",
 ]
 
 

@@ -1,7 +1,7 @@
 from gmr_spark.algorithms.sssp import sssp, bfs
 from gmr_spark.algorithms.pagerank import pagerank, personalized_pagerank
 from gmr_spark.algorithms.cc import connected_components
-from gmr_spark.algorithms.triangles import local_clustering, triangle_count
+from gmr_spark.algorithms.triangles import k_truss, local_clustering, triangle_count
 from gmr_spark.algorithms.kcore import k_core
 from gmr_spark.algorithms.scc import strongly_connected_components
 from gmr_spark.algorithms.matmul import matmul_coo
@@ -18,6 +18,7 @@ __all__ = [
     "triangle_count",
     "local_clustering",
     "k_core",
+    "k_truss",
     "strongly_connected_components",
     "matmul_coo",
     "minimum_spanning_forest",

@@ -157,3 +157,77 @@ def triangle_count_per_vertex(graph: PropertyGraph) -> DataFrame:
         .unionAll(tri.select(F.col("vc").alias("id")))
     )
     return members.groupBy("id").agg(F.count(F.lit(1)).alias("tri_cnt"))
+
+
+def k_truss(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
+    """-> (a BIGINT, b BIGINT, support BIGINT): edges of the k-truss — the
+    maximal subgraph where every edge participates in >= k-2 triangles —
+    with each surviving edge's in-truss support. The triangle analog of
+    k-core (GraphX-roadmap family, reference algorithms.h:217-222):
+    repeatedly count per-edge triangle support on the surviving edge set
+    and drop edges below threshold, to fixpoint.
+
+    Scale shape: each peel round is the same hinted 3-way self-join as
+    ``triangle_count`` (shuffle_hash pinned — the G2 estimate trap applies
+    doubly here since the edge set shrinks each round and stats are stale)
+    plus one groupBy on the canonical edge key; rounds are bounded by the
+    truss peel depth. Per-round localCheckpoint truncates lineage exactly
+    like k_core's.
+
+    Raises if the fixpoint is not reached within ``max_iter`` (declared-
+    query convergence contract, same as k_core)."""
+    if k < 2:
+        raise ValueError(f"k_truss requires k >= 2, got {k}")
+    from gmr_spark.plans.pregel import _drop_checkpoint_blocks
+
+    min_support = k - 2
+    edges = canonical_undirected(graph.edges).localCheckpoint(eager=True)
+    n_edges = edges.count()
+
+    try:
+        for _ in range(max_iter):
+            if n_edges == 0:
+                return edges.select(
+                    "a", "b", F.lit(0).cast("bigint").alias("support"))
+            e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+            tri = (
+                e1.join(e2.hint("shuffle_hash"), F.col("e1.b") == F.col("e2.a"))
+                .join(e3.hint("shuffle_hash"),
+                      (F.col("e3.a") == F.col("e1.a"))
+                      & (F.col("e3.b") == F.col("e2.b")))
+                .select(F.col("e1.a").alias("va"), F.col("e1.b").alias("vb"),
+                        F.col("e2.b").alias("vc"))
+            )
+            # each triangle (va<vb<vc) supports its 3 member edges
+            sup_rows = (
+                tri.select(F.col("va").alias("a"), F.col("vb").alias("b"))
+                .unionAll(tri.select(F.col("vb").alias("a"), F.col("vc").alias("b")))
+                .unionAll(tri.select(F.col("va").alias("a"), F.col("vc").alias("b")))
+            )
+            support = sup_rows.groupBy("a", "b").agg(
+                F.count(F.lit(1)).alias("support"))
+            nxt = (
+                edges.join(support, ["a", "b"], "left")
+                .select("a", "b",
+                        F.coalesce("support", F.lit(0)).cast("bigint").alias("support"))
+                .filter(F.col("support") >= min_support)
+                .localCheckpoint(eager=True)
+            )
+            n_nxt = nxt.count()
+            if n_nxt == n_edges:
+                # no edge dropped -> supports are final in-truss values
+                _drop_checkpoint_blocks(edges)
+                return nxt
+            _drop_checkpoint_blocks(edges)
+            edges = nxt.select("a", "b").localCheckpoint(eager=True)
+            _drop_checkpoint_blocks(nxt)
+            n_edges = n_nxt
+    finally:
+        # (blocks of intermediate rounds are dropped inline above; nothing
+        # extra to release on the success path)
+        pass
+
+    raise AssertionError(
+        f"k_truss(k={k}) did not reach the peeling fixpoint within "
+        f"{max_iter} rounds — raise max_iter (and the oracle unroll K)"
+    )

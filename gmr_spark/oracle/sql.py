@@ -285,6 +285,44 @@ sym AS MATERIALIZED (
 SELECT id, deg AS core_degree FROM alive{iters}"""
 
 
+def ktruss_sql(graph: str, k: int, iters: int) -> str:
+    """k-truss peeling unrolled ``iters`` times (exact when iters >= the
+    peel depth; the engine raises if its fixpoint needs more). Each round:
+    enumerate triangles a<b<c on the surviving canonical edge set, count
+    per-edge support, keep support >= k-2; the final round's support column
+    is the in-truss value."""
+    ms = k - 2
+    steps = ["t0_e AS MATERIALIZED (SELECT a, b FROM und)"]
+    for i in range(1, iters + 1):
+        p = f"t{i - 1}_e"
+        steps.append(f"""t{i}_tri AS MATERIALIZED (
+    SELECT e1.a AS va, e1.b AS vb, e2.b AS vc
+    FROM {p} e1
+    JOIN {p} e2 ON e1.b = e2.a
+    JOIN {p} e3 ON e3.a = e1.a AND e3.b = e2.b
+)""")
+        steps.append(f"""t{i}_s AS MATERIALIZED (
+    SELECT a, b, COUNT(*) AS support FROM (
+        SELECT va AS a, vb AS b FROM t{i}_tri
+        UNION ALL SELECT vb, vc FROM t{i}_tri
+        UNION ALL SELECT va, vc FROM t{i}_tri
+    ) GROUP BY a, b
+)""")
+        steps.append(f"""t{i}_e AS MATERIALIZED (
+    SELECT e.a, e.b, CAST(COALESCE(s.support, 0) AS BIGINT) AS support
+    FROM {p} e
+    LEFT JOIN t{i}_s s ON s.a = e.a AND s.b = e.b
+    WHERE COALESCE(s.support, 0) >= {ms}
+)""")
+    return f"""{_graph_ctes(graph)},
+und AS MATERIALIZED (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+),
+""" + ",\n".join(steps) + f"""
+SELECT a, b, support FROM t{iters}_e"""
+
+
 def degrees_sql(graph: str) -> str:
     return f"""{_graph_ctes(graph)}
 SELECT v.id,

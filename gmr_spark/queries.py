@@ -17,6 +17,7 @@ from gmr_spark.algorithms import (
     personalized_pagerank,
     connected_components,
     k_core,
+    k_truss,
     label_propagation,
     local_clustering,
     matmul_coo,
@@ -32,6 +33,7 @@ from gmr_spark.oracle import (
     cc_sql,
     clustering_sql,
     kcore_sql,
+    ktruss_sql,
     landmarks_sql,
     degrees_sql,
     lpa_sql,
@@ -200,6 +202,18 @@ def _q_shortest_paths_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+KTRUSS_K = 3        # support threshold k-2 = 1
+K_KTRUSS_ITERS = 6  # oracle unroll; hub_tri reaches the fixpoint in 2
+
+
+def _q_ktruss_hub_tri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of hub_tri: every edge in at least one triangle survives with
+    its in-truss support — hub 1-5 spoke edges (open wedges only) peel, hub
+    0's even-spoke edges and all ring/chord edges stay with varied support."""
+    g = derive_graph(spark, sf_dir, "hub_tri", materialize=True)
+    return k_truss(g, k=KTRUSS_K, max_iter=K_KTRUSS_ITERS)
+
+
 KCORE_K = 3        # peel threshold
 K_KCORE_ITERS = 24  # oracle unroll bound; k_core raises if fixpoint needs more
 
@@ -329,6 +343,7 @@ GRAPH_QUERIES: dict[str, QueryFn] = {
     "triangles_ring": _q_triangles_ring,
     "clustering_coeff_hub": _q_clustering_hub,
     "kcore_cs": _q_kcore_cs,
+    "ktruss_hub_tri": _q_ktruss_hub_tri,
     "shortest_paths_geo": _q_shortest_paths_geo,
     "degrees_cs": _q_degrees_cs,
     "matmul_nation_ring": _q_matmul_nation_ring,
@@ -355,6 +370,7 @@ GRAPH_ORACLES: dict[str, str] = {
     "triangles_ring": triangle_sql("ring"),
     "clustering_coeff_hub": clustering_sql("hub_tri"),
     "kcore_cs": kcore_sql("cs", KCORE_K, K_KCORE_ITERS),
+    "ktruss_hub_tri": ktruss_sql("hub_tri", KTRUSS_K, K_KTRUSS_ITERS),
     "shortest_paths_geo": landmarks_sql("geo", LANDMARKS_GEO, K_BFS_GEO),
     "degrees_cs": degrees_sql("cs"),
     "scc_nation_ring": scc_sql("nation_ring", K_SCC_NATION),

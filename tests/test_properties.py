@@ -325,3 +325,33 @@ def test_local_clustering_matches_bruteforce(edges):
         lcc = round(2.0 * t / (d * (d - 1)), 6) if d >= 2 else 0.0
         assert got[v] == (d, t, lcc), (v, got[v], (d, t, lcc))
     assert set(got) == nodes
+
+
+@settings(max_examples=5, deadline=None)
+@given(edge_sets)
+def test_ktruss_matches_bruteforce_peel(edges):
+    from gmr_spark.algorithms import k_truss
+
+    g = _graph(edges)
+    got = {(r.a, r.b, r.support) for r in k_truss(g, k=3, max_iter=20).collect()}
+    # brute-force truss peel on canonical undirected edges
+    und = {(min(e), max(e)) for e in edges}
+
+    def supports(es):
+        sup = {e: 0 for e in es}
+        for a, b in es:
+            for c in {v for e2 in es for v in e2}:
+                if c > b and (b, c) in es and (a, c) in es:
+                    for e in ((a, b), (b, c), (a, c)):
+                        sup[e] += 1
+        return sup
+
+    cur = set(und)
+    while True:
+        sup = supports(cur)
+        nxt = {e for e in cur if sup[e] >= 1}
+        if nxt == cur:
+            break
+        cur = nxt
+    want = {(a, b, supports(cur)[(a, b)]) for a, b in cur}
+    assert got == want
