@@ -90,6 +90,7 @@ HEADLINE = [
     "shortest_paths_geo",
     "dedup_containment",
     "ktruss_hub_tri",
+    "assortativity_cs",
 ]
 
 

@@ -323,6 +323,43 @@ und AS MATERIALIZED (
 SELECT a, b, support FROM t{iters}_e"""
 
 
+def assortativity_sql(graph: str) -> str:
+    """Degree-assortativity twin: Pearson correlation of endpoint degrees
+    over the SYMMETRIC canonical edge list (each undirected edge contributes
+    both (du,dv) and (dv,du), so Σx=Σy and Σx²=Σy² and
+    r = (M·Σxy − Σx²) / (M·Σx² − Σx²) — no sqrt). All sums are exact
+    BIGINTs on both engines; the final combination runs in DOUBLE with the
+    identical expression order, so the rounded value is bit-stable."""
+    return f"""{_graph_ctes(graph)},
+und AS MATERIALIZED (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+),
+sym AS MATERIALIZED (
+    SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und
+),
+deg AS MATERIALIZED (
+    SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY a
+),
+pairs AS MATERIALIZED (
+    SELECT da.d AS dx, db.d AS dy
+    FROM sym s JOIN deg da ON da.id = s.a JOIN deg db ON db.id = s.b
+),
+sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS m,
+           CAST(SUM(dx) AS BIGINT) AS sx,
+           CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+           CAST(SUM(dx * dx) AS BIGINT) AS sxx
+    FROM pairs
+)
+SELECT m AS m_endpoints,
+       ROUND((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS assortativity
+FROM sums"""
+
+
 def degrees_sql(graph: str) -> str:
     return f"""{_graph_ctes(graph)}
 SELECT v.id,

@@ -28,6 +28,7 @@ from gmr_spark.algorithms import (
     triangle_count,
 )
 from gmr_spark.oracle import (
+    assortativity_sql,
     bfs_census_sql,
     bfs_sql,
     cc_sql,
@@ -202,6 +203,39 @@ def _q_shortest_paths_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_assortativity_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the bipartite customer-supplier graph (a
+    graph-statistics primitive; strongly negative here — high-degree
+    suppliers attach to low-degree customers). Exact BIGINT sums (one
+    groupBy + one agg pass), final Pearson combination in DOUBLE with the
+    same expression order as the oracle (see assortativity_sql)."""
+    from gmr_spark.algorithms.triangles import canonical_undirected
+
+    g = derive_graph(spark, sf_dir, "cs", materialize=True)
+    und = canonical_undirected(g.edges)
+    sym = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d"))
+    pairs = (
+        sym.join(deg.select(F.col("id").alias("a"), F.col("d").alias("dx")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("d").alias("dy")), "b")
+    )
+    sums = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+    )
+    md, sxd = F.col("m").cast("double"), F.col("sx").cast("double")
+    return sums.select(
+        F.col("m").alias("m_endpoints"),
+        F.round(
+            (md * F.col("sxy").cast("double") - sxd * sxd)
+            / (md * F.col("sxx").cast("double") - sxd * sxd), 6
+        ).alias("assortativity"),
+    )
+
+
 KTRUSS_K = 3        # support threshold k-2 = 1
 K_KTRUSS_ITERS = 6  # oracle unroll; hub_tri reaches the fixpoint in 2
 
@@ -344,6 +378,7 @@ GRAPH_QUERIES: dict[str, QueryFn] = {
     "clustering_coeff_hub": _q_clustering_hub,
     "kcore_cs": _q_kcore_cs,
     "ktruss_hub_tri": _q_ktruss_hub_tri,
+    "assortativity_cs": _q_assortativity_cs,
     "shortest_paths_geo": _q_shortest_paths_geo,
     "degrees_cs": _q_degrees_cs,
     "matmul_nation_ring": _q_matmul_nation_ring,
@@ -371,6 +406,7 @@ GRAPH_ORACLES: dict[str, str] = {
     "clustering_coeff_hub": clustering_sql("hub_tri"),
     "kcore_cs": kcore_sql("cs", KCORE_K, K_KCORE_ITERS),
     "ktruss_hub_tri": ktruss_sql("hub_tri", KTRUSS_K, K_KTRUSS_ITERS),
+    "assortativity_cs": assortativity_sql("cs"),
     "shortest_paths_geo": landmarks_sql("geo", LANDMARKS_GEO, K_BFS_GEO),
     "degrees_cs": degrees_sql("cs"),
     "scc_nation_ring": scc_sql("nation_ring", K_SCC_NATION),
