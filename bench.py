@@ -91,6 +91,8 @@ HEADLINE = [
     "dedup_containment",
     "ktruss_hub_tri",
     "assortativity_cs",
+    "graph_summary_cs",
+    "degree_histogram_hub",
 ]
 
 

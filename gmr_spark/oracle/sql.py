@@ -360,6 +360,46 @@ SELECT m AS m_endpoints,
 FROM sums"""
 
 
+def graph_summary_sql(graph: str) -> str:
+    """describe() for a graph: one row of exact global statistics (the avg
+    is the only double; round 6, integer inputs — bit-stable)."""
+    return f"""{_graph_ctes(graph)},
+und AS MATERIALIZED (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+),
+deg AS MATERIALIZED (
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und
+    ) GROUP BY id
+)
+SELECT (SELECT COUNT(*) FROM vertices) AS n_vertices,
+       (SELECT COUNT(*) FROM edges) AS n_edges_directed,
+       (SELECT COUNT(*) FROM und) AS n_edges_undirected,
+       (SELECT MIN(d) FROM deg) AS min_degree,
+       (SELECT MAX(d) FROM deg) AS max_degree,
+       ROUND(CAST((SELECT SUM(d) FROM deg) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM deg) AS DOUBLE), 6) AS avg_degree"""
+
+
+def degree_histogram_sql(graph: str) -> str:
+    """(bucket, n_vertices): vertices per power-of-two undirected-degree
+    bucket (bucket = floor(log2(d)) as the power's lower bound)."""
+    return f"""{_graph_ctes(graph)},
+und AS MATERIALIZED (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+),
+deg AS MATERIALIZED (
+    SELECT id, COUNT(*) AS d FROM (
+        SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und
+    ) GROUP BY id
+)
+SELECT CAST(POWER(2, FLOOR(LOG2(d))) AS BIGINT) AS bucket,
+       COUNT(*) AS n_vertices
+FROM deg GROUP BY 1"""
+
+
 def degrees_sql(graph: str) -> str:
     return f"""{_graph_ctes(graph)}
 SELECT v.id,

@@ -30,6 +30,8 @@ from gmr_spark.algorithms import (
 from gmr_spark.oracle import (
     assortativity_sql,
     bfs_census_sql,
+    degree_histogram_sql,
+    graph_summary_sql,
     bfs_sql,
     cc_sql,
     clustering_sql,
@@ -201,6 +203,57 @@ def _q_shortest_paths_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id", F.col("level").alias(f"dist_l{i}"))
         out = out.join(d, "id", "left")
     return out
+
+
+def _q_graph_summary_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe() for the customer-supplier graph: one row of exact global
+    statistics (vertex/edge counts, undirected degree min/max/avg)."""
+    from gmr_spark.algorithms.triangles import canonical_undirected
+
+    g = derive_graph(spark, sf_dir, "cs", materialize=True)
+    und = canonical_undirected(g.edges).localCheckpoint(eager=True)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    dstats = deg.agg(
+        F.min("d").alias("min_degree"), F.max("d").alias("max_degree"),
+        F.sum("d").alias("sd"), F.count(F.lit(1)).alias("nd"),
+    )
+    nv = g.vertices.agg(F.count(F.lit(1)).alias("n_vertices"))
+    ne = g.edges.agg(F.count(F.lit(1)).alias("n_edges_directed"))
+    nu = und.agg(F.count(F.lit(1)).alias("n_edges_undirected"))
+    return (
+        nv.crossJoin(F.broadcast(ne)).crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(dstats))
+        .select(
+            "n_vertices", "n_edges_directed", "n_edges_undirected",
+            "min_degree", "max_degree",
+            F.round(F.col("sd").cast("double") / F.col("nd").cast("double"),
+                    6).alias("avg_degree"),
+        )
+    )
+
+
+def _q_degree_histogram_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, n_vertices): power-of-two degree histogram of the power-law
+    ``hub`` fixture — the degree-distribution primitive, non-degenerate
+    buckets from spoke deg ~3 up to hub 0's ~|lineitem|/2."""
+    from gmr_spark.algorithms.triangles import canonical_undirected
+
+    g = derive_graph(spark, sf_dir, "hub", materialize=True)
+    und = canonical_undirected(g.edges)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id").agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        deg.select(
+            F.pow(F.lit(2.0), F.floor(F.log2("d"))).cast("bigint").alias("bucket"))
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
 
 
 def _q_assortativity_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -379,6 +432,8 @@ GRAPH_QUERIES: dict[str, QueryFn] = {
     "kcore_cs": _q_kcore_cs,
     "ktruss_hub_tri": _q_ktruss_hub_tri,
     "assortativity_cs": _q_assortativity_cs,
+    "graph_summary_cs": _q_graph_summary_cs,
+    "degree_histogram_hub": _q_degree_histogram_hub,
     "shortest_paths_geo": _q_shortest_paths_geo,
     "degrees_cs": _q_degrees_cs,
     "matmul_nation_ring": _q_matmul_nation_ring,
@@ -407,6 +462,8 @@ GRAPH_ORACLES: dict[str, str] = {
     "kcore_cs": kcore_sql("cs", KCORE_K, K_KCORE_ITERS),
     "ktruss_hub_tri": ktruss_sql("hub_tri", KTRUSS_K, K_KTRUSS_ITERS),
     "assortativity_cs": assortativity_sql("cs"),
+    "graph_summary_cs": graph_summary_sql("cs"),
+    "degree_histogram_hub": degree_histogram_sql("hub"),
     "shortest_paths_geo": landmarks_sql("geo", LANDMARKS_GEO, K_BFS_GEO),
     "degrees_cs": degrees_sql("cs"),
     "scc_nation_ring": scc_sql("nation_ring", K_SCC_NATION),
