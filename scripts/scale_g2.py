@@ -124,6 +124,53 @@ def main() -> None:
               f"{timings['triangle_count']}s)", file=sys.stderr)
         assert got == expected, f"triangle count {got} != expected {expected}"
 
+    # Optional k-truss row (G2_RUN_TRUSS=1): support-peel at G2-class size
+    # on a hub_tri-shaped power-law graph built from spark.range (same
+    # structure as the sf fixtures' hub_tri, N spokes + 6 hubs). The
+    # 3-truss has a CLOSED-FORM surviving edge count: ring (N) + chord (N)
+    # + hub-0-to-even-spoke (N/2) = 2.5N — hub 1-5 edges sit only in open
+    # wedges and peel in round one; everything else carries triangles.
+    if os.environ.get("G2_RUN_TRUSS", ""):
+        from gmr_spark.algorithms.triangles import k_truss
+
+        TN = int(os.environ.get("TRUSS_VERTICES", N))
+        assert TN % 2 == 0
+        t0 = time.perf_counter()
+        rid = F.col("id")
+        hub = (
+            F.when(rid % 2 == 0, 0)
+            .when(rid % 4 == 1, 1)
+            .when(rid % 8 == 3, 2)
+            .when(rid % 16 == 7, 3)
+            .when(rid % 32 == 15, 4)
+            .otherwise(5)
+        )
+        spokes = spark.range(TN).select(rid.alias("rid"), hub.alias("hub"))
+        w = F.lit(1.0).alias("weight")
+        tedges = (
+            spokes.select((F.lit(1000) + F.col("rid")).alias("src"),
+                          F.col("hub").cast("bigint").alias("dst"), w)
+            .unionAll(spokes.select(
+                (F.lit(1000) + F.col("rid")).alias("src"),
+                (F.lit(1000) + (F.col("rid") + 1) % TN).alias("dst"), w))
+            .unionAll(spokes.select(
+                (F.lit(1000) + F.col("rid")).alias("src"),
+                (F.lit(1000) + (F.col("rid") + 2) % TN).alias("dst"), w))
+            .repartition(n_parts, "src")
+            .localCheckpoint(eager=True)
+        )
+        tg = PropertyGraph(
+            vertices=spark.range(TN + 6).select(F.col("id")),
+            edges=tedges,
+        )
+        truss = k_truss(tg, k=3, max_iter=6).localCheckpoint(eager=True)
+        n_truss = truss.count()
+        timings["ktruss3"] = round(time.perf_counter() - t0, 1)
+        expected_truss = TN + TN + TN // 2
+        print(f"ktruss3: {n_truss} edges (expected {expected_truss}, "
+              f"{timings['ktruss3']}s)", file=sys.stderr)
+        assert n_truss == expected_truss, (n_truss, expected_truss)
+
     # Optional checkpoint-cadence sweep (G2_CADENCE_SWEEP="1,3"): re-times
     # PageRank at the given checkpoint_intervals to confirm the k=2 default
     # (measured on the 600k fixture; see run_pregel scale notes) still wins
