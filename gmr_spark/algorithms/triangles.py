@@ -33,6 +33,20 @@ def canonical_undirected(edges: DataFrame) -> DataFrame:
     )
 
 
+def undirected_degrees(und: DataFrame) -> DataFrame:
+    """(id BIGINT, degree BIGINT) over a canonical edge set (a < b) — the
+    shared degree derivation for local_clustering / graph statistics /
+    assortativity (one shape, one place to fix; isolated vertices are
+    absent by construction, callers left-join vertices if dense output is
+    needed)."""
+    return (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+
+
 def triangle_count(graph: PropertyGraph) -> DataFrame:
     """-> single row (tri_cnt BIGINT): number of distinct triangles a<b<c.
 
@@ -112,12 +126,7 @@ def local_clustering(graph: PropertyGraph) -> DataFrame:
     groupBy's), both on vertex id, so AQE coalesces them onto one
     partitioning; no Python anywhere."""
     und = canonical_undirected(graph.edges)
-    deg = (
-        und.select(F.col("a").alias("id"))
-        .unionAll(und.select(F.col("b").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
+    deg = undirected_degrees(und)
     tri = triangle_count_per_vertex(graph)
     return (
         deg.join(tri, "id", "left")
@@ -184,49 +193,46 @@ def k_truss(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
     edges = canonical_undirected(graph.edges).localCheckpoint(eager=True)
     n_edges = edges.count()
 
-    try:
-        for _ in range(max_iter):
-            if n_edges == 0:
-                return edges.select(
-                    "a", "b", F.lit(0).cast("bigint").alias("support"))
-            e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-            tri = (
-                e1.join(e2.hint("shuffle_hash"), F.col("e1.b") == F.col("e2.a"))
-                .join(e3.hint("shuffle_hash"),
-                      (F.col("e3.a") == F.col("e1.a"))
-                      & (F.col("e3.b") == F.col("e2.b")))
-                .select(F.col("e1.a").alias("va"), F.col("e1.b").alias("vb"),
-                        F.col("e2.b").alias("vc"))
-            )
-            # each triangle (va<vb<vc) supports its 3 member edges
-            sup_rows = (
-                tri.select(F.col("va").alias("a"), F.col("vb").alias("b"))
-                .unionAll(tri.select(F.col("vb").alias("a"), F.col("vc").alias("b")))
-                .unionAll(tri.select(F.col("va").alias("a"), F.col("vc").alias("b")))
-            )
-            support = sup_rows.groupBy("a", "b").agg(
-                F.count(F.lit(1)).alias("support"))
-            nxt = (
-                edges.join(support, ["a", "b"], "left")
-                .select("a", "b",
-                        F.coalesce("support", F.lit(0)).cast("bigint").alias("support"))
-                .filter(F.col("support") >= min_support)
-                .localCheckpoint(eager=True)
-            )
-            n_nxt = nxt.count()
-            if n_nxt == n_edges:
-                # no edge dropped -> supports are final in-truss values
-                _drop_checkpoint_blocks(edges)
-                return nxt
+    for _ in range(max_iter):
+        if n_edges == 0:
+            return edges.select(
+                "a", "b", F.lit(0).cast("bigint").alias("support"))
+        e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+        tri = (
+            e1.join(e2.hint("shuffle_hash"), F.col("e1.b") == F.col("e2.a"))
+            .join(e3.hint("shuffle_hash"),
+                  (F.col("e3.a") == F.col("e1.a"))
+                  & (F.col("e3.b") == F.col("e2.b")))
+            .select(F.col("e1.a").alias("va"), F.col("e1.b").alias("vb"),
+                    F.col("e2.b").alias("vc"))
+        )
+        # each triangle (va<vb<vc) supports its 3 member edges
+        sup_rows = (
+            tri.select(F.col("va").alias("a"), F.col("vb").alias("b"))
+            .unionAll(tri.select(F.col("vb").alias("a"), F.col("vc").alias("b")))
+            .unionAll(tri.select(F.col("va").alias("a"), F.col("vc").alias("b")))
+        )
+        support = sup_rows.groupBy("a", "b").agg(
+            F.count(F.lit(1)).alias("support"))
+        nxt = (
+            edges.join(support, ["a", "b"], "left")
+            .select("a", "b",
+                    F.coalesce("support", F.lit(0)).cast("bigint").alias("support"))
+            .filter(F.col("support") >= min_support)
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n_edges:
+            # no edge dropped -> supports are final in-truss values
             _drop_checkpoint_blocks(edges)
-            edges = nxt.select("a", "b").localCheckpoint(eager=True)
-            _drop_checkpoint_blocks(nxt)
-            n_edges = n_nxt
-    finally:
-        # (blocks of intermediate rounds are dropped inline above; nothing
-        # extra to release on the success path)
-        pass
+            return nxt
+        _drop_checkpoint_blocks(edges)
+        edges = nxt.select("a", "b").localCheckpoint(eager=True)
+        _drop_checkpoint_blocks(nxt)
+        n_edges = n_nxt
 
+    # max_iter exhausted: release the last round's blocks before failing
+    _drop_checkpoint_blocks(edges)
     raise AssertionError(
         f"k_truss(k={k}) did not reach the peeling fixpoint within "
         f"{max_iter} rounds — raise max_iter (and the oracle unroll K)"

@@ -27,6 +27,9 @@ from gmr_spark.sources.tables import load_tables
 
 N_HASHES = 8
 N_BANDS = 4  # bands of 2 hashes each
+# candidate-id lists larger than this take the shuffled semi-join instead of
+# a (hint-forced, non-fallback) broadcast — ~5M bigints ≈ 40 MB serialized
+_BROADCAST_IDS_CAP = 5_000_000
 
 # Checkpointed intermediates shared across operators within one Spark
 # application: dedup_minhash, dup_clusters, and dedup_survivors all consume
@@ -136,10 +139,19 @@ def _shingles_for(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
 
 
 def _verified_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_a, doc_b, jaccard): every LSH candidate pair with its exact
-    shingle-set Jaccard (unthresholded) — memoized so the whole
-    shingle → signature → band-join → verify chain is built and
-    checkpointed once per application."""
+    """(doc_a, doc_b, n_common, na, nb): every LSH candidate pair with its
+    exact shingle-overlap counts — memoized AND eagerly checkpointed, so
+    the whole shingle → signature → band-join → verify chain runs once per
+    application and every consumer reads the (tiny) overlap frame O(1)."""
+    return _memo(
+        spark, ("verified_pairs", sf_dir, _corpus_token(sf_dir)),
+        lambda: _verified_pairs_plan(spark, sf_dir).localCheckpoint(eager=True),
+    )
+
+
+def _verified_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAZY verify plan (exposed separately so the plan-shape test can
+    pin the broadcast semi-filter, which the checkpointed memo hides)."""
 
     def build() -> DataFrame:
         shingled = _shingles_for(spark, sf_dir)
@@ -159,15 +171,21 @@ def _verified_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # proof — measured as the dominant ~2/3 of dedup_minhash's wall
         # there) even though candidates reference ~4% of docs. The id list
         # is bounded by 2·|pairs|, broadcast as a map-side filter — no
-        # shuffle of the big table at all. When candidates are genuinely
-        # huge the broadcast threshold makes AQE fall back to a shuffled
-        # semi-join, which is the right plan at that density anyway.
+        # shuffle of the big table at all. An EXPLICIT broadcast hint has
+        # no AQE size fallback (Spark honors it regardless and aborts past
+        # the 8 GiB driver limit — the same class of failure as the G2 TC
+        # broadcast trap), so the hint is applied only after counting the
+        # id list; a degenerate corpus where candidates approach the whole
+        # doc set takes the shuffled semi-join, the right plan there.
         cand_ids = (
             pairs.select(F.col("doc_a").alias("doc_id"))
             .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
             .distinct()
+            .localCheckpoint(eager=True)
         )
-        cand_shingles = shingled.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        if cand_ids.count() <= _BROADCAST_IDS_CAP:
+            cand_ids = F.broadcast(cand_ids)
+        cand_shingles = shingled.join(cand_ids, "doc_id", "left_semi")
         sizes = cand_shingles.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n_sh"))
         sa = cand_shingles.select(F.col("doc_id").alias("doc_a"), "sh")
@@ -185,7 +203,7 @@ def _verified_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", "n_common", "na", "nb")
         )
 
-    return _memo(spark, ("verified_pairs", sf_dir, _corpus_token(sf_dir)), build)
+    return build()
 
 
 def dedup_minhash(spark: SparkSession, sf_dir: str, *, min_jaccard: float = 0.1) -> DataFrame:

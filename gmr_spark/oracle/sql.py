@@ -355,8 +355,9 @@ sums AS (
 SELECT m AS m_endpoints,
        ROUND((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-             / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
-                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS assortativity
+             / NULLIF(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0),
+             6) AS assortativity
 FROM sums"""
 
 
@@ -379,7 +380,8 @@ SELECT (SELECT COUNT(*) FROM vertices) AS n_vertices,
        (SELECT MIN(d) FROM deg) AS min_degree,
        (SELECT MAX(d) FROM deg) AS max_degree,
        ROUND(CAST((SELECT SUM(d) FROM deg) AS DOUBLE)
-             / CAST((SELECT COUNT(*) FROM deg) AS DOUBLE), 6) AS avg_degree"""
+             / NULLIF(CAST((SELECT COUNT(*) FROM deg) AS DOUBLE), 0.0),
+             6) AS avg_degree"""
 
 
 def degree_histogram_sql(graph: str) -> str:

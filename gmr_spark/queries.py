@@ -208,19 +208,15 @@ def _q_shortest_paths_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_graph_summary_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """describe() for the customer-supplier graph: one row of exact global
     statistics (vertex/edge counts, undirected degree min/max/avg)."""
-    from gmr_spark.algorithms.triangles import canonical_undirected
+    from gmr_spark.algorithms.triangles import canonical_undirected, undirected_degrees
 
     g = derive_graph(spark, sf_dir, "cs", materialize=True)
     und = canonical_undirected(g.edges).localCheckpoint(eager=True)
-    deg = (
-        und.select(F.col("a").alias("id"))
-        .unionAll(und.select(F.col("b").alias("id")))
-        .groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    )
+    deg = undirected_degrees(und).withColumnRenamed("degree", "d")
     dstats = deg.agg(
         F.min("d").alias("min_degree"), F.max("d").alias("max_degree"),
         F.sum("d").alias("sd"), F.count(F.lit(1)).alias("nd"),
-    )
+    )  # nd = 0 (edgeless graph) -> avg_degree NULL, matching the twin
     nv = g.vertices.agg(F.count(F.lit(1)).alias("n_vertices"))
     ne = g.edges.agg(F.count(F.lit(1)).alias("n_edges_directed"))
     nu = und.agg(F.count(F.lit(1)).alias("n_edges_undirected"))
@@ -230,8 +226,10 @@ def _q_graph_summary_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_vertices", "n_edges_directed", "n_edges_undirected",
             "min_degree", "max_degree",
-            F.round(F.col("sd").cast("double") / F.col("nd").cast("double"),
-                    6).alias("avg_degree"),
+            F.when(
+                F.col("nd") != 0,
+                F.round(F.col("sd").cast("double") / F.col("nd").cast("double"), 6),
+            ).alias("avg_degree"),
         )
     )
 
@@ -240,15 +238,11 @@ def _q_degree_histogram_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(bucket, n_vertices): power-of-two degree histogram of the power-law
     ``hub`` fixture — the degree-distribution primitive, non-degenerate
     buckets from spoke deg ~3 up to hub 0's ~|lineitem|/2."""
-    from gmr_spark.algorithms.triangles import canonical_undirected
+    from gmr_spark.algorithms.triangles import canonical_undirected, undirected_degrees
 
     g = derive_graph(spark, sf_dir, "hub", materialize=True)
     und = canonical_undirected(g.edges)
-    deg = (
-        und.select(F.col("a").alias("id"))
-        .unionAll(und.select(F.col("b").alias("id")))
-        .groupBy("id").agg(F.count(F.lit(1)).alias("d"))
-    )
+    deg = undirected_degrees(und).withColumnRenamed("degree", "d")
     return (
         deg.select(
             F.pow(F.lit(2.0), F.floor(F.log2("d"))).cast("bigint").alias("bucket"))
@@ -262,13 +256,12 @@ def _q_assortativity_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppliers attach to low-degree customers). Exact BIGINT sums (one
     groupBy + one agg pass), final Pearson combination in DOUBLE with the
     same expression order as the oracle (see assortativity_sql)."""
-    from gmr_spark.algorithms.triangles import canonical_undirected
+    from gmr_spark.algorithms.triangles import canonical_undirected, undirected_degrees
 
     g = derive_graph(spark, sf_dir, "cs", materialize=True)
     und = canonical_undirected(g.edges)
     sym = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    deg = sym.groupBy(F.col("a").alias("id")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("d"))
+    deg = undirected_degrees(und).withColumnRenamed("degree", "d")
     pairs = (
         sym.join(deg.select(F.col("id").alias("a"), F.col("d").alias("dx")), "a")
         .join(deg.select(F.col("id").alias("b"), F.col("d").alias("dy")), "b")
@@ -280,11 +273,15 @@ def _q_assortativity_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
     )
     md, sxd = F.col("m").cast("double"), F.col("sx").cast("double")
+    denom = md * F.col("sxx").cast("double") - sxd * sxd
+    # degree-regular graph -> zero variance -> assortativity undefined;
+    # NULL on both engines (Spark div-by-zero yields NULL, DuckDB inf —
+    # the NULLIF twin pins them to the same answer)
     return sums.select(
         F.col("m").alias("m_endpoints"),
-        F.round(
-            (md * F.col("sxy").cast("double") - sxd * sxd)
-            / (md * F.col("sxx").cast("double") - sxd * sxd), 6
+        F.when(
+            denom != 0.0,
+            F.round((md * F.col("sxy").cast("double") - sxd * sxd) / denom, 6),
         ).alias("assortativity"),
     )
 

@@ -53,6 +53,7 @@ def main() -> None:
     n_parts = spark.sparkContext.defaultParallelism * 2
 
     timings: dict[str, float] = {}
+    extra: dict[str, object] = {}
 
     t0 = time.perf_counter()
     offsets = F.array(*[F.lit(2**j) for j in range(CHORDS)])
@@ -160,7 +161,12 @@ def main() -> None:
             .localCheckpoint(eager=True)
         )
         tg = PropertyGraph(
-            vertices=spark.range(TN + 6).select(F.col("id")),
+            # exact endpoint set: hubs 0-5 plus spokes offset by 1000 —
+            # NOT range(TN+6), which would miss the last 994 spoke ids and
+            # invent 994 phantom vertices (k_truss itself is edge-only, but
+            # the graph must stay valid for any vertex-consuming extension)
+            vertices=spark.range(6).select(F.col("id")).unionAll(
+                spark.range(1000, 1000 + TN).select(F.col("id"))),
             edges=tedges,
         )
         truss = k_truss(tg, k=3, max_iter=6).localCheckpoint(eager=True)
@@ -170,6 +176,8 @@ def main() -> None:
         print(f"ktruss3: {n_truss} edges (expected {expected_truss}, "
               f"{timings['ktruss3']}s)", file=sys.stderr)
         assert n_truss == expected_truss, (n_truss, expected_truss)
+        extra["ktruss"] = {"vertices": TN + 6, "surviving_edges": n_truss,
+                           "expected": expected_truss}
 
     # Optional checkpoint-cadence sweep (G2_CADENCE_SWEEP="1,3"): re-times
     # PageRank at the given checkpoint_intervals to confirm the k=2 default
@@ -191,6 +199,7 @@ def main() -> None:
         "cpus": int(CPUS),
         "timings_sec": timings,
         "unit": "sec",
+        **extra,
     }))
 
 

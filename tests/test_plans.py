@@ -367,8 +367,9 @@ def test_minhash_verify_semi_filters_shingles(spark):
     full corpus shingle set for a small candidate pair set."""
     from gmr_spark.operators import dedup as D
 
-    D.clear_dedup_memo()  # force a fresh build so the plan is inspectable
-    df = D.dedup_minhash(spark, SF)
+    # the memoized result is an eager checkpoint (LogicalRDD) — pin the
+    # LAZY build plan the checkpoint materializes from
+    df = D._verified_pairs_plan(spark, SF)
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     p = df._jdf.queryExecution().explainString(mode)
     assert re.search(r"BroadcastHashJoin .*LeftSemi", p), p
