@@ -52,9 +52,17 @@ def k_core(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
     alive = deg.filter(F.col("core_degree") >= k).localCheckpoint(eager=True)
     n_alive = alive.count()
 
+    # every live peel checkpoint we own; entries leave the list either by
+    # being returned to the caller or by an explicit block drop, so ANY
+    # exit — fixpoint, max_iter exhaustion, or a mid-round executor
+    # exception — releases exactly the non-returned checkpoints
+    # (round-4 ADVICE: the exhausted/exception paths used to leak the
+    # current peel's blocks)
+    owned: list[DataFrame] = [alive]
     try:
         for _ in range(max_iter):
             if n_alive == 0:
+                owned.remove(alive)
                 return alive
             induced = (
                 sym.join(alive.select(F.col("id").alias("a")), "a", "left_semi")
@@ -64,19 +72,23 @@ def k_core(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
                 F.count(F.lit(1)).alias("core_degree")
             )
             nxt = deg.filter(F.col("core_degree") >= k).localCheckpoint(eager=True)
+            owned.append(nxt)
             n_nxt = nxt.count()
             # superseded peel state is dead weight — drop its blocks now
             # instead of waiting for ContextCleaner (same hygiene as
             # run_pregel's per-superstep truncation)
             _drop_checkpoint_blocks(alive)
+            owned.remove(alive)
             if n_nxt == n_alive:
                 # fixpoint: induced degrees are all >= k -> this IS the core
+                owned.remove(nxt)
                 return nxt
             alive, n_alive = nxt, n_nxt
     finally:
-        # the survivors are their own eager checkpoint; the symmetric edge
-        # view is no longer reachable from the result
+        # the symmetric edge view is never reachable from the result
         _drop_checkpoint_blocks(sym)
+        for df in owned:
+            _drop_checkpoint_blocks(df)
 
     raise AssertionError(
         f"k_core(k={k}) did not reach the peeling fixpoint within "

