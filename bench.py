@@ -51,7 +51,16 @@ HEADLINE = [
     "global_sort_rank",
     "approx_sketch_stats",
     "dedup_exact",
+    # the memoized shingle→signature→band-join→verify chain is billed to its
+    # own row (round-4 verdict item 9): dedup_minhash / dup_clusters /
+    # dedup_containment then measure their INCREMENTAL cost over the shared
+    # chain instead of whichever ran first silently paying for the rest.
+    # The chain's blocks are released right after the last consumer (see
+    # _POST_QUERY) so they don't tax the remaining bench queries.
+    "dedup_pair_chain",
     "dedup_minhash",
+    "dup_clusters",
+    "dedup_containment",
     "dedup_simhash",
     "dedup_embedding",
     "multimodal_features",
@@ -60,9 +69,8 @@ HEADLINE = [
     "doc_fingerprints",
     "token_stats",
     "events_hourly",
-    # round 3 additions: transitive dedup clustering, sampling, chunking,
+    # round 3 additions: sampling, chunking,
     # redaction, sliding windows, and the heaviest of the new TPC-H shapes
-    "dup_clusters",
     "stratified_sample",
     "doc_chunking",
     "pii_scrub",
@@ -88,7 +96,6 @@ HEADLINE = [
     "events_session_windows",
     "dq_audit",
     "shortest_paths_geo",
-    "dedup_containment",
     "ktruss_hub_tri",
     "assortativity_cs",
     "graph_summary_cs",
@@ -97,11 +104,40 @@ HEADLINE = [
 
 
 def main() -> None:
+    from gmr_spark.operators.dedup import _verified_jaccard_pairs, clear_dedup_memo
     from gmr_spark.queries import BENCH_ONLY_QUERIES, all_queries
     from gmr_spark.session import get_session
 
     spark = get_session("gmr_spark_bench", cpus=CPUS)
+
+    # WindowExec's "No Partition Defined" warning fires for the two
+    # O(#partitions)-row offset tables (relational.global_sort_rank,
+    # sources.derive) — verified harmless by the plan pins at
+    # tests/test_plans.py (only the tiny side is single-partition), so
+    # silence the logger instead of letting the noise read as a perf bug.
+    try:
+        jvm = spark.sparkContext._jvm
+        for logger in (
+            "org.apache.spark.sql.execution.window.WindowExec",
+            # unpersisting superseded localCheckpoints is deliberate
+            # (_drop_checkpoint_blocks / clear_dedup_memo): the dropped RDDs
+            # are by construction never read again
+            "org.apache.spark.rdd.MapPartitionsRDD",
+        ):
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                logger, jvm.org.apache.logging.log4j.Level.ERROR)
+    except Exception:
+        pass  # cosmetic only
+
     queries = {**all_queries(), **BENCH_ONLY_QUERIES}
+    # synthetic attribution row: materialize the shared dedup verify chain
+    # once, on its own clock (see the HEADLINE comment)
+    queries["dedup_pair_chain"] = (
+        lambda s, sf: _verified_jaccard_pairs(s, sf).select("doc_a", "doc_b"))
+    # release the chain's pinned checkpoint blocks after its LAST headline
+    # consumer — without this every later query pays the resident-blocks
+    # memory pressure (the r3→r4 +7.4% common-set drift, VERDICT r4 item 1)
+    post_query = {"dedup_containment": clear_dedup_memo}
 
     # warm the JVM/codegen path once on a cheap query
     queries["filter_scan"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -146,15 +182,22 @@ def main() -> None:
     # poisoned the round-2 headline artifact. min-of-2 is the standard
     # steady-state estimator; cheap queries stay single-sample.
     RETRY_FLOOR = 15.0
+    # memoized-chain rows are never re-run: a second sample would read the
+    # memo in O(1) and erase the row's attribution
+    NO_RETRY = {"dedup_pair_chain", "dedup_minhash", "dup_clusters",
+                "dedup_containment"}
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t = _run_once(name)
-        if t > RETRY_FLOOR:
+        if t > RETRY_FLOOR and name not in NO_RETRY:
             t2 = _run_once(name)
             print(f"  {name}: samples {t:.3f}s / {t2:.3f}s", file=sys.stderr)
             t = min(t, t2)
         timings[name] = t
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+        hook = post_query.get(name)
+        if hook is not None:
+            hook()
 
     calibration_post = _calibrate()
     drift = calibration_post / calibration if calibration else 1.0
