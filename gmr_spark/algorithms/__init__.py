@@ -1,4 +1,4 @@
-from gmr_spark.algorithms.sssp import sssp, bfs
+from gmr_spark.algorithms.sssp import sssp, bfs, shortest_paths
 from gmr_spark.algorithms.pagerank import pagerank, personalized_pagerank
 from gmr_spark.algorithms.cc import connected_components
 from gmr_spark.algorithms.triangles import k_truss, local_clustering, triangle_count
@@ -12,6 +12,7 @@ __all__ = [
     "label_propagation",
     "sssp",
     "bfs",
+    "shortest_paths",
     "pagerank",
     "personalized_pagerank",
     "connected_components",

@@ -69,3 +69,82 @@ def bfs(graph: PropertyGraph, source: int, *, max_iter: int = 120) -> DataFrame:
     algorithms.h:17-18). -> (id, level DOUBLE)."""
     result = run_pregel(graph, _SSSPProgram(source, weighted=False), max_iter=max_iter)
     return result.vertices.select("id", F.col("value").alias("level"))
+
+
+class _LandmarkBFSProgram:
+    """Multi-source BFS in ONE Pregel pass (GraphX-library shortestPaths,
+    reference roadmap algorithms.h:217-222): vertex state is one distance
+    column per landmark (d0..dL-1) instead of the reference's single float
+    (partition.h:39) — run_pregel carries arbitrary DataFrame state, so L
+    landmarks cost one graph traversal of max-eccentricity supersteps, not
+    L sequential traversals (round-4 verdict item 3).
+
+    Per-superstep shape is identical to _SSSPProgram's widened L-fold:
+    frontier ⋈ edges produces one row per out-edge carrying all L candidate
+    distances; aggregation is per-slot MIN — algebraic, so the map-side
+    partial agg still collapses each (dst, slot) to one value before the
+    exchange. A vertex is active iff ANY slot improved.
+    """
+
+    def __init__(self, landmarks: list[int]):
+        if not landmarks:
+            raise ValueError("landmarks must be non-empty")
+        self.landmarks = [int(x) for x in landmarks]
+
+    def _slots(self) -> range:
+        return range(len(self.landmarks))
+
+    def init(self, vertices: DataFrame) -> DataFrame:
+        cols = [
+            F.when(F.col("id") == lm, F.lit(0.0)).cast("double").alias(f"d{i}")
+            for i, lm in enumerate(self.landmarks)
+        ]
+        return vertices.select(
+            "id", *cols,
+            F.col("id").isin(self.landmarks).alias("active"),
+        )
+
+    def messages(self, frontier: DataFrame, edges: DataFrame) -> DataFrame:
+        f = frontier.select(
+            F.col("id").alias("fid"),
+            *[(F.col(f"d{i}") + F.lit(1.0)).alias(f"msg{i}") for i in self._slots()],
+        )
+        return edges.join(f, F.col("src") == F.col("fid")).select(
+            F.col("dst").alias("id"), *[f"msg{i}" for i in self._slots()]
+        )
+
+    def aggregate(self, msgs: DataFrame) -> DataFrame:
+        return msgs.groupBy("id").agg(
+            *[F.min(f"msg{i}").alias(f"agg{i}") for i in self._slots()]
+        )
+
+    def update(self, vertices: DataFrame, agg: DataFrame) -> DataFrame:
+        improved = [
+            F.col(f"agg{i}").isNotNull()
+            & (F.col(f"d{i}").isNull() | (F.col(f"agg{i}") < F.col(f"d{i}")))
+            for i in self._slots()
+        ]
+        any_improved = improved[0]
+        for c in improved[1:]:
+            any_improved = any_improved | c
+        return vertices.join(agg, "id", "left").select(
+            "id",
+            *[
+                F.when(improved[i], F.col(f"agg{i}"))
+                .otherwise(F.col(f"d{i}")).alias(f"d{i}")
+                for i in self._slots()
+            ],
+            any_improved.alias("active"),
+        )
+
+
+def shortest_paths(graph: PropertyGraph, landmarks: list[int], *,
+                   max_iter: int = 120) -> DataFrame:
+    """-> (id, dist_l0..dist_l{L-1} DOUBLE); NULL = unreachable from that
+    landmark. One run_pregel invocation; supersteps = the landmarks' max
+    eccentricity, independent of L."""
+    program = _LandmarkBFSProgram(landmarks)
+    result = run_pregel(graph, program, max_iter=max_iter)
+    return result.vertices.select(
+        "id", *[F.col(f"d{i}").alias(f"dist_l{i}") for i in program._slots()]
+    )

