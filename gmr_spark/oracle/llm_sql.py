@@ -537,13 +537,32 @@ SELECT doc_id,
 FROM toks
 """
 
+# Twin of the REAL PPM decode (multimodal.multimodal_decode): the Spark side
+# parses synthesized "P6\n{w} {h}\n255\n" + raw-RGB payloads byte-by-byte;
+# this side recomputes every decoded field from the synthesis closed forms
+# (w=(id*7)%64+1, h=(id*13)%48+1, pixel k = (id+k)%256, header = 9 bytes +
+# the dims' digits). sum_r = Σ_j (id + 3j) % 256 over red positions j<w*h —
+# exact BIGINT on both engines.
 MULTIMODAL_DECODE = """
-SELECT doc_id,
-       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-       CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END AS INTEGER) AS header_byte,
-       CAST((octet_length(encode(text)) * 7) % 640 + 1 AS INTEGER) AS width,
-       CAST((octet_length(encode(text)) * 13) % 480 + 1 AS INTEGER) AS height
-FROM documents
+WITH d AS MATERIALIZED (
+    SELECT doc_id,
+           (doc_id * 7) % 64 + 1 AS w,
+           (doc_id * 13) % 48 + 1 AS h
+    FROM documents
+),
+px AS MATERIALIZED (
+    SELECT doc_id, SUM((doc_id + 3 * j.j) % 256) AS sum_r
+    FROM d, LATERAL (SELECT unnest(generate_series(0, d.w * d.h - 1)) AS j) j
+    GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(9 + length(CAST(d.w AS VARCHAR)) + length(CAST(d.h AS VARCHAR))
+            + d.w * d.h * 3 AS INTEGER) AS n_bytes,
+       CAST(80 AS INTEGER) AS header_byte,
+       CAST(d.w AS INTEGER) AS width,
+       CAST(d.h AS INTEGER) AS height,
+       CAST(px.sum_r AS BIGINT) AS sum_r
+FROM d JOIN px USING (doc_id)
 """
 
 MULTIMODAL_RESIZE = """
