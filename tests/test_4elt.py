@@ -54,3 +54,42 @@ def test_wheel13_bfs_levels(spark):
     assert len(levels) == 13
     assert levels[1] == 0.0 and levels[2] == 1.0 and levels[4] == 1.0
     assert levels[13] is None  # one-way tail: unreachable from 1
+
+
+def test_graph_file_round_trip_wheel13(spark, tmp_path):
+    """write_graph_file ∘ read_graph_file = identity on the wheel13 fixture
+    (O1/O17 round-trip parity, round-4 verdict item 8), in both the
+    single-file and the distributed directory shape."""
+    import os
+
+    from gmr_spark.sources.graph_file import read_graph_file, write_graph_file
+
+    src = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                       "gmr_spark", "resources", "wheel13.graph")
+    g = read_graph_file(spark, src)
+    want_edges = sorted((r.src, r.dst) for r in g.edges.collect())
+    want_vertices = sorted(r.id for r in g.vertices.collect())
+
+    for mode, path in (
+        (False, str(tmp_path / "wheel13_roundtrip.graph")),
+        (True, str(tmp_path / "wheel13_roundtrip_dir")),
+    ):
+        write_graph_file(g, path, distributed=mode)
+        g2 = read_graph_file(spark, path)
+        assert sorted((r.src, r.dst) for r in g2.edges.collect()) == want_edges
+        assert sorted(r.id for r in g2.vertices.collect()) == want_vertices
+        assert g2.declared_counts == g.declared_counts
+
+
+def test_graph_file_round_trip_4elt(spark, tmp_path):
+    from gmr_spark.sources.graph_file import read_graph_file, write_graph_file
+
+    g = read_graph_file(spark, FOUR_ELT)
+    path = str(tmp_path / "4elt_rt_dir")
+    write_graph_file(g, path, distributed=True)
+    g2 = read_graph_file(spark, path)
+    assert g2.declared_counts == g.declared_counts
+    assert g2.edges.count() == g.edges.count()
+    # exact edge-set equality without a driver collect of 91k rows
+    assert g.edges.select("src", "dst").exceptAll(
+        g2.edges.select("src", "dst")).count() == 0
