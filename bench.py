@@ -96,6 +96,8 @@ HEADLINE = [
     "events_session_windows",
     "dq_audit",
     "shortest_paths_geo",
+    # round 5 additions: SVD++ batch GD and the dedup attribution row above
+    "svdpp_ratings",
     "ktruss_hub_tri",
     "assortativity_cs",
     "graph_summary_cs",

@@ -1,0 +1,198 @@
+"""SVD++ collaborative filtering (GraphX-library parity, round-4 verdict
+item 6: the reference's roadmap cites GraphX's algorithm list,
+algorithms.h:217-222, and SVDPlusPlus was its one member with no
+counterpart here).
+
+Model (Koren 2008, the formulation GraphX ships):
+
+    pred(u,i) = mu + b_u + b_i + q_i . (p_u + |N(u)|^-1/2 * sum_{j in N(u)} y_j)
+
+Training is DETERMINISTIC BATCH gradient descent — each iteration computes
+every edge's error against the previous iteration's state and applies the
+per-user/per-item gradient sums in one update (documented divergence from
+GraphX's per-edge sequential-ish updates, which are order-dependent and
+cannot be reproduced by a SQL twin). Factor init is a closed-form hash of
+the id (no RNG), so the DuckDB oracle (oracle.svdpp_sql) replays the exact
+same arithmetic unrolled; both engines round predictions to 6 places at the
+end only (the PageRank-twin float-tolerance contract).
+
+Scale shape: per iteration, 1 groupBy per side keyed on user/item ids plus
+edge-state joins on the same keys — all partial+final aggregated shuffles on
+the rating-edge table; state tables are O(|users| + |items|). Lineage is cut
+per iteration with localCheckpoint exactly like plans/pregel.py supersteps.
+
+The rating bipartite graph is derived from TPC-H: u = o_custkey,
+i = l_partkey over orders |><| lineitem (distinct pairs), synthetic
+deterministic rating r = (u*7 + i*13) % 5 + 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gmr_spark.sources.tables import load_tables
+
+SVDPP_GAMMA = 0.01   # learning rate
+SVDPP_LAMBDA = 0.02  # L2 regularization
+SVDPP_RANK = 2       # factor dimensions (f); oracle unrolls per-dim columns
+SVDPP_ITERS = 2      # batch GD iterations; oracle unrolls per iteration
+
+
+def _init_expr(idcol: str, mult: int, dmult: int, d: int) -> F.Column:
+    """Closed-form deterministic init in [-48/970, 48/970] — shared, via the
+    same formula text, with oracle.svdpp_sql."""
+    return ((F.col(idcol) * mult + d * dmult) % 97 - 48) / 970.0
+
+
+def rating_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(u, i, r): the derived customer->part rating graph."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"].select(F.col("o_orderkey").alias("ok"),
+                           F.col("o_custkey").alias("u"))
+        .join(t["lineitem"].select(F.col("l_orderkey").alias("ok"),
+                                   F.col("l_partkey").alias("i")), "ok")
+        .select("u", "i").distinct()
+        .withColumn("r", ((F.col("u") * 7 + F.col("i") * 13) % 5 + 1)
+                    .cast("double"))
+    )
+
+
+def svdpp(spark: SparkSession, sf_dir: str, *, rank: int = SVDPP_RANK,
+          iters: int = SVDPP_ITERS, gamma: float = SVDPP_GAMMA,
+          lam: float = SVDPP_LAMBDA) -> DataFrame:
+    """-> (u, i, rating, pred): every rating edge with its SVD++ prediction
+    after ``iters`` deterministic batch-GD iterations, pred ROUND(., 6)."""
+    from gmr_spark.plans.pregel import _drop_checkpoint_blocks
+
+    dims = range(rank)
+    edges = rating_edges(spark, sf_dir).localCheckpoint(eager=True)
+    mu = float(edges.agg(F.sum("r") / F.count(F.lit(1))).first()[0])
+
+    users = edges.groupBy("u").agg(F.count(F.lit(1)).alias("nu")).select(
+        "u", "nu", F.lit(0.0).alias("bu"),
+        *[_init_expr("u", 31, 17, d).alias(f"p{d}") for d in dims],
+    ).localCheckpoint(eager=True)
+    items = edges.select("i").distinct().select(
+        "i", F.lit(0.0).alias("bi"),
+        *[_init_expr("i", 37, 19, d).alias(f"q{d}") for d in dims],
+        *[_init_expr("i", 41, 23, d).alias(f"y{d}") for d in dims],
+    ).localCheckpoint(eager=True)
+
+    def _imp(u_state: DataFrame, i_state: DataFrame) -> DataFrame:
+        """(u, imp0..): the implicit-feedback term |N(u)|^-1/2 * sum y_j."""
+        return (
+            edges.join(i_state.select("i", *[f"y{d}" for d in dims]), "i")
+            .groupBy("u").agg(*[F.sum(f"y{d}").alias(f"sy{d}") for d in dims])
+            .join(u_state.select("u", "nu"), "u")
+            .select("u", *[
+                (F.col(f"sy{d}") / F.sqrt(F.col("nu"))).alias(f"imp{d}")
+                for d in dims
+            ])
+        )
+
+    def _errs(u_state: DataFrame, i_state: DataFrame, imp: DataFrame) -> DataFrame:
+        """(u, i, err, q*, pimp*): per-edge residual against current state."""
+        dot = None
+        for d in dims:
+            term = F.col(f"q{d}") * (F.col(f"p{d}") + F.col(f"imp{d}"))
+            dot = term if dot is None else dot + term
+        return (
+            edges.join(u_state, "u").join(i_state, "i").join(imp, "u")
+            .select(
+                "u", "i",
+                (F.col("r") - (F.lit(mu) + F.col("bu") + F.col("bi") + dot))
+                .alias("err"),
+                *[F.col(f"q{d}") for d in dims],
+                *[(F.col(f"p{d}") + F.col(f"imp{d}")).alias(f"pimp{d}")
+                  for d in dims],
+            )
+        )
+
+    owned = [edges, users, items]
+    try:
+        for _ in range(iters):
+            imp = _imp(users, items)
+            errs = _errs(users, items, imp).localCheckpoint(eager=True)
+            owned.append(errs)
+
+            uagg = errs.groupBy("u").agg(
+                F.sum("err").alias("se"),
+                *[F.sum(F.col("err") * F.col(f"q{d}")).alias(f"sp{d}")
+                  for d in dims],
+            )
+            new_users = users.join(uagg, "u").select(
+                "u", "nu",
+                (F.col("bu") + gamma * (F.col("se") - lam * F.col("bu")))
+                .alias("bu"),
+                *[
+                    (F.col(f"p{d}")
+                     + gamma * (F.col(f"sp{d}") - lam * F.col(f"p{d}")))
+                    .alias(f"p{d}")
+                    for d in dims
+                ],
+            ).localCheckpoint(eager=True)
+            owned.append(new_users)
+
+            iagg = errs.groupBy("i").agg(
+                F.sum("err").alias("se"),
+                *[F.sum(F.col("err") * F.col(f"pimp{d}")).alias(f"sq{d}")
+                  for d in dims],
+            )
+            # y gradient: g_u[d] = sp_u[d]/sqrt(nu) broadcast back to every
+            # item the user rated (membership join on the edge table)
+            g = (
+                errs.groupBy("u").agg(
+                    *[F.sum(F.col("err") * F.col(f"q{d}")).alias(f"sp{d}")
+                      for d in dims])
+                .join(users.select("u", "nu"), "u")
+                .select("u", *[
+                    (F.col(f"sp{d}") / F.sqrt(F.col("nu"))).alias(f"g{d}")
+                    for d in dims
+                ])
+            )
+            yagg = (
+                edges.join(g, "u")
+                .groupBy("i").agg(*[F.sum(f"g{d}").alias(f"t{d}") for d in dims])
+            )
+            new_items = items.join(iagg, "i").join(yagg, "i").select(
+                "i",
+                (F.col("bi") + gamma * (F.col("se") - lam * F.col("bi")))
+                .alias("bi"),
+                *[
+                    (F.col(f"q{d}")
+                     + gamma * (F.col(f"sq{d}") - lam * F.col(f"q{d}")))
+                    .alias(f"q{d}")
+                    for d in dims
+                ],
+                *[
+                    (F.col(f"y{d}")
+                     + gamma * (F.col(f"t{d}") - lam * F.col(f"y{d}")))
+                    .alias(f"y{d}")
+                    for d in dims
+                ],
+            ).localCheckpoint(eager=True)
+            owned.append(new_items)
+
+            for df in (users, items, errs):
+                _drop_checkpoint_blocks(df)
+                owned.remove(df)
+            users, items = new_users, new_items
+
+        imp = _imp(users, items)
+        dot = None
+        for d in dims:
+            term = F.col(f"q{d}") * (F.col(f"p{d}") + F.col(f"imp{d}"))
+            dot = term if dot is None else dot + term
+        return (
+            edges.join(users, "u").join(items, "i").join(imp, "u")
+            .select(
+                "u", "i", F.col("r").alias("rating"),
+                F.round(F.lit(mu) + F.col("bu") + F.col("bi") + dot, 6)
+                .alias("pred"),
+            )
+        )
+    except Exception:
+        for df in owned:
+            _drop_checkpoint_blocks(df)
+        raise

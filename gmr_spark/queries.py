@@ -60,6 +60,7 @@ from gmr_spark.operators import text_analysis as TA
 from gmr_spark.oracle import llm_sql as LSQL
 from gmr_spark.oracle import relational_sql as RSQL
 from gmr_spark.oracle.kmeans_sql import kmeans_sql
+from gmr_spark.oracle.svdpp_sql import svdpp_sql as _svdpp_oracle
 from gmr_spark.sources.derive import derive_graph
 from gmr_spark.sources.graph_file import read_graph_file
 from gmr_spark.sources.tables import register_views
@@ -360,6 +361,17 @@ def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans(emb, k=8, iters=2)
 
 
+def _q_svdpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SVD++ collaborative filtering over the derived customer->part rating
+    graph — the last GraphX-library algorithm from the reference's cited
+    roadmap (algorithms.h:219-221) without a counterpart here (round-4
+    verdict item 6). Deterministic batch GD; DuckDB twin unrolls the same
+    arithmetic per iteration (oracle.svdpp_sql)."""
+    from gmr_spark.algorithms.svdpp import svdpp
+
+    return svdpp(spark, sf_dir)
+
+
 # wheel13 fixture edges — MUST mirror gmr_spark/resources/wheel13.graph line
 # for line (a unit test pins the two together): directed 12-ring, +3 chords,
 # one-way tail 13 -> 1 (13 unreachable from the source -> NULL level).
@@ -409,6 +421,7 @@ def _graph_file_bfs_sql() -> str:
 
 GRAPH_QUERIES: dict[str, QueryFn] = {
     "kmeans_embeddings": _q_kmeans,
+    "svdpp_ratings": _q_svdpp,
     "bfs_geo": _q_bfs_geo,
     "pregel_census_bfs": _q_pregel_census_bfs,
     "ppr_geo": _q_ppr_geo,
@@ -438,6 +451,7 @@ GRAPH_QUERIES: dict[str, QueryFn] = {
 
 GRAPH_ORACLES: dict[str, str] = {
     "kmeans_embeddings": kmeans_sql(k=8, iters=2),
+    "svdpp_ratings": _svdpp_oracle(),
     "bfs_geo": bfs_sql("geo", 0, K_BFS_GEO),
     "pregel_census_bfs": bfs_census_sql("geo", 0, K_BFS_GEO),
     "ppr_geo": ppr_sql("geo", 0, K_PAGERANK),
