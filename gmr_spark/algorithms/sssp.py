@@ -58,9 +58,15 @@ class _SSSPProgram:
 
 
 def sssp(graph: PropertyGraph, source: int, *, weighted: bool = True,
-         max_iter: int = 120) -> DataFrame:
-    """-> (id BIGINT, dist DOUBLE); dist NULL = unreachable."""
-    result = run_pregel(graph, _SSSPProgram(source, weighted), max_iter=max_iter)
+         max_iter: int = 120, checkpoint_interval: int = 2) -> DataFrame:
+    """-> (id BIGINT, dist DOUBLE); dist NULL = unreachable.
+
+    ``checkpoint_interval=1`` additionally arms run_pregel's exact-census
+    adaptive join strategy (broadcast small frontiers) — the measured right
+    cadence for G2-class graphs, where SSSP's frontier is tiny for most of
+    a high-diameter run (see SCALE.md)."""
+    result = run_pregel(graph, _SSSPProgram(source, weighted), max_iter=max_iter,
+                        checkpoint_interval=checkpoint_interval)
     return result.vertices.select("id", F.col("value").alias("dist"))
 
 

@@ -42,6 +42,14 @@ DEFAULT_THRESHOLD = 1e-4
 # shuffled-hash (never broadcast): ~40 in-memory bytes/row puts 1.5M rows
 # past the 64 MB autoBroadcastJoinThreshold with margin. See run_pregel.
 BIG_GRAPH_ROWS = 1_500_000
+# ... EXCEPT when the frontier is KNOWN (exact census, ci=1) to be at most
+# this many rows: then a hint-forced broadcast of the frontier is safe
+# (~40 MB at the cap, far under the 8 GiB broadcast limit) and the message
+# join runs without any exchange — the frontier-size-adaptive strategy of
+# round-4 verdict item 4. Only exercised when the census is exact; at ci>1
+# the frontier can grow out-degree-fold between censuses and the hinted
+# broadcast would have no size fallback.
+ADAPTIVE_BROADCAST_ROWS = 1_000_000
 MAX_ITERATION = 120
 
 
@@ -185,16 +193,34 @@ def run_pregel(
     metrics: list[dict] = []
     iterations = 0
     converged = False
+    # exact frontier size for the adaptive join strategy: with ci=1 the
+    # checkpoint census counts the NEXT superstep's frontier exactly, so
+    # seed it once from the just-materialized init state (one cheap scan of
+    # resident blocks) and keep it current from each census below. At ci>1
+    # it goes stale (None) between checkpoints and the gate stays closed.
+    last_n_active: int | None = None
+    if big_edges and early_stop and checkpoint_interval == 1:
+        last_n_active = vertices.filter(F.col("active")).count()
 
     for i in range(max_iter):
         t0 = time.perf_counter()
         frontier = vertices.filter(F.col("active")) if early_stop else vertices
         if big_edges:
-            # forbid broadcasting either side of the O(E) message join: the
-            # hinted (frontier) side becomes the per-partition build side of
-            # a ShuffledHashJoin — O(V)/n_partitions rows per hash table —
-            # and the pre-partitioned edge side streams without an exchange.
-            frontier = frontier.hint("shuffle_hash")
+            if last_n_active is not None and last_n_active <= ADAPTIVE_BROADCAST_ROWS:
+                # small-frontier supersteps (the long head and tail of a
+                # BFS/SSSP on a high-diameter graph): broadcast the frontier
+                # — the O(E) edge side streams in place with NO exchange and
+                # no per-partition hash build of the state side. Safe only
+                # because the census is exact (ci=1): the hinted broadcast
+                # has no size fallback.
+                frontier = frontier.hint("broadcast")
+            else:
+                # forbid broadcasting either side of the O(E) message join:
+                # the hinted (frontier) side becomes the per-partition build
+                # side of a ShuffledHashJoin — O(V)/n_partitions rows per
+                # hash table — and the pre-partitioned edge side streams
+                # without an exchange.
+                frontier = frontier.hint("shuffle_hash")
         msgs = program.messages(frontier, edges)
         agg = program.aggregate(msgs)
         if big_vertices:
@@ -220,6 +246,8 @@ def run_pregel(
                 # deterministic census (the reference's Allgather payload,
                 # igmr.cpp:139-152) — free: it rode the checkpoint job
                 n_active = int(obs.get["n_active"] or 0)
+                if checkpoint_interval == 1:
+                    last_n_active = n_active  # exact next-frontier size
                 if n_active == 0:
                     converged = True
         vertices = new_vertices

@@ -373,3 +373,25 @@ def test_minhash_verify_semi_filters_shingles(spark):
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     p = df._jdf.queryExecution().explainString(mode)
     assert re.search(r"BroadcastHashJoin .*LeftSemi", p), p
+
+
+def test_pregel_adaptive_broadcast_end_to_end(spark, monkeypatch):
+    """The exact-census adaptive branch (round-4 verdict item 4): with
+    BIG_GRAPH_ROWS=0 and checkpoint_interval=1, small frontiers take the
+    hinted-broadcast message join; results must be identical to the default
+    path, and at ci=2 the gate must stay closed (census goes stale between
+    checkpoints, so a hinted non-fallback broadcast would be unsafe)."""
+    from gmr_spark.algorithms.sssp import _SSSPProgram, bfs
+    from gmr_spark.plans.pregel import run_pregel
+    from gmr_spark.sources.derive import derive_graph
+    import gmr_spark.plans.pregel as P
+
+    g = derive_graph(spark, SF, "geo", materialize=True)
+    want = {(r.id, r.level) for r in bfs(g, source=0, max_iter=8).collect()}
+    monkeypatch.setattr(P, "BIG_GRAPH_ROWS", 0)
+    res = run_pregel(g, _SSSPProgram(0, weighted=False), max_iter=8,
+                     checkpoint_interval=1)
+    got = {(r.id, r.level)
+           for r in res.vertices.select(
+               "id", res.vertices.value.alias("level")).collect()}
+    assert got == want and len(want) > 0
