@@ -55,6 +55,19 @@ def main() -> None:
     timings: dict[str, float] = {}
     extra: dict[str, object] = {}
 
+    # host-health probe (same fixed workload as bench.py's calibration,
+    # ~0.25 s on an unloaded 32-core host): this container shares hardware
+    # and external tenants have been observed to swing identical runs 3x
+    # (round-5: PageRank 512 s on a loadavg-14 host vs 184 s round-3) — the
+    # artifact records the probe so a poisoned row is self-identifying.
+    def _calibrate() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).selectExpr("sum(id * 3 % 7)").collect()
+        return round(time.perf_counter() - t0, 3)
+
+    _calibrate()  # warm codegen so the probe measures the host, not JIT
+    extra["calibration_sec"] = _calibrate()
+
     t0 = time.perf_counter()
     offsets = F.array(*[F.lit(2**j) for j in range(CHORDS)])
     edges = (
@@ -197,6 +210,7 @@ def main() -> None:
             print(f"pagerank ci={ci}: {rows} rows "
                   f"({timings[f'pagerank_k10_ci{ci}']}s)", file=sys.stderr)
 
+    extra["calibration_post_sec"] = _calibrate()
     print(json.dumps({
         "metric": "g2_scale_proof",
         "vertices": N,
