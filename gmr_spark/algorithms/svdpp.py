@@ -116,11 +116,15 @@ def svdpp(spark: SparkSession, sf_dir: str, *, rank: int = SVDPP_RANK,
             errs = _errs(users, items, imp).localCheckpoint(eager=True)
             owned.append(errs)
 
+            # one aggregate serves both the p/b update and the y gradient
+            # (g_u = sp_u / sqrt(nu)) — materialized so the two consumers
+            # scan a tiny per-user table instead of re-shuffling errs
             uagg = errs.groupBy("u").agg(
                 F.sum("err").alias("se"),
                 *[F.sum(F.col("err") * F.col(f"q{d}")).alias(f"sp{d}")
                   for d in dims],
-            )
+            ).localCheckpoint(eager=True)
+            owned.append(uagg)
             new_users = users.join(uagg, "u").select(
                 "u", "nu",
                 (F.col("bu") + gamma * (F.col("se") - lam * F.col("bu")))
@@ -142,10 +146,7 @@ def svdpp(spark: SparkSession, sf_dir: str, *, rank: int = SVDPP_RANK,
             # y gradient: g_u[d] = sp_u[d]/sqrt(nu) broadcast back to every
             # item the user rated (membership join on the edge table)
             g = (
-                errs.groupBy("u").agg(
-                    *[F.sum(F.col("err") * F.col(f"q{d}")).alias(f"sp{d}")
-                      for d in dims])
-                .join(users.select("u", "nu"), "u")
+                uagg.join(users.select("u", "nu"), "u")
                 .select("u", *[
                     (F.col(f"sp{d}") / F.sqrt(F.col("nu"))).alias(f"g{d}")
                     for d in dims
@@ -174,7 +175,7 @@ def svdpp(spark: SparkSession, sf_dir: str, *, rank: int = SVDPP_RANK,
             ).localCheckpoint(eager=True)
             owned.append(new_items)
 
-            for df in (users, items, errs):
+            for df in (users, items, errs, uagg):
                 _drop_checkpoint_blocks(df)
                 owned.remove(df)
             users, items = new_users, new_items
