@@ -184,12 +184,17 @@ def main() -> None:
     # poisoned the round-2 headline artifact. min-of-2 is the standard
     # steady-state estimator; cheap queries stay single-sample.
     RETRY_FLOOR = 15.0
+    # local-iteration escape hatch: SPARK_GRAFT_BENCH_ONLY="q1_...,dedup_..."
+    # restricts the loop (the driver never sets it — full set is the contract)
+    only = {s.strip() for s in
+            os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s.strip()}
+    headline = [n for n in HEADLINE if not only or n in only]
     # memoized-chain rows are never re-run: a second sample would read the
     # memo in O(1) and erase the row's attribution
     NO_RETRY = {"dedup_pair_chain", "dedup_minhash", "dup_clusters",
                 "dedup_containment"}
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         t = _run_once(name)
         if t > RETRY_FLOOR and name not in NO_RETRY:
             t2 = _run_once(name)
