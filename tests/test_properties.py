@@ -355,3 +355,36 @@ def test_ktruss_matches_bruteforce_peel(edges):
         cur = nxt
     want = {(a, b, supports(cur)[(a, b)]) for a, b in cur}
     assert got == want
+
+
+@settings(max_examples=4, deadline=None)
+@given(edge_sets)
+def test_multi_landmark_equals_per_landmark_bfs(edges):
+    """shortest_paths (single Pregel pass, per-landmark state columns) must
+    agree slot-by-slot with a pure-Python BFS from each landmark — including
+    NULL for unreachable — on random digraphs."""
+    from collections import deque
+
+    from gmr_spark.algorithms.sssp import shortest_paths
+
+    g = _graph(edges)
+    nodes = sorted({v for e in edges for v in e})
+    landmarks = nodes[:3]
+    got = {
+        r.id: tuple(r[f"dist_l{i}"] for i in range(len(landmarks)))
+        for r in shortest_paths(g, landmarks).collect()
+    }
+    adj: dict[int, set[int]] = {v: set() for v in nodes}
+    for s, d in edges:
+        adj[s].add(d)
+    for i, src in enumerate(landmarks):
+        dist = {src: 0.0}
+        q = deque([src])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1.0
+                    q.append(w)
+        for v in nodes:
+            assert got[v][i] == dist.get(v), (v, i, landmarks, sorted(edges))
