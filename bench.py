@@ -55,8 +55,8 @@ HEADLINE = [
     # own row (round-4 verdict item 9): dedup_minhash / dup_clusters /
     # dedup_containment then measure their INCREMENTAL cost over the shared
     # chain instead of whichever ran first silently paying for the rest.
-    # The chain's blocks are released right after the last consumer (see
-    # _POST_QUERY) so they don't tax the remaining bench queries.
+    # The chain's blocks are released right after the run's last chain
+    # consumer (post_query hook) so they don't tax the remaining queries.
     "dedup_pair_chain",
     "dedup_minhash",
     "dup_clusters",
@@ -136,24 +136,20 @@ def main() -> None:
     # once, on its own clock (see the HEADLINE comment)
     queries["dedup_pair_chain"] = (
         lambda s, sf: _verified_jaccard_pairs(s, sf).select("doc_a", "doc_b"))
-    # release the chain's pinned checkpoint blocks after its LAST headline
-    # consumer — without this every later query pays the resident-blocks
-    # memory pressure (the r3→r4 +7.4% common-set drift, VERDICT r4 item 1)
-    post_query = {"dedup_containment": clear_dedup_memo}
 
     # warm the JVM/codegen path once on a cheap query
     queries["filter_scan"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
-    # calibration: fixed synthetic workload, ~1.5s on an unloaded 32-core
-    # host. A high value flags an externally-throttled run (observed 3x
+    # calibration: fixed synthetic workload (gmr_spark.session.calibration_probe,
+    # ~0.16-0.25 s on an unloaded 32-core host). A high value flags an externally-throttled run (observed 3x
     # wall-clock swings on shared hosts) — interpret the query timings
     # relative to it. Measured BEFORE and AFTER the query loop: round 2's
     # headline was poisoned by mid-run throttling that a single pre-run
     # probe could not see (pagerank_big recorded 208 s, re-measured 31 s).
+    from gmr_spark.session import calibration_probe
+
     def _calibrate() -> float:
-        t0 = time.perf_counter()
-        spark.range(0, 200_000_000, 1, 32).selectExpr("sum(id * 3 % 7)").collect()
-        return round(time.perf_counter() - t0, 3)
+        return calibration_probe(spark)
 
     _calibrate()  # warm the calibration path itself (codegen + JIT), else the
     # pre-run probe reads ~3x slower than the post-run one and the drift
@@ -189,10 +185,21 @@ def main() -> None:
     only = {s.strip() for s in
             os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s.strip()}
     headline = [n for n in HEADLINE if not only or n in only]
+
+    # release the chain's pinned checkpoint blocks right after its LAST
+    # consumer PRESENT IN THIS RUN — without this every later query pays the
+    # resident-blocks memory pressure (the r3→r4 +7.4% common-set drift,
+    # VERDICT r4 item 1). Keyed on the run's actual headline so a
+    # BENCH_ONLY subset can't strand the memo.
+    chain_consumers = {"dedup_pair_chain", "dedup_minhash", "dup_clusters",
+                       "dedup_containment"}
+    post_query: dict[str, object] = {}
+    present = [n for n in headline if n in chain_consumers]
+    if present:
+        post_query[present[-1]] = clear_dedup_memo
     # memoized-chain rows are never re-run: a second sample would read the
     # memo in O(1) and erase the row's attribution
-    NO_RETRY = {"dedup_pair_chain", "dedup_minhash", "dup_clusters",
-                "dedup_containment"}
+    NO_RETRY = chain_consumers
     timings: dict[str, float] = {}
     for name in headline:
         t = _run_once(name)

@@ -79,14 +79,19 @@ def _memo(spark: SparkSession, key: tuple, build) -> DataFrame:
     df = _CKPT_MEMO.get(full_key)
     if df is None:
         # a rewritten corpus at the same sf_dir mints a fresh corpus_token:
-        # evict the superseded generation's entry for this (app, kind,
-        # sf_dir) NOW and release its (eagerly checkpointed, GBs at 2M-doc
-        # scale) blocks — otherwise both generations stay pinned until
+        # evict the superseded GENERATION of this exact entry — same (app,
+        # kind, sf_dir) AND same trailing params (e.g. shingle k), different
+        # token only — and release its (eagerly checkpointed, GBs at 2M-doc
+        # scale) blocks; otherwise both generations stay pinned until
         # clear_dedup_memo(), exactly the rmtree+rewrite scenario the token
-        # guards against (round-4 ADVICE).
+        # guards against (round-4 ADVICE). Entries differing in trailing
+        # params are LIVE siblings (two shingle sizes in one session), never
+        # evicted here: their checkpoints have no lineage to rebuild from.
         from gmr_spark.plans.pregel import _drop_checkpoint_blocks
 
-        stale = [k for k in _CKPT_MEMO if k[:3] == full_key[:3] and k != full_key]
+        stale = [k for k in _CKPT_MEMO
+                 if k[:3] == full_key[:3] and k[4:] == full_key[4:]
+                 and k != full_key]
         for k in stale:
             _drop_checkpoint_blocks(_CKPT_MEMO.pop(k))
         df = build()

@@ -69,6 +69,8 @@ def decode_image(data: bytes) -> tuple[int, int, bytes]:
         start = pos
         while pos < len(data) and not data[pos:pos + 1].isspace():
             pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
         fields.append(int(data[start:pos]))
     pos += 1  # single whitespace after maxval, then the raster
     w, h, maxval = fields
@@ -113,20 +115,26 @@ def _make_decode_batches():
         import numpy as np
         import pandas as _pd
 
-        def decode(data: bytes) -> tuple[int, int, float]:
+        def decode(data: bytes) -> tuple[int, int, int]:
+            # same parser as module-level decode_image, inlined by value —
+            # keep the two textually in lock-step (incl. the pos < len(data)
+            # bounds guards: without them a truncated payload whose header
+            # comment lacks a trailing newline spins the task forever)
             if data[:2] != b"P6":
                 raise NotImplementedError("only binary PPM decodable here")
             pos, fields = 2, []
             while len(fields) < 3:
-                while data[pos:pos + 1].isspace():
+                while pos < len(data) and data[pos:pos + 1].isspace():
                     pos += 1
                 if data[pos:pos + 1] == b"#":
-                    while data[pos:pos + 1] != b"\n":
+                    while pos < len(data) and data[pos:pos + 1] != b"\n":
                         pos += 1
                     continue
                 start = pos
                 while pos < len(data) and not data[pos:pos + 1].isspace():
                     pos += 1
+                if pos == start:
+                    raise ValueError("truncated PPM header")
                 fields.append(int(data[start:pos]))
             pos += 1
             w, h, maxval = fields

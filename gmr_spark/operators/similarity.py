@@ -250,10 +250,13 @@ def make_rh_buckets_udf(n_tables: int = RH_N_TABLES, n_bits: int = RH_N_BITS):
     2300-literal Catalyst expression tree (which Janino refuses to compile —
     whole-stage codegen falls back to per-row interpreted evaluation,
     measured 5 s to bucket 2,000 vectors; this path does it in ~50 ms).
-    Semantics are identical by construction: dots ROUND(·, 6) before the
-    sign test, bucket = table-qualified bit-sum over the SAME seeded plane
-    matrix the DuckDB twin renders as VALUES. Nested closure so cloudpickle
-    ships it by value (same pattern as dedup.make_simhash32_udf)."""
+    Semantics: dots ROUND(·, 6) before the sign test, bucket =
+    table-qualified bit-sum over the SAME seeded plane matrix the DuckDB
+    twin renders as VALUES. The rounding is half-AWAY-FROM-ZERO (emulated —
+    np.round is half-to-even, which could flip a sign bit vs the twin on an
+    exact tie; Spark ROUND and DuckDB ROUND are both away-from-zero).
+    Nested closure so cloudpickle ships it by value (same pattern as
+    dedup.make_simhash32_udf)."""
     if n_tables * n_bits > len(_RH_PLANES):
         raise ValueError(
             f"n_tables*n_bits = {n_tables * n_bits} exceeds the "
@@ -265,7 +268,9 @@ def make_rh_buckets_udf(n_tables: int = RH_N_TABLES, n_bits: int = RH_N_BITS):
 
         planes = np.asarray(plane_rows, dtype=np.float64)  # (T*B, dim)
         mat = np.vstack(vs.to_numpy())                     # (batch, dim)
-        dots = np.round(mat @ planes.T, 6)                 # (batch, T*B)
+        raw = mat @ planes.T                               # (batch, T*B)
+        # ROUND(·, 6) half-away-from-zero, matching Spark/DuckDB ROUND
+        dots = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
         bits = (dots > 0).astype(np.int64)
         weights = np.tile(1 << np.arange(n_bits, dtype=np.int64), n_tables)
         weighted = bits * weights

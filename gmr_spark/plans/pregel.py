@@ -42,14 +42,19 @@ DEFAULT_THRESHOLD = 1e-4
 # shuffled-hash (never broadcast): ~40 in-memory bytes/row puts 1.5M rows
 # past the 64 MB autoBroadcastJoinThreshold with margin. See run_pregel.
 BIG_GRAPH_ROWS = 1_500_000
-# ... EXCEPT when the frontier is KNOWN (exact census, ci=1) to be at most
-# this many rows: then a hint-forced broadcast of the frontier is safe
-# (~40 MB at the cap, far under the 8 GiB broadcast limit) and the message
-# join runs without any exchange — the frontier-size-adaptive strategy of
+# ... EXCEPT when the frontier is KNOWN (exact census, ci=1) to be small:
+# then a hint-forced broadcast of the frontier is safe and the message join
+# runs without any exchange — the frontier-size-adaptive strategy of
 # round-4 verdict item 4. Only exercised when the census is exact; at ci>1
 # the frontier can grow out-degree-fold between censuses and the hinted
-# broadcast would have no size fallback.
-ADAPTIVE_BROADCAST_ROWS = 1_000_000
+# broadcast would have no size fallback. The cap is in CELLS
+# (rows × state columns), not rows: program state width is unbounded (e.g.
+# a multi-landmark program carries one column per landmark), and a
+# row-count-only cap would let a wide-state frontier balloon past the
+# driver's broadcast budget. 4M cells ≈ 32 MB of doubles + row overhead —
+# two orders of magnitude under the 8 GiB broadcast limit, and ≈1.3M rows
+# for the 3-column SSSP state (the class the G2 measurement locked in).
+ADAPTIVE_BROADCAST_CELLS = 4_000_000
 MAX_ITERATION = 120
 
 
@@ -201,12 +206,14 @@ def run_pregel(
     last_n_active: int | None = None
     if big_edges and early_stop and checkpoint_interval == 1:
         last_n_active = vertices.filter(F.col("active")).count()
+    state_cols = max(1, len(vertices.columns))
+    max_broadcast_rows = ADAPTIVE_BROADCAST_CELLS // state_cols
 
     for i in range(max_iter):
         t0 = time.perf_counter()
         frontier = vertices.filter(F.col("active")) if early_stop else vertices
         if big_edges:
-            if last_n_active is not None and last_n_active <= ADAPTIVE_BROADCAST_ROWS:
+            if last_n_active is not None and last_n_active <= max_broadcast_rows:
                 # small-frontier supersteps (the long head and tail of a
                 # BFS/SSSP on a high-diameter graph): broadcast the frontier
                 # — the O(E) edge side streams in place with NO exchange and

@@ -43,3 +43,17 @@ def get_session(app_name: str = "gmr_spark", cpus: str | int | None = None) -> S
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def calibration_probe(spark: SparkSession) -> float:
+    """Fixed synthetic workload (~0.16-0.25 s on an unloaded 32-core host):
+    the shared host-health probe bench.py and scripts/scale_g2.py record
+    before/after their runs. ONE definition on purpose — the SCALE.md
+    host-noise methodology compares probe values across artifacts, so the
+    workload must never drift between call sites. Callers run it once to
+    warm codegen, then record the second call."""
+    import time
+
+    t0 = time.perf_counter()
+    spark.range(0, 200_000_000, 1, 32).selectExpr("sum(id * 3 % 7)").collect()
+    return round(time.perf_counter() - t0, 3)

@@ -21,34 +21,55 @@ from pyspark.sql import SparkSession, functions as F
 from gmr_spark.graph import PropertyGraph
 
 
+HEADER_SHARD = "00000-graph-header"
+
+
 def read_graph_file(spark: SparkSession, path: str, num_partitions: int | None = None) -> PropertyGraph:
-    # Header + id-base are decided driver-side from the file's first THREE
-    # non-comment lines. The comment filter runs before the take, so an
-    # arbitrarily long comment/blank preamble cannot starve the probe (the
-    # old raw take(1024) raised a spurious error past 1021 comment lines).
-    # RDD.take() reads partitions in file order (unlike DataFrame limit(),
-    # which has no ordering contract) and scans only as many partitions as
-    # needed, so these really are the first data lines at bounded cost.
-    head = (
-        spark.sparkContext.textFile(path)
-        .map(lambda ln: ln.strip())
-        .filter(lambda ln: ln and not ln.startswith("#"))
-        .take(3)
-    )
-    if len(head) < 2:
-        raise ValueError(f"{path}: missing vertex/edge-count header lines")
-    nvtxs, nedges = int(head[0]), int(head[1])
-    # id-base shift: the reference's declared convention is "first edge line's
-    # `from` == 0 means 0-based, shift all ids by +1" (partition.h:139
-    # `if (from == 0) numbering = 1`) — keyed on the first data line, never on
-    # the observed min (a 0-based file whose vertex 0 is isolated would fool
-    # a min-based probe).
-    shift = 0
-    if nedges > 0:
-        if len(head) < 3:
-            raise ValueError(f"{path}: declares {nedges} edges but contains "
-                             "no edge line")
-        shift = 1 if int(head[2].split()[0]) == 0 else 0
+    import os as _os
+
+    if _os.path.isdir(path):
+        # Sharded directory (write_graph_file(distributed=True)): Hadoop's
+        # local listStatus returns RAW readdir order, NOT name order — a
+        # take(3) probe returned an edge shard's line first in 1 of 3 live
+        # trials — so the header is read from its dedicated shard by NAME,
+        # never by position. Directory-shape graphs are always written
+        # 1-based by this engine (writer contract), so no base-shift probe:
+        # there is no well-defined "first edge line" across shards.
+        hdr = _os.path.join(path, HEADER_SHARD)
+        if not _os.path.exists(hdr):
+            raise ValueError(
+                f"{path}: graph directory lacks its {HEADER_SHARD} shard — "
+                "not produced by write_graph_file(distributed=True)?")
+        with open(hdr) as fh:
+            nvtxs, nedges = int(fh.readline()), int(fh.readline())
+        shift = 0
+    else:
+        # Single file: header + id-base decided driver-side from the FIRST
+        # THREE non-comment lines. The comment filter runs before the take,
+        # so an arbitrarily long comment/blank preamble cannot starve the
+        # probe. RDD.take() reads a single file's partitions in offset order
+        # and scans only as many as needed, so these really are the first
+        # data lines at bounded cost.
+        head = (
+            spark.sparkContext.textFile(path)
+            .map(lambda ln: ln.strip())
+            .filter(lambda ln: ln and not ln.startswith("#"))
+            .take(3)
+        )
+        if len(head) < 2:
+            raise ValueError(f"{path}: missing vertex/edge-count header lines")
+        nvtxs, nedges = int(head[0]), int(head[1])
+        # id-base shift: the reference's declared convention is "first edge
+        # line's `from` == 0 means 0-based, shift all ids by +1"
+        # (partition.h:139 `if (from == 0) numbering = 1`) — keyed on the
+        # first data line, never on the observed min (a 0-based file whose
+        # vertex 0 is isolated would fool a min-based probe).
+        shift = 0
+        if nedges > 0:
+            if len(head) < 3:
+                raise ValueError(f"{path}: declares {nedges} edges but "
+                                 "contains no edge line")
+            shift = 1 if int(head[2].split()[0]) == 0 else 0
 
     lines = spark.read.text(path)
     body = lines.filter(
@@ -89,11 +110,12 @@ def write_graph_file(graph: PropertyGraph, path: str, *,
     ``distributed=False`` streams edge partitions through the driver into
     ONE file — the reference's exact on-disk shape — at constant driver
     memory (``toLocalIterator``). ``distributed=True`` writes a directory:
-    executor-written edge shards plus a header shard named to list first,
-    which ``read_graph_file`` consumes unchanged (both its header probe and
-    its body scan read a directory in file-name order); at 100 TB that is
-    the only shape that does not bottleneck on a single writer — the same
-    split the reader already makes against the reference's rank-0 parse.
+    executor-written edge shards plus a dedicated ``HEADER_SHARD`` file that
+    ``read_graph_file`` locates BY NAME (shard listing order is raw readdir
+    order — never positional); ids are written 1-based as-is, which is the
+    directory-shape base contract. At 100 TB the directory shape is the only
+    one that does not bottleneck on a single writer — the same split the
+    reader already makes against the reference's rank-0 parse.
     """
     nv = graph.vertices.count()
     ne = graph.edges.count()
@@ -105,10 +127,7 @@ def write_graph_file(graph: PropertyGraph, path: str, *,
         lines.write.mode("overwrite").text(path)
         import os
 
-        # sorts before Spark's part-NNNN shards, so the directory reads
-        # back as header-then-edges; crc/_SUCCESS side files are hidden
-        # from both text scans by Hadoop's underscore/dot convention
-        with open(os.path.join(path, "00000-graph-header"), "w") as fh:
+        with open(os.path.join(path, HEADER_SHARD), "w") as fh:
             fh.write(f"{nv}\n{ne}\n")
         return
     with open(path, "w") as fh:

@@ -60,10 +60,10 @@ def main() -> None:
     # and external tenants have been observed to swing identical runs 3x
     # (round-5: PageRank 512 s on a loadavg-14 host vs 184 s round-3) — the
     # artifact records the probe so a poisoned row is self-identifying.
+    from gmr_spark.session import calibration_probe
+
     def _calibrate() -> float:
-        t0 = time.perf_counter()
-        spark.range(0, 200_000_000, 1, 32).selectExpr("sum(id * 3 % 7)").collect()
-        return round(time.perf_counter() - t0, 3)
+        return calibration_probe(spark)
 
     _calibrate()  # warm codegen so the probe measures the host, not JIT
     extra["calibration_sec"] = _calibrate()
