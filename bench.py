@@ -25,6 +25,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 HEADLINE = [
+    # all derived graphs the bench's graph queries share, materialized once
+    # and billed HERE (round-5: derivation is memoized per session —
+    # sources/derive._GRAPH_MEMO — so algorithm rows measure the algorithm,
+    # matching the reference's parse-excluded timings)
+    "derive_graphs",
     "pagerank_geo",
     "pagerank_big",
     "pagerank_hub",
@@ -137,6 +142,19 @@ def main() -> None:
     queries["dedup_pair_chain"] = (
         lambda s, sf: _verified_jaccard_pairs(s, sf).select("doc_a", "doc_b"))
 
+    # synthetic attribution row for the memoized graph derivations (the
+    # counts run on just-checkpointed blocks — metadata-cheap)
+    DERIVED = ("geo", "cs", "ring", "hub", "hub_tri", "linked_lineitems")
+
+    def _derive_all(s, sf):
+        from gmr_spark.sources.derive import derive_graph
+
+        rows = [(n, derive_graph(s, sf, n, materialize=True).edges.count())
+                for n in DERIVED]
+        return s.createDataFrame(rows, "graph string, n_edges long")
+
+    queries["derive_graphs"] = _derive_all
+
     # warm the JVM/codegen path once on a cheap query
     queries["filter_scan"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
@@ -197,9 +215,9 @@ def main() -> None:
     present = [n for n in headline if n in chain_consumers]
     if present:
         post_query[present[-1]] = clear_dedup_memo
-    # memoized-chain rows are never re-run: a second sample would read the
+    # memoized rows are never re-run: a second sample would read the
     # memo in O(1) and erase the row's attribution
-    NO_RETRY = chain_consumers
+    NO_RETRY = chain_consumers | {"derive_graphs"}
     timings: dict[str, float] = {}
     for name in headline:
         t = _run_once(name)

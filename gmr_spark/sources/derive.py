@@ -330,6 +330,45 @@ _SPARK_BUILDERS = {
 # auto-sizing target for derived graphs (see derive_graph)
 _EDGES_PER_PARTITION = 25_000
 
+# Materialized derived graphs memoized per application (same design as
+# operators.dedup._CKPT_MEMO, round-5): a bench/correctness session derives
+# e.g. the geo graph for five different queries, and each derivation is a
+# multi-join SQL + checkpoint costing seconds at sf0.1 — 16 derivations
+# ≈ 20% of the whole bench. The reference's own timing excludes graph
+# load/partition (parse is a separate log line), so memoized derivation
+# also makes per-algorithm rows comparable. Keyed by applicationId + the
+# sf_dir's parquet fingerprint so a restarted context or rewritten dataset
+# can never be served stale frames; release with clear_graph_memo().
+_GRAPH_MEMO: dict[tuple, PropertyGraph] = {}
+
+
+def _sf_token(sf_dir: str) -> tuple:
+    import os
+
+    try:
+        return tuple(sorted(
+            (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+            for e in os.scandir(sf_dir) if e.name.endswith(".parquet")
+        ))
+    except OSError:
+        return ()
+
+
+def clear_graph_memo() -> None:
+    """Release every memoized derived graph's checkpoint blocks (explicit
+    unpersist — ContextCleaner would leave them resident for several more
+    jobs). Pipelines done with graph queries call this; bench keeps the
+    memo alive by design and bills derivation to its own row."""
+    from gmr_spark.plans.pregel import _drop_checkpoint_blocks
+
+    while _GRAPH_MEMO:
+        g = _GRAPH_MEMO.popitem()[1]
+        _drop_checkpoint_blocks(g.edges)
+        _drop_checkpoint_blocks(g.vertices)
+    import gc
+
+    gc.collect()
+
 
 def derive_graph(spark: SparkSession, sf_dir: str, name: str,
                  num_partitions: int | None = None,
@@ -345,7 +384,29 @@ def derive_graph(spark: SparkSession, sf_dir: str, name: str,
     global window (linked_lineitems, hub) use a distributed Spark-side
     builder instead of running the SQL verbatim (see ``_lineitem_base``);
     the oracle still runs GRAPH_SQL in DuckDB and the parity gate proves the
-    graphs identical."""
+    graphs identical.
+
+    The default-config materialized path (``materialize=True``,
+    ``num_partitions=None``) is memoized per application + dataset
+    fingerprint (``_GRAPH_MEMO``) — derivation is deterministic, so the
+    cache is semantically invisible; explicit ``num_partitions`` callers
+    always get a fresh build."""
+    memo_key = None
+    if materialize and num_partitions is None:
+        memo_key = (spark.sparkContext.applicationId, sf_dir, name,
+                    _sf_token(sf_dir))
+        cached = _GRAPH_MEMO.get(memo_key)
+        if cached is not None:
+            return cached
+        # rewritten-dataset generations of this entry: evict + release now
+        # (same hygiene as operators.dedup._memo)
+        from gmr_spark.plans.pregel import _drop_checkpoint_blocks
+
+        for k in [k for k in _GRAPH_MEMO
+                  if k[:3] == memo_key[:3] and k != memo_key]:
+            old = _GRAPH_MEMO.pop(k)
+            _drop_checkpoint_blocks(old.edges)
+            _drop_checkpoint_blocks(old.vertices)
     register_views(spark, sf_dir)
     builder = _SPARK_BUILDERS.get(name)
     edges = builder(spark) if builder else spark.sql(GRAPH_SQL[name])
@@ -381,4 +442,6 @@ def derive_graph(spark: SparkSession, sf_dir: str, name: str,
             .localCheckpoint(eager=True)
         )
         g = PropertyGraph(vertices=vertices, edges=edges)
+    if memo_key is not None:
+        _GRAPH_MEMO[memo_key] = g
     return g

@@ -53,3 +53,47 @@ def test_partitioned_parquet_sink_roundtrip(spark, tmp_path):
     assert sorted((r.id, round(r.rank, 9)) for r in back.collect()) == \
         sorted((r.id, round(r.rank, 9)) for r in tagged.collect())
     assert back.select("bucket").distinct().count() == 2
+
+
+def test_graph_memo_hits_and_invalidates(spark, tmp_path):
+    """derive_graph's materialized-path memo: same session + same dataset →
+    same frames (no re-derivation); rewriting the dataset dir invalidates;
+    clear_graph_memo releases; explicit num_partitions bypasses."""
+    import os
+    import shutil
+
+    from gmr_spark.sources.derive import (
+        _GRAPH_MEMO, clear_graph_memo, derive_graph)
+
+    src = "/root/testdata/sf0.001"
+    work = str(tmp_path / "sfcopy")
+    os.makedirs(work)
+    for t in os.listdir(src):
+        if t.endswith(".parquet"):
+            shutil.copytree(os.path.join(src, t), os.path.join(work, t)) \
+                if os.path.isdir(os.path.join(src, t)) else shutil.copy2(
+                    os.path.join(src, t), os.path.join(work, t))
+
+    g1 = derive_graph(spark, work, "geo", materialize=True)
+    n_edges = g1.edges.count()
+    g2 = derive_graph(spark, work, "geo", materialize=True)
+    assert g1 is g2  # memo hit
+
+    explicit = derive_graph(spark, work, "geo", num_partitions=4,
+                            materialize=True)
+    assert explicit is not g1  # explicit-partitioning callers bypass
+
+    # rewritten generation: bump the mtime of one table dir/file. The old
+    # generation's checkpoint blocks are RELEASED at this point (holding a
+    # graph across a dataset rewrite is out of contract — same semantics as
+    # dedup's corpus-token eviction), so g1 must not be touched below.
+    target = os.path.join(work, "nation.parquet")
+    os.utime(target, None)
+    g3 = derive_graph(spark, work, "geo", materialize=True)
+    assert g3 is not g1
+    assert g3.edges.count() == n_edges
+
+    n_before = len(_GRAPH_MEMO)
+    assert n_before >= 1
+    clear_graph_memo()
+    assert not _GRAPH_MEMO
