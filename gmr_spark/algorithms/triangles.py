@@ -16,9 +16,31 @@ reference's final ``Σ vertex values`` answer (algorithms.h:189-194).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 from gmr_spark.graph import PropertyGraph
+
+# Closure-probe strategy gate (round 5). The wedge stream (e1 ⋈ e2) is
+# O(Σ deg²) rows and the closing-edge probe is the one place it would
+# shuffle. When the canonical edge set is SMALL the probe becomes a
+# map-side broadcast SEMI join on an EXACT single-long edge encoding
+# ((a-lo)*W + (b-lo), injective, no hash collisions) and the wedge stream
+# never leaves the mapper — the win case is skewed graphs (hub_tri class)
+# where Σ deg² ≫ |E| amplifies the wedge stream to billions of rows off a
+# cache-resident edge set. On REGULAR graphs the shuffle probe measures
+# FASTER (chord-ring A/B at 25.2M edges: shuffle 23.6/22.7 s vs broadcast
+# 32.2/29.6 s — per-partition build maps stay cache-resident, and the
+# broadcast pays a stats pass + driver collect + single-thread map build),
+# so the cap is deliberately small; above it the probe falls back to the
+# pinned shuffle_hash join, which is also the only shape that works at
+# true 100 TB edge scale (the gate must never hint-force a broadcast
+# Catalyst would have to die on — the round-4 G2 estimate trap).
+_CLOSURE_BROADCAST_MAX_EDGES = int(
+    os.environ.get("GMR_TC_BROADCAST_EDGES", 20_000_000))
+# (hi-lo+1) beyond which (a-lo)*W+(b-lo) would overflow int64: W² < 2^63
+_ENC_MAX_SPAN = 3_037_000_498
 
 
 def canonical_undirected(edges: DataFrame) -> DataFrame:
@@ -47,25 +69,83 @@ def undirected_degrees(und: DataFrame) -> DataFrame:
     )
 
 
-def triangle_count(graph: PropertyGraph) -> DataFrame:
-    """-> single row (tri_cnt BIGINT): number of distinct triangles a<b<c.
+def _closure_stats(und: DataFrame) -> tuple[int, int, int]:
+    """One aggregate pass over the canonical edge set: (n_edges, lo, hi).
+    lo/hi bound every endpoint (a is the min end, b the max end of each
+    canonical edge, so min(a)/max(b) bound both columns)."""
+    row = und.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("a").alias("lo"),
+        F.max("b").alias("hi"),
+    ).first()
+    return int(row.n or 0), int(row.lo or 0), int(row.hi or 0)
 
-    Both self-joins carry an explicit ``shuffle_hash`` hint on the edge-set
-    side: the canonical edge set sits behind distinct-over-checkpoint plans
-    whose size statistics Catalyst cannot see, and at G2 scale (110M
-    canonical edges ≈ 10.6 GiB) the resulting broadcast mis-plan aborts the
-    job outright — the identical estimate trap run_pregel pins against
-    (plans/pregel.py:166-183; hit live on the first G2 TC run, round 4).
-    Shuffle-hash is also the shape you want: no sort of the multi-billion-row
-    wedge stream (SMJ would), and the build side is |E|/num_partitions per
-    task."""
-    und = canonical_undirected(graph.edges)
-    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
-    tri = (
+
+def closed_triangles(
+    und: DataFrame,
+    *,
+    stats: tuple[int, int, int] | None = None,
+    closure_broadcast_max_edges: int | None = None,
+) -> DataFrame:
+    """-> (va, vb, vc) with va < vb < vc, one row per distinct triangle of
+    the canonical edge set ``und(a, b)``.
+
+    Wedge join (e1 ⋈ e2 on e1.b = e2.a) then the closing-edge probe, with
+    the probe shape picked adaptively (see _CLOSURE_BROADCAST_MAX_EDGES):
+
+    - broadcast path: und re-encoded as single longs, LEFT SEMI broadcast
+      join on ``(va-lo)*W + (vc-lo)`` — exact (injective encoding, not a
+      hash), zero wedge shuffle;
+    - fallback: shuffle_hash-hinted equi-join on (va, vc). The explicit hint
+      matters: und sits behind distinct-over-checkpoint plans whose sizes
+      Catalyst cannot see, and the un-hinted broadcast mis-plan aborts at G2
+      scale (round-4 estimate trap, same pin as plans/pregel.py:166-183).
+      Shuffle-hash is also the right fallback shape: no sort of the
+      multi-billion-row wedge stream (SMJ would sort it).
+
+    ``stats`` lets iterative callers (k_truss) reuse a count they already
+    paid for; when absent one aggregate pass computes it.
+    """
+    cap = (_CLOSURE_BROADCAST_MAX_EDGES if closure_broadcast_max_edges is None
+           else closure_broadcast_max_edges)
+    e1, e2 = und.alias("e1"), und.alias("e2")
+    wedges = (
         e1.join(e2.hint("shuffle_hash"), F.col("e1.b") == F.col("e2.a"))
-        .join(e3.hint("shuffle_hash"),
-              (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .select(F.col("e1.a").alias("va"), F.col("e1.b").alias("vb"),
+                F.col("e2.b").alias("vc"))
     )
+    if cap > 0:
+        n, lo, hi = _closure_stats(und) if stats is None else stats
+        span = hi - lo + 1
+        if 0 < n <= cap and span <= _ENC_MAX_SPAN:
+            w = F.lit(span)
+            off = F.lit(lo)
+            enc = und.select(
+                ((F.col("a") - off) * w + (F.col("b") - off)).alias("ec"))
+            return wedges.join(
+                F.broadcast(enc),
+                (F.col("va") - off) * w + (F.col("vc") - off) == F.col("ec"),
+                "left_semi",
+            )
+    e3 = und.alias("e3")
+    return wedges.join(
+        e3.hint("shuffle_hash"),
+        (F.col("e3.a") == F.col("va")) & (F.col("e3.b") == F.col("vc")),
+        "left_semi",
+    )
+
+
+def triangle_count(
+    graph: PropertyGraph,
+    *,
+    closure_broadcast_max_edges: int | None = None,
+) -> DataFrame:
+    """-> single row (tri_cnt BIGINT): number of distinct triangles a<b<c.
+    Wedge join + adaptive closing-edge probe — see ``closed_triangles`` for
+    the strategy gate and the G2 estimate-trap rationale."""
+    und = canonical_undirected(graph.edges)
+    tri = closed_triangles(
+        und, closure_broadcast_max_edges=closure_broadcast_max_edges)
     return tri.agg(F.count(F.lit(1)).alias("tri_cnt"))
 
 
@@ -152,14 +232,7 @@ def triangle_count_per_vertex(graph: PropertyGraph) -> DataFrame:
     are omitted (join semantics) — callers left-join against vertices if a
     dense output is needed."""
     und = canonical_undirected(graph.edges)
-    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
-    # shuffle_hash for the same estimate-trap reason as triangle_count
-    tri = (
-        e1.join(e2.hint("shuffle_hash"), F.col("e1.b") == F.col("e2.a"))
-        .join(e3.hint("shuffle_hash"),
-              (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
-        .select(F.col("e1.a").alias("va"), F.col("e1.b").alias("vb"), F.col("e2.b").alias("vc"))
-    )
+    tri = closed_triangles(und)
     members = (
         tri.select(F.col("va").alias("id"))
         .unionAll(tri.select(F.col("vb").alias("id")))
@@ -176,12 +249,14 @@ def k_truss(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
     repeatedly count per-edge triangle support on the surviving edge set
     and drop edges below threshold, to fixpoint.
 
-    Scale shape: each peel round is the same hinted 3-way self-join as
-    ``triangle_count`` (shuffle_hash pinned — the G2 estimate trap applies
-    doubly here since the edge set shrinks each round and stats are stale)
-    plus one groupBy on the canonical edge key; rounds are bounded by the
-    truss peel depth. Per-round localCheckpoint truncates lineage exactly
-    like k_core's.
+    Scale shape: each peel round is the same wedge join + adaptive
+    closing-edge probe as ``triangle_count`` (``closed_triangles`` — the
+    G2 estimate trap applies doubly here since the edge set shrinks each
+    round and stats are stale, so the fallback stays shuffle_hash-pinned;
+    the shrinking set also means later rounds flip to the zero-shuffle
+    broadcast probe) plus one groupBy on the canonical edge key; rounds are
+    bounded by the truss peel depth. Per-round localCheckpoint truncates
+    lineage exactly like k_core's.
 
     Raises if the fixpoint is not reached within ``max_iter`` (declared-
     query convergence contract, same as k_core)."""
@@ -195,7 +270,11 @@ def k_truss(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
     # for no semantic gain); `edges` is a lazy projection over it.
     ckpt = canonical_undirected(graph.edges).localCheckpoint(eager=True)
     edges = ckpt
-    n_edges = edges.count()
+    # id bounds computed ONCE on the initial set (peeling only removes
+    # edges, never widens the range) — each round then reuses them plus the
+    # count it already pays, so the adaptive closure probe costs no extra
+    # pass and flips to the broadcast path as the edge set shrinks.
+    n_edges, id_lo, id_hi = _closure_stats(edges)
 
     # live checkpoints we own — released on every non-return exit (fixpoint
     # returns remove their result first), so a mid-round executor exception
@@ -208,15 +287,7 @@ def k_truss(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
                 owned.remove(ckpt)
                 return edges.select(
                     "a", "b", F.lit(0).cast("bigint").alias("support"))
-            e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-            tri = (
-                e1.join(e2.hint("shuffle_hash"), F.col("e1.b") == F.col("e2.a"))
-                .join(e3.hint("shuffle_hash"),
-                      (F.col("e3.a") == F.col("e1.a"))
-                      & (F.col("e3.b") == F.col("e2.b")))
-                .select(F.col("e1.a").alias("va"), F.col("e1.b").alias("vb"),
-                        F.col("e2.b").alias("vc"))
-            )
+            tri = closed_triangles(edges, stats=(n_edges, id_lo, id_hi))
             # each triangle (va<vb<vc) supports its 3 member edges
             sup_rows = (
                 tri.select(F.col("va").alias("a"), F.col("vb").alias("b"))

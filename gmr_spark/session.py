@@ -39,6 +39,11 @@ def get_session(app_name: str = "gmr_spark", cpus: str | int | None = None) -> S
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # explicit-hint broadcasts (adaptive frontier, triangle closure
+        # probe) collect their build side through the driver; the 1g default
+        # caps them far below what a 48g driver can host. On a cluster the
+        # driver's owner sets this alongside driver.memory.
+        .config("spark.driver.maxResultSize", "8g")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

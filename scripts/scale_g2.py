@@ -137,6 +137,14 @@ def main() -> None:
         expected = N * t0 // 3
         assert (N * t0) % 3 == 0, (N, t0)
         t0_time = time.perf_counter()
+        # 110M canonical edges > the closure-broadcast cap -> shuffle_hash
+        # probe, BY MEASUREMENT not just by the cap: an A/B at N=1.2M
+        # (round 5) put the broadcast probe at 32.2/29.6 s vs 23.6/22.7 s
+        # for the shuffle — on this REGULAR graph the wedge amplification
+        # is only ~11x E, and per-partition build maps are cache-resident
+        # while a 25M-entry broadcast map is not. The broadcast probe wins
+        # on SKEWED small-edge-set graphs (hub_tri class) where the wedge
+        # stream dwarfs the edge set.
         got = triangle_count(g).first().tri_cnt
         timings["triangle_count"] = round(time.perf_counter() - t0_time, 1)
         print(f"triangles: {got} (expected {expected}, "

@@ -60,6 +60,23 @@ def test_bfs_small_equals_sssp(spark):
 def test_triangle_count_small(spark):
     g = _graph(spark, SMALL_EDGES)
     assert triangle_count(g).first().tri_cnt == 2  # {1,2,3} and {1,4,5}
+    # both closure-probe strategies agree (closed_triangles): cap=0 forces
+    # the shuffle fallback, huge cap forces the broadcast-encoding path
+    assert triangle_count(
+        g, closure_broadcast_max_edges=0).first().tri_cnt == 2
+    assert triangle_count(
+        g, closure_broadcast_max_edges=10**9).first().tri_cnt == 2
+
+
+def test_triangle_closure_encoding_offsets_negative_ids(spark):
+    """The broadcast probe's long encoding is (a-lo)*W + (b-lo) — offset by
+    the observed id floor so negative vertex ids stay injective. Triangle
+    {-5,-3,2} plus a non-closing wedge around -9."""
+    edges = [(-5, -3), (-3, 2), (-5, 2), (-9, -5), (-9, 7)]
+    g = _graph(spark, edges)
+    for cap in (0, 10**9):
+        assert triangle_count(
+            g, closure_broadcast_max_edges=cap).first().tri_cnt == 1
 
 
 def test_cc_small_and_3line(spark):

@@ -350,14 +350,31 @@ def test_scd2_single_keyed_shuffle(spark):
         assert len(groups) >= 3 and "o_custkey" in groups[-2], args
 
 
-def test_triangle_joins_pinned_shuffle_hash(spark):
-    """The G2 estimate-trap regression guard: Catalyst cannot size the
-    distinct-over-checkpoint canonical edge set and once chose to broadcast
-    10.6 GiB of it (aborting the G2 TC run) — both triangle self-joins must
-    stay ShuffledHashJoin with no broadcast anywhere."""
+def test_triangle_closure_paths(spark):
+    """Both closing-edge probe strategies (closed_triangles, round 5):
+
+    - under the cap, the probe is a broadcast LEFT SEMI on the exact long
+      encoding (the wedge stream never shuffles) while the wedge join
+      itself stays ShuffledHashJoin;
+    - cap=0 forces the >cap fallback — the shape used at 100 TB edge scale
+      — which must keep the G2 estimate-trap guard: every join
+      ShuffledHashJoin, no broadcast anywhere (Catalyst cannot size the
+      distinct-over-checkpoint edge set and once chose to broadcast
+      10.6 GiB of it, aborting the round-4 G2 TC run)."""
     p = plan_of(spark, "triangles_ring")
-    assert p.count("ShuffledHashJoin") >= 2, p
-    assert "BroadcastHashJoin" not in p
+    assert "ShuffledHashJoin" in p, p
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", p), p
+
+    from gmr_spark.algorithms.triangles import triangle_count
+    from gmr_spark.sources.derive import derive_graph
+
+    # materialize so the derivation's own joins don't pollute the TC plan
+    g = derive_graph(spark, SF, "ring", materialize=True)
+    df = triangle_count(g, closure_broadcast_max_edges=0)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p2 = df._jdf.queryExecution().explainString(mode)
+    assert p2.count("ShuffledHashJoin") >= 2, p2
+    assert "BroadcastHashJoin" not in p2
 
 
 def test_minhash_verify_semi_filters_shingles(spark):
