@@ -17,9 +17,12 @@ same arithmetic unrolled; both engines round predictions to 6 places at the
 end only (the PageRank-twin float-tolerance contract).
 
 Scale shape: per iteration, 1 groupBy per side keyed on user/item ids plus
-edge-state joins on the same keys — all partial+final aggregated shuffles on
-the rating-edge table; state tables are O(|users| + |items|). Lineage is cut
-per iteration with localCheckpoint exactly like plans/pregel.py supersteps.
+edge-state joins on the same keys; state tables are O(|users| + |items|)
+and, when they fit an executor (_STATE_BROADCAST_CAP), every state-side
+join is hint-broadcast so the rating-edge table never shuffles for them —
+above the cap the joins fall back to partial+final aggregated shuffles.
+Lineage is cut per iteration with localCheckpoint exactly like
+plans/pregel.py supersteps.
 
 The rating bipartite graph is derived from TPC-H: u = o_custkey,
 i = l_partkey over orders |><| lineitem (distinct pairs), synthetic
@@ -27,6 +30,8 @@ deterministic rating r = (u*7 + i*13) % 5 + 1.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -36,6 +41,15 @@ SVDPP_GAMMA = 0.01   # learning rate
 SVDPP_LAMBDA = 0.02  # L2 regularization
 SVDPP_RANK = 2       # factor dimensions (f); oracle unrolls per-dim columns
 SVDPP_ITERS = 2      # batch GD iterations; oracle unrolls per iteration
+
+# User/item state rows (id, bias, rank floats) are tiny next to the rating
+# edge table, but they sit behind localCheckpoint so Catalyst can't size
+# them and every state join shuffles the edges. Below this cap the state
+# side is hint-broadcast instead (~2M rows * ~60 B ≈ 120 MB relation —
+# executor-safe); above it (web-scale user counts) the joins keep the
+# shuffled plan, which is the only shape that works there.
+_STATE_BROADCAST_CAP = int(os.environ.get("GMR_SVDPP_BROADCAST_ROWS",
+                                          2_000_000))
 
 
 def _init_expr(idcol: str, mult: int, dmult: int, d: int) -> F.Column:
@@ -79,12 +93,27 @@ def svdpp(spark: SparkSession, sf_dir: str, *, rank: int = SVDPP_RANK,
         *[_init_expr("i", 41, 23, d).alias(f"y{d}") for d in dims],
     ).localCheckpoint(eager=True)
 
+    # size-gated broadcast for every state-side join (see
+    # _STATE_BROADCAST_CAP): per-user and per-item tables — including the
+    # derived aggregates imp/uagg/g/iagg/yagg, whose row counts are bounded
+    # by the state tables' — ride map-side joins against the edge table when
+    # they fit; join strategy does not change the arithmetic (the float
+    # drift from summation order is absorbed by the final ROUND(.,6), the
+    # same contract the oracle twin already relies on).
+    small_state = max(users.count(), items.count()) <= _STATE_BROADCAST_CAP
+    if small_state:
+        def st(df: DataFrame) -> DataFrame:
+            return F.broadcast(df)
+    else:
+        def st(df: DataFrame) -> DataFrame:
+            return df
+
     def _imp(u_state: DataFrame, i_state: DataFrame) -> DataFrame:
         """(u, imp0..): the implicit-feedback term |N(u)|^-1/2 * sum y_j."""
         return (
-            edges.join(i_state.select("i", *[f"y{d}" for d in dims]), "i")
+            edges.join(st(i_state.select("i", *[f"y{d}" for d in dims])), "i")
             .groupBy("u").agg(*[F.sum(f"y{d}").alias(f"sy{d}") for d in dims])
-            .join(u_state.select("u", "nu"), "u")
+            .join(st(u_state.select("u", "nu")), "u")
             .select("u", *[
                 (F.col(f"sy{d}") / F.sqrt(F.col("nu"))).alias(f"imp{d}")
                 for d in dims
@@ -98,7 +127,7 @@ def svdpp(spark: SparkSession, sf_dir: str, *, rank: int = SVDPP_RANK,
             term = F.col(f"q{d}") * (F.col(f"p{d}") + F.col(f"imp{d}"))
             dot = term if dot is None else dot + term
         return (
-            edges.join(u_state, "u").join(i_state, "i").join(imp, "u")
+            edges.join(st(u_state), "u").join(st(i_state), "i").join(st(imp), "u")
             .select(
                 "u", "i",
                 (F.col("r") - (F.lit(mu) + F.col("bu") + F.col("bi") + dot))
@@ -113,19 +142,24 @@ def svdpp(spark: SparkSession, sf_dir: str, *, rank: int = SVDPP_RANK,
     try:
         for _ in range(iters):
             imp = _imp(users, items)
+            # materialized even on the broadcast path: errs/uagg each have
+            # multiple consumers in SEPARATE actions, and an A/B showed the
+            # re-derivation (3 consumers re-running the edge join) costs
+            # more than the two checkpoint jobs (14.5 s vs 11.9 s for the
+            # full query at sf0.1)
             errs = _errs(users, items, imp).localCheckpoint(eager=True)
             owned.append(errs)
 
             # one aggregate serves both the p/b update and the y gradient
             # (g_u = sp_u / sqrt(nu)) — materialized so the two consumers
-            # scan a tiny per-user table instead of re-shuffling errs
+            # scan a tiny per-user table instead of re-deriving errs
             uagg = errs.groupBy("u").agg(
                 F.sum("err").alias("se"),
                 *[F.sum(F.col("err") * F.col(f"q{d}")).alias(f"sp{d}")
                   for d in dims],
             ).localCheckpoint(eager=True)
             owned.append(uagg)
-            new_users = users.join(uagg, "u").select(
+            new_users = users.join(st(uagg), "u").select(
                 "u", "nu",
                 (F.col("bu") + gamma * (F.col("se") - lam * F.col("bu")))
                 .alias("bu"),
@@ -146,17 +180,17 @@ def svdpp(spark: SparkSession, sf_dir: str, *, rank: int = SVDPP_RANK,
             # y gradient: g_u[d] = sp_u[d]/sqrt(nu) broadcast back to every
             # item the user rated (membership join on the edge table)
             g = (
-                uagg.join(users.select("u", "nu"), "u")
+                uagg.join(st(users.select("u", "nu")), "u")
                 .select("u", *[
                     (F.col(f"sp{d}") / F.sqrt(F.col("nu"))).alias(f"g{d}")
                     for d in dims
                 ])
             )
             yagg = (
-                edges.join(g, "u")
+                edges.join(st(g), "u")
                 .groupBy("i").agg(*[F.sum(f"g{d}").alias(f"t{d}") for d in dims])
             )
-            new_items = items.join(iagg, "i").join(yagg, "i").select(
+            new_items = items.join(st(iagg), "i").join(st(yagg), "i").select(
                 "i",
                 (F.col("bi") + gamma * (F.col("se") - lam * F.col("bi")))
                 .alias("bi"),
@@ -186,7 +220,7 @@ def svdpp(spark: SparkSession, sf_dir: str, *, rank: int = SVDPP_RANK,
             term = F.col(f"q{d}") * (F.col(f"p{d}") + F.col(f"imp{d}"))
             dot = term if dot is None else dot + term
         return (
-            edges.join(users, "u").join(items, "i").join(imp, "u")
+            edges.join(st(users), "u").join(st(items), "i").join(st(imp), "u")
             .select(
                 "u", "i", F.col("r").alias("rating"),
                 F.round(F.lit(mu) + F.col("bu") + F.col("bi") + dot, 6)

@@ -142,7 +142,10 @@ def main() -> None:
         # (round 5) put the broadcast probe at 32.2/29.6 s vs 23.6/22.7 s
         # for the shuffle — on this REGULAR graph the wedge amplification
         # is only ~11x E, and per-partition build maps are cache-resident
-        # while a 25M-entry broadcast map is not. The broadcast probe wins
+        # while a 25M-entry broadcast map is not. At FULL size the broadcast
+        # path is not merely slower, it is impossible: the 110M-entry
+        # hashed relation hits Spark's hard 8 GiB broadcast cap (attempted
+        # round 5, BroadcastExchangeExec abort). The broadcast probe wins
         # on SKEWED small-edge-set graphs (hub_tri class) where the wedge
         # stream dwarfs the edge set.
         got = triangle_count(g).first().tri_cnt
