@@ -147,10 +147,21 @@ def main() -> None:
     DERIVED = ("geo", "cs", "ring", "hub", "hub_tri", "linked_lineitems")
 
     def _derive_all(s, sf):
-        from gmr_spark.sources.derive import derive_graph
+        # independent derivations, materialized CONCURRENTLY: each Spark
+        # job underutilizes the 32 cores in its narrow stages, so 3 driver
+        # threads overlap them (distinct memo keys per graph name — no
+        # contention; Spark actions are thread-safe)
+        from concurrent.futures import ThreadPoolExecutor
 
-        rows = [(n, derive_graph(s, sf, n, materialize=True).edges.count())
-                for n in DERIVED]
+        from gmr_spark.sources.derive import derive_graph, register_views
+
+        register_views(s, sf)  # once, before the threads race to do it
+
+        def _one(n: str) -> tuple[str, int]:
+            return (n, derive_graph(s, sf, n, materialize=True).edges.count())
+
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            rows = sorted(ex.map(_one, DERIVED))
         return s.createDataFrame(rows, "graph string, n_edges long")
 
     queries["derive_graphs"] = _derive_all
