@@ -91,6 +91,20 @@ def test_triangle_count_equals_bruteforce(edges):
 
 @settings(max_examples=5, deadline=None)
 @given(edge_sets)
+def test_triangle_closure_strategies_agree(edges):
+    """Both closing-edge probe shapes of closed_triangles (broadcast long
+    encoding vs shuffle_hash fallback) count identically on random
+    digraphs — the strategy gate must be semantically invisible."""
+    g = _graph(edges)
+    via_bcast = triangle_count(
+        g, closure_broadcast_max_edges=10**9).first().tri_cnt
+    via_shuffle = triangle_count(
+        g, closure_broadcast_max_edges=0).first().tri_cnt
+    assert via_bcast == via_shuffle
+
+
+@settings(max_examples=5, deadline=None)
+@given(edge_sets)
 def test_cc_matches_union_find(edges):
     g = _graph(edges)
     got = {r.id: r.component for r in connected_components(g).collect()}
