@@ -29,16 +29,19 @@ from gmr_spark.graph import PropertyGraph
 # ((a-lo)*W + (b-lo), injective, no hash collisions) and the wedge stream
 # never leaves the mapper — the win case is skewed graphs (hub_tri class)
 # where Σ deg² ≫ |E| amplifies the wedge stream to billions of rows off a
-# cache-resident edge set. On REGULAR graphs the shuffle probe measures
-# FASTER (chord-ring A/B at 25.2M edges: shuffle 23.6/22.7 s vs broadcast
-# 32.2/29.6 s — per-partition build maps stay cache-resident, and the
-# broadcast pays a stats pass + driver collect + single-thread map build),
-# so the cap is deliberately small; above it the probe falls back to the
-# pinned shuffle_hash join, which is also the only shape that works at
-# true 100 TB edge scale (the gate must never hint-force a broadcast
-# Catalyst would have to die on — the round-4 G2 estimate trap).
+# cache-resident edge set. The cap is MEASURED, not guessed (round-5
+# truss-shaped A/B sweep): at 210k edges broadcast halves the query
+# (14.2 → 7.6 s), at 510k they tie (8.5 vs 8.6 s), and from ~3M up the
+# shuffle probe wins outright (3M: 16.7 vs 14.5 s; 14.4M: 39.3 vs 30.4 s;
+# regular 25.2M chord-ring: 32.2 vs 23.6 s) — once the probe map outgrows
+# cache, per-partition shuffle-build maps beat it, and the broadcast also
+# pays a stats pass + driver collect + single-thread map build. Above the
+# cap the probe falls back to the pinned shuffle_hash join, which is also
+# the only shape that works at true 100 TB edge scale (the gate must never
+# hint-force a broadcast Catalyst would have to die on — the round-4 G2
+# estimate trap; a 110M-entry relation aborts on the 8 GiB broadcast cap).
 _CLOSURE_BROADCAST_MAX_EDGES = int(
-    os.environ.get("GMR_TC_BROADCAST_EDGES", 20_000_000))
+    os.environ.get("GMR_TC_BROADCAST_EDGES", 500_000))
 # (hi-lo+1) beyond which (a-lo)*W+(b-lo) would overflow int64: W² < 2^63
 _ENC_MAX_SPAN = 3_037_000_498
 
