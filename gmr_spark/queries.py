@@ -752,6 +752,11 @@ _CHANGED_THIS_ROUND = (
     "shortest_paths_geo",   # single-pass multi-landmark Pregel rewrite
     "ann_rh_lsh",           # candidate-generation restructure
     "multimodal_decode",    # real PPM byte decoding replaces fake_dims
+    # adaptive closing-edge probe (closed_triangles) rewired every
+    # triangle-family operator
+    "triangles_ring",
+    "ktruss_hub_tri",
+    "clustering_coeff_hub",
 )
 
 # How many rows the correctness driver snapshots per round (observed ~50 in
