@@ -207,10 +207,18 @@ def local_clustering(graph: PropertyGraph) -> DataFrame:
     composition of the per-vertex triangle join with an undirected degree
     aggregation — two shuffles total (the triangle join's and the degree
     groupBy's), both on vertex id, so AQE coalesces them onto one
-    partitioning; no Python anywhere."""
-    und = canonical_undirected(graph.edges)
+    partitioning; no Python anywhere.
+
+    The canonical edge set is localCheckpointed ONCE and shared by the
+    degree aggregation, the wedge join, the closure probe and its stats
+    pass: the distinct-over-edges subtree appears 5x in the lazy plan and
+    measured plans show Catalyst does NOT ReuseExchange it across the
+    branches — at scale that is 5 full edge shuffles vs 1. The checkpoint's
+    blocks live until the session drops them (same ownership shape as
+    k_truss's returned frame)."""
+    und = canonical_undirected(graph.edges).localCheckpoint(eager=True)
     deg = undirected_degrees(und)
-    tri = triangle_count_per_vertex(graph)
+    tri = triangle_count_per_vertex(graph, und=und)
     return (
         deg.join(tri, "id", "left")
         .select(
@@ -229,12 +237,15 @@ def local_clustering(graph: PropertyGraph) -> DataFrame:
     )
 
 
-def triangle_count_per_vertex(graph: PropertyGraph) -> DataFrame:
+def triangle_count_per_vertex(graph: PropertyGraph,
+                              und: DataFrame | None = None) -> DataFrame:
     """-> (id BIGINT, tri_cnt BIGINT): triangles incident to each vertex
     (each triangle counted once per member vertex). Vertices in no triangle
     are omitted (join semantics) — callers left-join against vertices if a
-    dense output is needed."""
-    und = canonical_undirected(graph.edges)
+    dense output is needed. ``und`` lets local_clustering pass its shared
+    (checkpointed) canonical edge set instead of re-deriving it."""
+    if und is None:
+        und = canonical_undirected(graph.edges)
     tri = closed_triangles(und)
     members = (
         tri.select(F.col("va").alias("id"))
