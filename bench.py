@@ -155,7 +155,10 @@ def main() -> None:
 
         from gmr_spark.sources.derive import derive_graph, register_views
 
-        register_views(s, sf)  # once, before the threads race to do it
+        # warm the registration memo once; the per-thread register_views
+        # calls inside derive_graph are idempotent no-ops under its lock
+        # (round-5 ADVICE: the catalog writes used to race)
+        register_views(s, sf)
 
         def _one(n: str) -> tuple[str, int]:
             return (n, derive_graph(s, sf, n, materialize=True).edges.count())

@@ -299,10 +299,15 @@ def k_truss(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
     # for no semantic gain); `edges` is a lazy projection over it.
     ckpt = canonical_undirected(graph.edges).localCheckpoint(eager=True)
     edges = ckpt
-    # id bounds computed ONCE on the initial set (peeling only removes
-    # edges, never widens the range) — each round then reuses them plus the
-    # count it already pays, so the adaptive closure probe costs no extra
-    # pass and flips to the broadcast path as the edge set shrinks.
+    # id bounds computed once up front (peeling only removes edges, never
+    # widens the range) — each round then reuses them plus the count it
+    # already pays, so the adaptive closure probe costs no extra pass and
+    # flips to the broadcast path as the edge set shrinks. One exception
+    # (round-5 ADVICE): if the INITIAL span exceeds the injective-encoding
+    # limit, stale bounds would keep the probe locked out even after
+    # peeling shrinks the span — so the bounds are recomputed (one tiny agg
+    # on the already-small surviving set) the first round the edge count
+    # drops under the broadcast cap while the cached span still exceeds it.
     n_edges, id_lo, id_hi = _closure_stats(edges)
 
     # live checkpoints we own — released on every non-return exit (fixpoint
@@ -343,6 +348,9 @@ def k_truss(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
             ckpt = nxt
             edges = nxt.select("a", "b")  # lazy over the round's checkpoint
             n_edges = n_nxt
+            if (0 < n_edges <= _CLOSURE_BROADCAST_MAX_EDGES
+                    and id_hi - id_lo + 1 > _ENC_MAX_SPAN):
+                _, id_lo, id_hi = _closure_stats(edges)
     finally:
         for df in owned:
             _drop_checkpoint_blocks(df)

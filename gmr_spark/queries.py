@@ -745,19 +745,50 @@ LLM_ORACLES: dict[str, str] = {
 }
 
 
-# Queries whose implementation or oracle changed THIS round: their prior
-# driver rows are stale, so they sort ahead of everything else regardless of
-# row age (new queries have no row at all and front automatically).
-_CHANGED_THIS_ROUND = (
-    "shortest_paths_geo",   # single-pass multi-landmark Pregel rewrite
-    "ann_rh_lsh",           # candidate-generation restructure
-    "multimodal_decode",    # real PPM byte decoding replaces fake_dims
-    # adaptive closing-edge probe (closed_triangles) rewired every
-    # triangle-family operator
-    "triangles_ring",
-    "ktruss_hub_tri",
-    "clustering_coeff_hub",
-)
+# Queries whose implementation or oracle changed in round ``round``: their
+# prior driver rows are stale, so they sort ahead of everything else
+# regardless of row age (new queries have no row at all and front
+# automatically). ROUND-STAMPED (round-5 verdict item 2): the flag is
+# self-expiring — when ``round`` != the current driver round (max committed
+# CORRECTNESS_r* round + 1) the list is ignored, so a forgotten cleanup can
+# never displace genuinely-stale rows in a later round. DISCIPLINE: any
+# change that alters a query's implementation, its oracle, or an operator a
+# query measures MUST bump ``round`` to the current round and list the
+# query here (measuring gates are auto-added via _MEASURED_BY below).
+_CHANGED_THIS_ROUND = {
+    "round": 6,
+    "names": (
+        "multimodal_decode",  # decode now scans real on-disk PPM files via
+                              # spark.read.format("binaryFile") (r5 item 3)
+        "pagerank_big",       # ci=1 exact-census adaptive frontier default
+        "pagerank_hub",       # (r5 item 5 probe) replaces ci=2
+    ),
+}
+
+# Gate/measuring queries: when an operator's query is flagged changed, the
+# queries that MEASURE it (recall/quality gates) are stale too even though
+# their own code did not change — the round-5 flag-propagation gap
+# (ann_recall_at_k rode an r4 row across the r5 ann_rh_lsh rewrite).
+_MEASURED_BY: dict[str, tuple[str, ...]] = {
+    "ann_rh_lsh": ("ann_recall_at_k",),
+    "ann_sign_lsh": ("ann_recall_at_k",),
+    "ann_ivf": ("ann_recall_at_k",),
+}
+
+
+def _changed_names() -> frozenset[str]:
+    """The effective changed-this-round set: empty when the stamp is stale
+    (self-expiry), else the stamped names plus every gate that measures a
+    stamped operator."""
+    last = _driver_row_rounds()
+    current = (max(last.values()) + 1) if last else 1
+    if _CHANGED_THIS_ROUND["round"] != current:
+        return frozenset()
+    names = set(_CHANGED_THIS_ROUND["names"])
+    for subject, gates in _MEASURED_BY.items():
+        if subject in names:
+            names.update(gates)
+    return frozenset(names)
 
 # How many rows the correctness driver snapshots per round (observed ~50 in
 # every CORRECTNESS_r* artifact) — the rotation math below is stated against
@@ -821,7 +852,7 @@ def _rotation_order(names: list[str] | dict[str, object]) -> list[str]:
     2-round-stale query. A changed query cannot ship on a stale green."""
     order = {n: i for i, n in enumerate(names)}
     last = _driver_row_rounds()
-    changed = set(_CHANGED_THIS_ROUND)
+    changed = _changed_names()
     return sorted(
         order,
         key=lambda n: (0 if n in changed else 1, last.get(n, -1), order[n]),

@@ -36,10 +36,12 @@ supplier=+1_000_000, customer=+2_000_000 (geo) / raw custkey (cs, ring).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import SparkSession, functions as F
 
 from gmr_spark.graph import PropertyGraph
-from gmr_spark.sources.tables import register_views
+from gmr_spark.sources.tables import register_views, sf_token as _sf_token
 
 GRAPH_SQL: dict[str, str] = {
     "geo": """
@@ -339,30 +341,32 @@ _EDGES_PER_PARTITION = 25_000
 # also makes per-algorithm rows comparable. Keyed by applicationId + the
 # sf_dir's parquet fingerprint so a restarted context or rewritten dataset
 # can never be served stale frames; release with clear_graph_memo().
+# All memo access sits behind _GRAPH_MEMO_LOCK (round-5 ADVICE: bench
+# derives from 3 driver threads — the old check-then-act was safe only
+# because the names happened to be distinct); derivation itself runs
+# outside the lock, with a double-check on insert so a lost race releases
+# the loser's blocks instead of leaking them.
 _GRAPH_MEMO: dict[tuple, PropertyGraph] = {}
-
-
-def _sf_token(sf_dir: str) -> tuple:
-    import os
-
-    try:
-        return tuple(sorted(
-            (e.name, e.stat().st_mtime_ns, e.stat().st_size)
-            for e in os.scandir(sf_dir) if e.name.endswith(".parquet")
-        ))
-    except OSError:
-        return ()
+_GRAPH_MEMO_LOCK = threading.Lock()
 
 
 def clear_graph_memo() -> None:
     """Release every memoized derived graph's checkpoint blocks (explicit
     unpersist — ContextCleaner would leave them resident for several more
     jobs). Pipelines done with graph queries call this; bench keeps the
-    memo alive by design and bills derivation to its own row."""
+    memo alive by design and bills derivation to its own row.
+
+    INVALIDATION CONTRACT (shared with derive_graph's generation eviction):
+    released checkpoints have NO lineage to rebuild from — any caller still
+    holding a PropertyGraph handed out before the clear/evict gets
+    unrecoverable block-missing failures. Call only at pipeline boundaries
+    where no prior graph handle is live."""
     from gmr_spark.plans.pregel import _drop_checkpoint_blocks
 
-    while _GRAPH_MEMO:
-        g = _GRAPH_MEMO.popitem()[1]
+    with _GRAPH_MEMO_LOCK:
+        doomed = list(_GRAPH_MEMO.values())
+        _GRAPH_MEMO.clear()
+    for g in doomed:
         _drop_checkpoint_blocks(g.edges)
         _drop_checkpoint_blocks(g.vertices)
     import gc
@@ -390,21 +394,30 @@ def derive_graph(spark: SparkSession, sf_dir: str, name: str,
     ``num_partitions=None``) is memoized per application + dataset
     fingerprint (``_GRAPH_MEMO``) — derivation is deterministic, so the
     cache is semantically invisible; explicit ``num_partitions`` callers
-    always get a fresh build."""
+    always get a fresh build.
+
+    INVALIDATION: when the dataset fingerprint changes, the superseded
+    generation's checkpoint blocks are released IMMEDIATELY (they have no
+    lineage to rebuild from) — any PropertyGraph handle obtained for the
+    old generation is dead after that point. Holding a derived graph
+    across a rewrite of its source parquet is out of contract; so is
+    holding one across ``clear_graph_memo()``."""
     memo_key = None
     if materialize and num_partitions is None:
-        memo_key = (spark.sparkContext.applicationId, sf_dir, name,
-                    _sf_token(sf_dir))
-        cached = _GRAPH_MEMO.get(memo_key)
-        if cached is not None:
-            return cached
-        # rewritten-dataset generations of this entry: evict + release now
-        # (same hygiene as operators.dedup._memo)
         from gmr_spark.plans.pregel import _drop_checkpoint_blocks
 
-        for k in [k for k in _GRAPH_MEMO
-                  if k[:3] == memo_key[:3] and k != memo_key]:
-            old = _GRAPH_MEMO.pop(k)
+        memo_key = (spark.sparkContext.applicationId, sf_dir, name,
+                    _sf_token(sf_dir))
+        with _GRAPH_MEMO_LOCK:
+            cached = _GRAPH_MEMO.get(memo_key)
+            # rewritten-dataset generations of this entry: evict + release
+            # (same hygiene as operators.dedup._memo)
+            stale = [] if cached is not None else [
+                _GRAPH_MEMO.pop(k) for k in list(_GRAPH_MEMO)
+                if k[:3] == memo_key[:3] and k != memo_key]
+        if cached is not None:
+            return cached
+        for old in stale:
             _drop_checkpoint_blocks(old.edges)
             _drop_checkpoint_blocks(old.vertices)
     register_views(spark, sf_dir)
@@ -443,5 +456,14 @@ def derive_graph(spark: SparkSession, sf_dir: str, name: str,
         )
         g = PropertyGraph(vertices=vertices, edges=edges)
     if memo_key is not None:
-        _GRAPH_MEMO[memo_key] = g
+        # double-check insert: if a concurrent thread derived the same graph
+        # first, keep THEIRS (callers may already hold it) and release ours
+        with _GRAPH_MEMO_LOCK:
+            winner = _GRAPH_MEMO.setdefault(memo_key, g)
+        if winner is not g and materialize:
+            from gmr_spark.plans.pregel import _drop_checkpoint_blocks
+
+            _drop_checkpoint_blocks(g.edges)
+            _drop_checkpoint_blocks(g.vertices)
+            return winner
     return g

@@ -116,12 +116,35 @@ def write_graph_file(graph: PropertyGraph, path: str, *,
     directory-shape base contract. At 100 TB the directory shape is the only
     one that does not bottleneck on a single writer — the same split the
     reader already makes against the reference's rank-0 parse.
+
+    The 1..N contract is ENFORCED, not just documented (round-5 ADVICE —
+    silently writing e.g. the 0-based geo graph corrupts: a dangling
+    endpoint 0 in directory shape, a +1-shifted non-identity round-trip in
+    single-file shape): vertex ids must be exactly ``1..N``, or exactly
+    ``0..N-1`` in which case every id is shifted +1 on write (the
+    reference's own read-side normalization, partition.h:147-148, applied
+    at write time instead — reading the file back yields ids ``1..N``).
+    Anything else (gaps at either end, duplicates) raises ValueError.
     """
     nv = graph.vertices.count()
+    stats = graph.vertices.agg(
+        F.min("id").alias("lo"), F.max("id").alias("hi"),
+        F.count_distinct("id").alias("nd")).first()
+    lo, hi, nd = (int(stats.lo), int(stats.hi), int(stats.nd)) if nv else (1, 0, 0)
+    if nd == nv and lo == 1 and hi == nv or nv == 0:
+        shift = 0
+    elif nd == nv and lo == 0 and hi == nv - 1:
+        shift = 1  # 0-based graph: normalize to the format's 1-based ids
+    else:
+        raise ValueError(
+            f"write_graph_file: vertex ids must be exactly 1..{nv} (or "
+            f"0..{nv - 1}, shifted on write); got min={lo} max={hi} "
+            f"distinct={nd} of {nv} vertices — the text format carries no "
+            "explicit ids, so any other id space round-trips corrupted")
     ne = graph.edges.count()
     lines = graph.edges.select(
-        F.concat_ws(" ", F.col("src").cast("string"),
-                    F.col("dst").cast("string")).alias("value")
+        F.concat_ws(" ", (F.col("src") + shift).cast("string"),
+                    (F.col("dst") + shift).cast("string")).alias("value")
     )
     if distributed:
         lines.write.mode("overwrite").text(path)

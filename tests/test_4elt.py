@@ -81,6 +81,42 @@ def test_graph_file_round_trip_wheel13(spark, tmp_path):
         assert g2.declared_counts == g.declared_counts
 
 
+def test_write_graph_file_enforces_id_contract(spark, tmp_path):
+    """round-5 ADVICE (medium): the text format carries no explicit vertex
+    ids, so writing anything but exactly-1..N silently corrupts. A 0-based
+    graph is normalized (+1 shift on write, both shapes); a gapped id space
+    raises instead of corrupting."""
+    from pyspark.sql import functions as F
+
+    from gmr_spark.graph import PropertyGraph
+    from gmr_spark.sources.graph_file import read_graph_file, write_graph_file
+
+    # 0-based triangle 0-1-2 -> written 1-based; read-back is 1..3
+    zero_based = PropertyGraph(
+        vertices=spark.range(3).select(F.col("id")),
+        edges=spark.createDataFrame(
+            [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0)], "src long, dst long, weight double"),
+    )
+    for mode, path in (
+        (False, str(tmp_path / "zb.graph")),
+        (True, str(tmp_path / "zb_dir")),
+    ):
+        write_graph_file(zero_based, path, distributed=mode)
+        g2 = read_graph_file(spark, path)
+        assert sorted(r.id for r in g2.vertices.collect()) == [1, 2, 3]
+        assert sorted((r.src, r.dst) for r in g2.edges.collect()) == [
+            (1, 2), (2, 3), (3, 1)]
+
+    # gapped id space (2000000+custkey-style offsets): must refuse loudly
+    gapped = PropertyGraph(
+        vertices=spark.createDataFrame([(1,), (2,), (100,)], "id long"),
+        edges=spark.createDataFrame(
+            [(1, 100, 1.0)], "src long, dst long, weight double"),
+    )
+    with pytest.raises(ValueError, match="vertex ids must be exactly"):
+        write_graph_file(gapped, str(tmp_path / "gap.graph"))
+
+
 def test_graph_file_round_trip_4elt(spark, tmp_path):
     from gmr_spark.sources.graph_file import read_graph_file, write_graph_file
 

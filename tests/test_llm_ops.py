@@ -91,6 +91,32 @@ def test_multimodal_decode_real_ppm(spark):
         assert r.sum_r == sum(rgb[0::3])
 
 
+def test_multimodal_worker_closures_match_module_functions():
+    """Drift guard (round-5 ADVICE): the synthesis/decode formulas exist as
+    module-level functions AND inlined worker closures (shipped by value —
+    workers can't import the package). Run both closures directly over the
+    full dimension grid — doc_id 0..191 covers every reachable (w, h) pair,
+    since w depends on id mod 64, h on id mod 48, lcm = 192 — and assert
+    byte/field equality with decode_image(ppm_payload(id))."""
+    import pandas as pd
+
+    from gmr_spark.operators.multimodal import (
+        _make_decode_batches, _make_ppm_payload_batches, decode_image,
+        ppm_payload)
+
+    ids = pd.DataFrame({"doc_id": range(192)})
+    (pay,) = list(_make_ppm_payload_batches()([ids]))
+    for i, payload in zip(pay["doc_id"], pay["payload"]):
+        assert bytes(payload) == ppm_payload(int(i))
+    (dec,) = list(_make_decode_batches()([pay]))
+    for row in dec.itertuples():
+        payload = ppm_payload(int(row.doc_id))
+        w, h, rgb = decode_image(payload)
+        assert (row.width, row.height) == (w, h)
+        assert row.n_bytes == len(payload)
+        assert row.sum_r == sum(rgb[0::3])
+
+
 def test_decode_image_unsupported_codec_branch():
     import pytest as _pytest
 

@@ -1,7 +1,9 @@
 """Correctness-rotation invariants (round-4 verdict item 2): the driver
 snapshots only the first ~DRIVER_WINDOW registry entries per round, so the
 rotation order must (a) front every query whose prior row is stale and
-(b) bound worst-case staleness. Pure ordering logic — no SparkSession.
+(b) bound worst-case staleness. Round-5 verdict item 2 adds the
+self-expiring round stamp and gate propagation. Pure ordering logic — no
+SparkSession.
 """
 
 from __future__ import annotations
@@ -10,7 +12,9 @@ import math
 
 from gmr_spark.queries import (
     _CHANGED_THIS_ROUND,
+    _MEASURED_BY,
     DRIVER_WINDOW,
+    _changed_names,
     _driver_row_rounds,
     _natural_registry,
     _rotation_order,
@@ -19,13 +23,19 @@ from gmr_spark.queries import (
 )
 
 
+def _current_round() -> int:
+    last = _driver_row_rounds()
+    return (max(last.values()) + 1) if last else 1
+
+
 def test_rotation_fronts_changed_then_stalest():
     order = _rotation_order(_natural_registry())
-    changed = [n for n in order if n in _CHANGED_THIS_ROUND]
+    changed_set = _changed_names()
+    changed = [n for n in order if n in changed_set]
     # every changed query precedes every unchanged one
     assert order[: len(changed)] == changed
     last = _driver_row_rounds()
-    ages = [last.get(n, -1) for n in order if n not in _CHANGED_THIS_ROUND]
+    ages = [last.get(n, -1) for n in order if n not in changed_set]
     # unchanged tail is sorted oldest-row-first
     assert ages == sorted(ages)
 
@@ -44,9 +54,10 @@ def test_rotation_staleness_bound_holds():
     if not last:
         return  # fresh checkout without CORRECTNESS artifacts
     max_round = max(last.values())
+    changed_set = _changed_names()
     must_refresh = {
         n for n in registry
-        if n in _CHANGED_THIS_ROUND or last.get(n, -1) <= max_round - 2
+        if n in changed_set or last.get(n, -1) <= max_round - 2
     }
     assert len(must_refresh) <= DRIVER_WINDOW, (
         f"{len(must_refresh)} stale/changed queries exceed the "
@@ -56,7 +67,7 @@ def test_rotation_staleness_bound_holds():
     missing = must_refresh - window
     assert not missing, f"stale queries outside the next window: {sorted(missing)}"
     # and the documented worst-case bound is arithmetically satisfiable
-    n, w = len(registry), DRIVER_WINDOW - len(_CHANGED_THIS_ROUND)
+    n, w = len(registry), DRIVER_WINDOW - len(changed_set)
     assert math.ceil(n / w) <= 3, (
         f"registry ({n}) outgrew the documented 3-round staleness bound")
 
@@ -72,5 +83,47 @@ def test_queries_and_oracles_share_order():
 
 def test_changed_this_round_names_exist():
     registry = _natural_registry()
-    unknown = [n for n in _CHANGED_THIS_ROUND if n not in registry]
+    unknown = [n for n in _CHANGED_THIS_ROUND["names"] if n not in registry]
     assert not unknown, f"_CHANGED_THIS_ROUND names not in registry: {unknown}"
+    unknown_gates = [
+        g for gates in _MEASURED_BY.values() for g in gates
+        if g not in registry
+    ] + [s for s in _MEASURED_BY if s not in registry]
+    assert not unknown_gates, f"_MEASURED_BY names not in registry: {unknown_gates}"
+
+
+def test_changed_flag_self_expires(monkeypatch):
+    """A flag list stamped with a PAST round has no effect on ordering —
+    the round-5 failure mode (hand-maintained list frozen at its round,
+    silently re-fronting 6 queries forever) is now structurally impossible."""
+    import gmr_spark.queries as Q
+
+    current = _current_round()
+    names = tuple(list(_natural_registry())[:3])
+    monkeypatch.setattr(
+        Q, "_CHANGED_THIS_ROUND", {"round": current - 1, "names": names})
+    assert Q._changed_names() == frozenset()
+    # stale stamp => pure oldest-first order
+    order = Q._rotation_order(_natural_registry())
+    last = _driver_row_rounds()
+    ages = [last.get(n, -1) for n in order]
+    assert ages == sorted(ages)
+    # current stamp => those same names front the window
+    monkeypatch.setattr(
+        Q, "_CHANGED_THIS_ROUND", {"round": current, "names": names})
+    assert Q._changed_names() >= set(names)
+    order = Q._rotation_order(_natural_registry())
+    assert set(order[: len(Q._changed_names())]) == set(Q._changed_names())
+
+
+def test_changed_flag_propagates_to_measuring_gates(monkeypatch):
+    """Flagging an operator's query flags the gates that measure it
+    (round-5 gap: ann_recall_at_k rode a stale row across the ann_rh_lsh
+    rewrite because only the subject was flagged)."""
+    import gmr_spark.queries as Q
+
+    monkeypatch.setattr(
+        Q, "_CHANGED_THIS_ROUND",
+        {"round": _current_round(), "names": ("ann_rh_lsh",)})
+    got = Q._changed_names()
+    assert "ann_recall_at_k" in got and "ann_rh_lsh" in got
