@@ -91,6 +91,43 @@ def test_multimodal_decode_real_ppm(spark):
         assert r.sum_r == sum(rgb[0::3])
 
 
+def test_multimodal_decode_scans_binary_files_and_matches_synth(spark):
+    """round-5 verdict item 3: the declared decode query must enter through
+    the source a real image corpus uses — spark.read.format('binaryFile')
+    over on-disk .ppm files — and stay result-identical to the scan-free
+    synthesized twin. Pins the binaryFile scan in the executed plan."""
+    from gmr_spark.operators.multimodal import (
+        multimodal_decode, multimodal_decode_synth)
+
+    df = multimodal_decode(spark, "/root/testdata/sf0.001")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "binaryFile" in plan, plan.splitlines()[:20]
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple,
+                      multimodal_decode_synth(spark, "/root/testdata/sf0.001")
+                      .collect()))
+    assert got == want and len(got) == 500
+
+
+def test_multimodal_ppm_files_rebuild_on_fingerprint_change(tmp_path, spark):
+    """A rewritten corpus must rebuild the on-disk payloads (marker records
+    the fingerprint), and a matching marker short-circuits the write."""
+    import os
+
+    from gmr_spark.operators import multimodal as M
+
+    d1 = M._ensure_ppm_files(spark, "/root/testdata/sf0.001")
+    assert os.path.exists(os.path.join(d1, "_FINGERPRINT"))
+    n = len([f for f in os.listdir(d1) if f.endswith(".ppm")])
+    assert n == 500
+    # second call: marker hit, same dir back
+    mtime = os.path.getmtime(os.path.join(d1, "1.ppm"))
+    assert M._ensure_ppm_files(spark, "/root/testdata/sf0.001") == d1
+    assert os.path.getmtime(os.path.join(d1, "1.ppm")) == mtime
+
+
 def test_multimodal_worker_closures_match_module_functions():
     """Drift guard (round-5 ADVICE): the synthesis/decode formulas exist as
     module-level functions AND inlined worker closures (shipped by value —
