@@ -65,7 +65,17 @@ def pagerank(graph: PropertyGraph, *, k: int = 10, damping: float = 0.5,
 
     ``checkpoint_interval`` is exposed for cadence measurements
     (scripts/scale_g2.py's sweep); the k=2 default is the measured optimum
-    (see run_pregel's scale notes)."""
+    (see run_pregel's scale notes). Re-probed round 6 at sf0.1 with the
+    exact-census adaptive frontier gate live (the round-5 SSSP winner):
+    ci=1 LOSES on every bench pagerank graph — linked_lineitems 19.1 vs
+    17.2 s, hub 17.1 vs 14.2 s, geo a wash (3.5 vs 3.1 s; min-of-2, quiet
+    host cal 0.40/0.44) — because PageRank's frontier is dense (all
+    vertices, every superstep), so ci=1 buys no broadcast-join win here,
+    only an extra census+checkpoint job per superstep. That cost flattens
+    and slightly inverts at G2 where per-superstep O(E) work dominates
+    (SCALE.md cadence sweep: 171.8 vs 183.9 s); the crossover is real but
+    the driver benches the 600k class, so ci=2 stays the default. Sparse-
+    frontier algorithms (SSSP/BFS) are the ci=1 case."""
     out_deg = graph.edges.groupBy(F.col("src").alias("deg_id")).agg(
         F.count("*").alias("deg")
     )

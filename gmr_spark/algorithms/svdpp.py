@@ -75,12 +75,33 @@ def rating_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def svdpp(spark: SparkSession, sf_dir: str, *, rank: int = SVDPP_RANK,
           iters: int = SVDPP_ITERS, gamma: float = SVDPP_GAMMA,
           lam: float = SVDPP_LAMBDA) -> DataFrame:
-    """-> (u, i, rating, pred): every rating edge with its SVD++ prediction
-    after ``iters`` deterministic batch-GD iterations, pred ROUND(., 6)."""
+    """-> (u, i, rating, pred): every rating edge of the TPC-H-derived
+    bipartite graph with its SVD++ prediction after ``iters`` deterministic
+    batch-GD iterations, pred ROUND(., 6)."""
+    return svdpp_train(spark, rating_edges(spark, sf_dir), rank=rank,
+                       iters=iters, gamma=gamma, lam=lam)
+
+
+def svdpp_train(spark: SparkSession, rating_edges_df: DataFrame, *,
+                rank: int = SVDPP_RANK, iters: int = SVDPP_ITERS,
+                gamma: float = SVDPP_GAMMA, lam: float = SVDPP_LAMBDA,
+                state_broadcast_cap: int | None = None,
+                iter_times: list[float] | None = None) -> DataFrame:
+    """Train on an arbitrary ``(u, i, r)`` rating-edge DataFrame — the
+    dataset-independent core ``svdpp`` wraps (scripts/scale_svdpp.py feeds
+    a 60M-edge synthetic graph through it to prove both join strategies at
+    G2-class size). ``state_broadcast_cap`` overrides _STATE_BROADCAST_CAP
+    so the above-cap shuffle fallback can be forced in-process for A/B
+    runs; join strategy never changes the arithmetic (final ROUND(.,6)
+    absorbs summation-order float drift — the oracle-twin contract).
+    ``iter_times`` (optional) collects per-iteration wall seconds."""
+    import time as _time
+
     from gmr_spark.plans.pregel import _drop_checkpoint_blocks
 
+    cap = _STATE_BROADCAST_CAP if state_broadcast_cap is None else state_broadcast_cap
     dims = range(rank)
-    edges = rating_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = rating_edges_df.localCheckpoint(eager=True)
     mu = float(edges.agg(F.sum("r") / F.count(F.lit(1))).first()[0])
 
     users = edges.groupBy("u").agg(F.count(F.lit(1)).alias("nu")).select(
@@ -100,7 +121,7 @@ def svdpp(spark: SparkSession, sf_dir: str, *, rank: int = SVDPP_RANK,
     # they fit; join strategy does not change the arithmetic (the float
     # drift from summation order is absorbed by the final ROUND(.,6), the
     # same contract the oracle twin already relies on).
-    small_state = max(users.count(), items.count()) <= _STATE_BROADCAST_CAP
+    small_state = max(users.count(), items.count()) <= cap
     if small_state:
         def st(df: DataFrame) -> DataFrame:
             return F.broadcast(df)
@@ -141,6 +162,7 @@ def svdpp(spark: SparkSession, sf_dir: str, *, rank: int = SVDPP_RANK,
     owned = [edges, users, items]
     try:
         for _ in range(iters):
+            _t0 = _time.perf_counter()
             imp = _imp(users, items)
             # materialized even on the broadcast path: errs/uagg each have
             # multiple consumers in SEPARATE actions, and an A/B showed the
@@ -213,6 +235,8 @@ def svdpp(spark: SparkSession, sf_dir: str, *, rank: int = SVDPP_RANK,
                 _drop_checkpoint_blocks(df)
                 owned.remove(df)
             users, items = new_users, new_items
+            if iter_times is not None:
+                iter_times.append(round(_time.perf_counter() - _t0, 1))
 
         imp = _imp(users, items)
         dot = None

@@ -760,8 +760,6 @@ _CHANGED_THIS_ROUND = {
     "names": (
         "multimodal_decode",  # decode now scans real on-disk PPM files via
                               # spark.read.format("binaryFile") (r5 item 3)
-        "pagerank_big",       # ci=1 exact-census adaptive frontier default
-        "pagerank_hub",       # (r5 item 5 probe) replaces ci=2
     ),
 }
 

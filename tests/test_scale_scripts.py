@@ -63,6 +63,22 @@ def test_g2_generator_diameter_property(spark):
     assert max_level <= chords, f"diameter {max_level} > log2 bound {chords}"
 
 
+def test_svdpp_shuffle_fallback_matches_broadcast(spark):
+    """The above-cap join strategy (state_broadcast_cap exceeded -> plain
+    shuffled joins) must produce the IDENTICAL ROUND(.,6) predictions as
+    the broadcast path — the invariant scripts/scale_svdpp.py proves at
+    60M edges, pinned here at sf0.001 so the fallback branch is exercised
+    by the suite itself (round-5 verdict item 1: this branch had never
+    run in any test)."""
+    from gmr_spark.algorithms.svdpp import rating_edges, svdpp_train
+
+    edges = rating_edges(spark, "/root/testdata/sf0.001")
+    a = svdpp_train(spark, edges).collect()
+    b = svdpp_train(spark, edges, state_broadcast_cap=1).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == edges.count()
+
+
 def test_llm_scale_embedding_planted_recall(spark, tmp_path):
     """The synthetic embeddings twin plants the same (2k, 2k+1) pairs as the
     text corpus; the 16-bit sign-LSH bucket join + cosine verify must find

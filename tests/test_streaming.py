@@ -137,6 +137,22 @@ def test_transform_with_state_totals_equals_batch(spark):
         assert gn == n and abs(gtv - tv) < 1e-6, (uid, got[uid], (tv, n))
 
 
+def test_tws_gate_mirrors_environment():
+    """Environment assertion behind the transformWithStateInPandas skip
+    (round-5 verdict item 6): the gate must track the REAL protobuf
+    availability, so if the container ever grows a working protobuf the
+    duality test above converts from skip to run in the same session —
+    a rotted twin then fails loudly instead of hiding behind a stale gate."""
+    from gmr_spark.streaming.stateful import tws_available
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        have_protobuf = True
+    except ImportError:
+        have_protobuf = False
+    assert tws_available() == have_protobuf
+
+
 def test_sliding_stream_equals_batch(spark):
     """The SLIDING-window streaming rollup must equal its declared batch
     twin (every event in exactly two 2h/1h windows) — same duality pin the
