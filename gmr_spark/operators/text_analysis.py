@@ -386,6 +386,95 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+
+# Embedded retrieval query set (fixture, like multilingual_fixture_rows):
+# terms drawn from the synthetic corpus's closed 31-word vocabulary so every
+# query matches real documents at every sf. q6 is deliberately stopword-heavy
+# — idf discounting must rank it differently from the rare-term queries.
+BM25_QUERIES: tuple[tuple[int, str], ...] = (
+    (0, "spark join merge"),
+    (1, "fast scan filter"),
+    (2, "customer order query"),
+    (3, "hash table join"),
+    (4, "window sort group"),
+    (5, "big data stream"),
+    (6, "the a value"),
+    (7, "vector batch column row"),
+)
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, score, rnk): BM25 top-10 documents per embedded
+    query — the retrieval-scoring pass training pipelines run for
+    decontamination sweeps and targeted data selection (public method:
+    Robertson & Zaragoza 2009). The reference has no text surface at all;
+    this extends the mandated (†) text family with query→document ranking
+    (tfidf_top_terms is per-document only).
+
+    Deterministic cross-engine variant: idf is the RATIONAL form
+    (N - df + 0.5)/(df + 0.5) — positive and strictly decreasing in df like
+    the log form, but a single IEEE division instead of a transcendental
+    whose last-ulp differs between the JVM and DuckDB's libm (same deliberate
+    choice as tfidf_top_terms). Scores ROUND(·,6); ties break on doc_id.
+
+    Scale: tf is one hash aggregation on (token, doc_id) AFTER a broadcast
+    semi-join against the (tiny) query-term set — the corpus-wide explode
+    never shuffles unmatched tokens; df reuses the tf table; doc lengths are
+    a second map-side-combinable count; N/avgdl is a 1-row broadcast cross
+    join; top-k per query is a window partitioned by query_id — never a
+    global sort."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return bm25_frame(docs, spark=spark)
+
+
+def bm25_frame(docs: DataFrame, *, spark: SparkSession,
+               queries: tuple[tuple[int, str], ...] = BM25_QUERIES,
+               top_k: int = BM25_TOP_K) -> DataFrame:
+    """Core of :func:`bm25_topk` over any (doc_id, text) frame — split out
+    so unit tests can prove idf discounting on a corpus with non-uniform
+    document frequencies (the synthetic corpus's closed 31-word vocabulary
+    puts every term in nearly every document, so df ≈ N across the board
+    there)."""
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, text in queries for t in dict.fromkeys(text.split())],
+        "query_id int, token string",
+    )
+    tf = (
+        toks.join(F.broadcast(qterms.select("token").distinct()), "token")
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    tf_norm = (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * tf_norm), 6).alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select("query_id", "doc_id", "score", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
 def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(bucket, lo, n_docs, avg_words): power-of-two histogram of per-doc
     word counts — the sequence-length planning view every training pipeline

@@ -446,6 +446,75 @@ SELECT doc_id, lang AS lang_actual,
 FROM scored
 """
 
+def _bm25_values() -> str:
+    """(query_id, token) VALUES rendered from the SAME fixture the Spark
+    side builds (operators.text_analysis.BM25_QUERIES)."""
+    from gmr_spark.operators.text_analysis import BM25_QUERIES
+
+    return ", ".join(
+        f"({qid}, '{tok}')"
+        for qid, text in BM25_QUERIES
+        for tok in dict.fromkeys(text.split())
+    )
+
+
+def _bm25_sql() -> str:
+    """Twin of operators.text_analysis.bm25_topk. Constants are rendered
+    via repr() so both engines parse identical doubles; idf is the rational
+    (no-log) variant for cross-engine bit-parity (see the Spark docstring)."""
+    from gmr_spark.operators.text_analysis import BM25_B, BM25_K1, BM25_TOP_K
+
+    k1, b, k1p1 = repr(BM25_K1), repr(BM25_B), repr(BM25_K1 + 1.0)
+    one_minus_b = repr(1.0 - BM25_B)
+    return f"""
+WITH toks AS MATERIALIZED (
+    SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+),
+dl AS MATERIALIZED (
+    SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+),
+stats AS MATERIALIZED (
+    SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+    FROM dl
+),
+qt(query_id, token) AS (VALUES {_bm25_values()}),
+tf0 AS MATERIALIZED (
+    SELECT t.token, t.doc_id, COUNT(*) AS tf
+    FROM toks t JOIN (SELECT DISTINCT token FROM qt) q USING (token)
+    GROUP BY t.token, t.doc_id
+),
+dfreq AS MATERIALIZED (
+    SELECT token, COUNT(*) AS df FROM tf0 GROUP BY token
+),
+scored AS MATERIALIZED (
+    SELECT q.query_id, t.doc_id,
+           ROUND(SUM(
+               ((CAST(s.n_docs - d.df AS DOUBLE) + 0.5e0)
+                / (CAST(d.df AS DOUBLE) + 0.5e0))
+               * (CAST(t.tf AS DOUBLE) * {k1p1}::DOUBLE)
+                 / (CAST(t.tf AS DOUBLE)
+                    + {k1}::DOUBLE * ({one_minus_b}::DOUBLE
+                       + {b}::DOUBLE * CAST(l.dl AS DOUBLE) / s.avgdl))
+           ), 6) AS score
+    FROM tf0 t
+    JOIN qt q USING (token)
+    JOIN dfreq d USING (token)
+    JOIN dl l ON l.doc_id = t.doc_id
+    CROSS JOIN stats s
+    GROUP BY q.query_id, t.doc_id
+)
+SELECT query_id, doc_id, score, CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) AS rnk
+    FROM scored
+) t WHERE rnk <= {BM25_TOP_K}
+"""
+
+
+BM25_TOPK = _bm25_sql()
+
+
 QUALITY_SCORE = f"""
 WITH toks AS MATERIALIZED (
     SELECT doc_id, {_TOKS} AS t FROM documents

@@ -59,7 +59,7 @@ from gmr_spark.operators import similarity as S
 from gmr_spark.operators import text_analysis as TA
 from gmr_spark.oracle import llm_sql as LSQL
 from gmr_spark.oracle import relational_sql as RSQL
-from gmr_spark.oracle.kmeans_sql import kmeans_sql
+from gmr_spark.oracle.kmeans_sql import kmeans_sql, semdedup_sql
 from gmr_spark.oracle.svdpp_sql import svdpp_sql as _svdpp_oracle
 from gmr_spark.sources.derive import derive_graph
 from gmr_spark.sources.graph_file import read_graph_file
@@ -646,6 +646,9 @@ LLM_QUERIES: dict[str, QueryFn] = {
     "dedup_survivors": D.dedup_survivors,
     "sequence_packing": SAMP.sequence_packing,
     "temperature_mix_sample": SAMP.temperature_mix_sample,
+    # round 6: BM25 retrieval scoring + SemDeDup semantic near-dup removal
+    "bm25_topk": TA.bm25_topk,
+    "semdedup_embeddings": D.semdedup_embeddings,
 }
 
 
@@ -742,6 +745,8 @@ LLM_ORACLES: dict[str, str] = {
     "dedup_survivors": LSQL.DEDUP_SURVIVORS,
     "sequence_packing": LSQL.SEQUENCE_PACKING,
     "temperature_mix_sample": LSQL.TEMPERATURE_MIX_SAMPLE,
+    "bm25_topk": LSQL.BM25_TOPK,
+    "semdedup_embeddings": semdedup_sql(k=8, iters=2, threshold=0.30),
 }
 
 
@@ -760,6 +765,11 @@ _CHANGED_THIS_ROUND = {
     "names": (
         "multimodal_decode",  # decode now scans real on-disk PPM files via
                               # spark.read.format("binaryFile") (r5 item 3)
+        "kmeans_embeddings",  # kmeans._update now joins assignments BEFORE
+                              # the ×dim posexplode (O(N) join, not O(N·dim))
+                              # — same aggregation, but a plan change to a
+                              # declared query fronts it per the discipline
+                              # note above
     ),
 }
 

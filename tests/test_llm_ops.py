@@ -327,3 +327,103 @@ def test_lang_id_multilingual_predicts_every_language(spark):
     assert len(rows) == 25
     assert all(r.lang_pred == r.lang_actual for r in rows)
     assert len({r.lang_pred for r in rows}) == 5
+
+
+def test_semdedup_retires_planted_semantic_dup(spark):
+    from gmr_spark.operators.dedup import semdedup_frame
+
+    # 12 well-separated base vectors + one near-copy of vector 3 (small
+    # perturbation -> cosine ~0.9996). k=3 clusters, threshold 0.9: the copy
+    # (higher id) must be retired, the original (lower id) kept.
+    # v_i = e_{i%4} + e_{4+(i//4)}: any two distinct base vectors share at
+    # most one axis -> cosine <= 0.5, far under the 0.9 threshold
+    base = [[0.0] * 8 for _ in range(12)]
+    for i in range(12):
+        base[i][i % 4] = 1.0
+        base[i][4 + (i // 4)] = 1.0
+    dup = list(base[3])
+    dup[0] += 0.02
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows.append((99, [float(x) for x in dup]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semdedup_frame(emb, k=3, iters=2, threshold=0.9).collect()
+    by_id = {r.vec_id: r for r in out}
+    assert len(out) == 13
+    assert not by_id[99].keep and by_id[99].n_dup_earlier >= 1
+    assert by_id[99].max_sim_earlier > 0.99
+    assert by_id[3].keep  # the lower-id original survives
+    # same cluster, or the retire rule could never have seen the pair
+    assert by_id[99].cluster == by_id[3].cluster
+    # everything else is far from its earlier cluster peers
+    assert all(r.keep for r in out if r.vec_id != 99)
+
+
+def test_bm25_ranking_properties(spark):
+    from gmr_spark.operators.text_analysis import (
+        BM25_QUERIES, BM25_TOP_K, bm25_topk,
+    )
+
+    out = bm25_topk(spark, "/root/testdata/sf0.001").collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    # every embedded query matched documents and returned a full top-k
+    assert set(by_q) == {qid for qid, _ in BM25_QUERIES}
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == list(range(1, BM25_TOP_K + 1))
+        scores = [r.score for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s > 0 for s in scores)
+    # (no idf-discrimination assertion on the synthetic corpus: its closed
+    # 31-word vocabulary puts every term in nearly every doc, df ~ N across
+    # the board — the planted-corpus test below proves idf discounting)
+
+
+def test_bm25_idf_discounts_common_terms(spark):
+    from gmr_spark.operators.text_analysis import bm25_frame
+
+    # 20 docs all containing 'common'; exactly one also contains 'rare'.
+    # Single-term queries: the rare term's top hit must outscore the common
+    # term's (identical tf and dl profiles; only df differs).
+    rows = [(i, "common filler words here") for i in range(19)]
+    rows.append((19, "rare filler words here"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_frame(
+        docs, spark=spark, queries=((0, "common"), (1, "rare")), top_k=3
+    ).collect()
+    best = {}
+    for r in out:
+        best[r.query_id] = max(best.get(r.query_id, 0.0), r.score)
+    assert best[1] > best[0] * 5  # rational idf: (N-df+.5)/(df+.5) swamps tf
+    # the rare query matches exactly one doc
+    assert sum(1 for r in out if r.query_id == 1) == 1
+
+
+def test_semdedup_arrow_engine_matches_expr(spark):
+    """The Arrow/BLAS scale path and the Catalyst expression path agree
+    exactly on the sf0.001 embeddings (and the GEMM k-means assign agrees
+    with the per-centroid expression assign) — pinning that the 100 TB
+    engine computes the SAME dedup decisions, not merely similar ones."""
+    from gmr_spark.algorithms.kmeans import kmeans
+    from gmr_spark.operators.dedup import semdedup_frame
+    from gmr_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    a_expr = {(r.id, r.cluster) for r in kmeans(emb, k=8, iters=2).collect()}
+    a_arr = {(r.id, r.cluster)
+             for r in kmeans(emb, k=8, iters=2, assign="arrow").collect()}
+    assert a_expr == a_arr
+
+    def canon(df):
+        return {
+            (r.vec_id, r.cluster,
+             None if r.max_sim_earlier is None else round(r.max_sim_earlier, 6),
+             r.n_dup_earlier, r.keep)
+            for r in df.collect()
+        }
+
+    expr = canon(semdedup_frame(emb, k=8, iters=2, threshold=0.3))
+    arrow = canon(semdedup_frame(emb, k=8, iters=2, threshold=0.3,
+                                 engine="arrow"))
+    assert expr == arrow
