@@ -226,8 +226,11 @@ def main() -> None:
     # resident-blocks memory pressure (the r3→r4 +7.4% common-set drift,
     # VERDICT r4 item 1). Keyed on the run's actual headline so a
     # BENCH_ONLY subset can't strand the memo.
+    # dedup_embedding joined the set in round 6: its normalized+bucketed
+    # vector table is memoized in the same _CKPT_MEMO (released by the same
+    # hook after the run's last dedup consumer)
     chain_consumers = {"dedup_pair_chain", "dedup_minhash", "dup_clusters",
-                       "dedup_containment"}
+                       "dedup_containment", "dedup_embedding"}
     post_query: dict[str, object] = {}
     present = [n for n in headline if n in chain_consumers]
     if present:

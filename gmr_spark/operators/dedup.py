@@ -252,27 +252,52 @@ def dedup_embedding(spark: SparkSession, sf_dir: str, *, n_bits: int = 8,
     the dedup rule is "keep the lower id" (vec_a < vec_b, so survivors are
     ids never appearing as vec_b). At 100 TB the bucket join replaces the
     O(n²) pair scan and buckets are the shuffle key; hot buckets are capped
-    by sub-splitting (``similarity.split_oversized_buckets``)."""
+    by sub-splitting (``similarity.split_oversized_buckets``).
+
+    Round-6 rewrite (flagged changed): each vector's norm is computed ONCE
+    (a scalar column materialized with the bucketed table) and carried
+    through the pair join — the old shape re-derived both norms per PAIR
+    (2 × |candidates| sqrt-folds; at the 2M proof that is 60M norm folds
+    for 2M vectors) and re-evaluated the whole scan→bucket→split subtree
+    once per join side. The per-pair float path (dot fold ÷ norm product)
+    is unchanged, so the DuckDB twin is untouched."""
     from gmr_spark.operators.similarity import (
         _dot, _norm, _vec, sign_bucket, split_oversized_buckets,
     )
 
-    emb = load_tables(spark, sf_dir)["embeddings"]
-    vecs = split_oversized_buckets(
-        emb.select(
-            F.col("vec_id").alias("id"), _vec().alias("v"),
-            sign_bucket(_vec(), n_bits).alias("bucket"),
+    def _build() -> DataFrame:
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        raw = split_oversized_buckets(
+            emb.select(
+                F.col("vec_id").alias("id"), _vec().alias("v"),
+                sign_bucket(_vec(), n_bits).alias("bucket"),
+            )
         )
-    )
-    a = vecs.select(F.col("id").alias("vec_a"), F.col("v").alias("va"), "bucket", "sub")
-    b = vecs.select(F.col("id").alias("vec_b"), F.col("v").alias("vb"), "bucket", "sub")
+        return raw.select(
+            "id", "bucket", "sub", "v", _norm(F.col("v")).alias("nrm"),
+        ).localCheckpoint(eager=True)  # scan+bucket+split runs once, not per side
+
+    # memoized + released like every chain intermediate (clear_dedup_memo);
+    # keyed on the embeddings fingerprint analogously to _corpus_token
+    import os as _os
+
+    try:
+        st = _os.stat(_os.path.join(sf_dir, "embeddings.parquet"))
+        token = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        token = ()
+    vecs = _memo(spark, ("emb_norm_buckets", sf_dir, token, n_bits), _build)
+    a = vecs.select(F.col("id").alias("vec_a"), F.col("v").alias("va"),
+                    F.col("nrm").alias("na"), "bucket", "sub")
+    b = vecs.select(F.col("id").alias("vec_b"), F.col("v").alias("vb"),
+                    F.col("nrm").alias("nb"), "bucket", "sub")
     return (
         a.join(b, ["bucket", "sub"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a", "vec_b",
             F.round(_dot(F.col("va"), F.col("vb"))
-                    / (_norm(F.col("va")) * _norm(F.col("vb"))), 6).alias("sim"),
+                    / (F.col("na") * F.col("nb")), 6).alias("sim"),
         )
         .filter(F.col("sim") >= min_sim)
     )

@@ -770,6 +770,8 @@ _CHANGED_THIS_ROUND = {
                               # — same aggregation, but a plan change to a
                               # declared query fronts it per the discipline
                               # note above
+        "dedup_embedding",    # normalize-once rewrite (norms per vector,
+                              # not per pair; dot-only sim) on BOTH engines
     ),
 }
 

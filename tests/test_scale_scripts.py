@@ -98,3 +98,31 @@ def test_llm_scale_embedding_planted_recall(spark, tmp_path):
             and (r.vec_a // 2) % 25 == 0, f"false positive: {r}"
         assert r.sim >= 0.99
     assert len(pairs) >= 0.8 * planted, (len(pairs), planted)
+
+
+def test_llm_scale_semdedup_planted_recall(spark, tmp_path):
+    """SemDeDup (arrow engine, the scale path scale_llm.py runs at 2M) on
+    the planted corpus: every (2k, 2k+1) near-copy pair whose members share
+    a cluster must retire the odd (higher-id) member; nothing else retires
+    (random within-cluster cosines sit far below 0.9)."""
+    from scale_llm import build_corpus
+
+    from gmr_spark.operators.dedup import semdedup_frame
+    from gmr_spark.sources.tables import load_tables
+
+    n = 5000
+    sf = build_corpus(spark, n=n, scratch=str(tmp_path / "corpus"),
+                      base_sf="/root/testdata/sf0.001")
+    planted = (n // 2 + 24) // 25
+    out = semdedup_frame(
+        load_tables(spark, sf)["embeddings"],
+        k=max(8, n // 2000), iters=2, threshold=0.9, engine="arrow",
+    ).collect()
+    retired = [r for r in out if not r.keep]
+    for r in retired:
+        assert r.vec_id % 2 == 1 and (r.vec_id // 2) % 25 == 0, \
+            f"false positive: {r}"
+        assert r.max_sim_earlier >= 0.99
+    # a pair is only visible when both members share a cluster; near-copies
+    # virtually always do
+    assert len(retired) >= 0.9 * planted, (len(retired), planted)
