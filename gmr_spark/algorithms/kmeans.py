@@ -108,9 +108,16 @@ def kmeans(embeddings: DataFrame, *, k: int = 8, iters: int = 2,
     ).localCheckpoint(eager=True)
     assign_fn = _assign_arrow if assign == "arrow" else _assign
 
+    from gmr_spark.plans.pregel import small_loop_conf
+
     seeds = df.orderBy("id").limit(k).collect()
     centroids = [(i, list(r.vec)) for i, r in enumerate(seeds)]
-    for _ in range(iters):
-        assigned = assign_fn(df, centroids)
-        centroids = _update(df, assigned)
+    # |N|-scoped physical conf for the Lloyd loop (pregel's round-6 gate);
+    # the count reads just-materialized checkpoint blocks. The final
+    # re-assignment is a narrow map over the checkpoint — no shuffle — so
+    # it can run outside the scope.
+    with small_loop_conf(df.sparkSession, df.count()):
+        for _ in range(iters):
+            assigned = assign_fn(df, centroids)
+            centroids = _update(df, assigned)
     return assign_fn(df, centroids)

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from gmr_spark.graph import PropertyGraph
+from gmr_spark.plans.pregel import small_loop_conf
 
 
 def _min_label_fixpoint(nodes: DataFrame, und_edges: DataFrame,
@@ -91,6 +92,22 @@ def minimum_spanning_forest(graph: PropertyGraph, *,
     ).localCheckpoint(eager=True)
     mst = spark.createDataFrame([], "a bigint, b bigint, w double")
 
+    # |E|-scoped physical conf for the phase loop (the count reads the
+    # just-materialized checkpoint blocks — metadata-cheap); no-op on graphs
+    # past the big-graph threshold, where AQE earns its keep
+    with small_loop_conf(spark, canon.count()):
+        mst = _boruvka_phases(canon, comp, mst, max_phases)
+    return mst.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"),
+        F.col("w").alias("weight"),
+    )
+
+
+def _boruvka_phases(canon: DataFrame, comp: DataFrame, mst: DataFrame,
+                    max_phases: int) -> DataFrame:
+    """The Borůvka phase loop of :func:`minimum_spanning_forest`, split out
+    so ``small_loop_conf`` wraps it in one scope. Returns the forest
+    (a, b, w)."""
     for _ in range(max_phases):
         lab = (
             canon
@@ -126,7 +143,4 @@ def minimum_spanning_forest(graph: PropertyGraph, *,
             .select("id", F.col("lbl").alias("comp"))
         ).localCheckpoint(eager=True)
 
-    return mst.select(
-        F.col("a").alias("src"), F.col("b").alias("dst"),
-        F.col("w").alias("weight"),
-    )
+    return mst

@@ -16,8 +16,10 @@ and made deterministic):
 
 Scale: contributions are ``edges ⋈ ranks`` reusing the edges DF's src
 partitioning; ``groupBy(id).sum`` is partial+final aggregated; skewed hub
-destinations are handled by AQE skew splitting. Lineage is truncated every
-superstep via localCheckpoint.
+destinations are handled by partial aggregation everywhere and by AQE skew
+splitting on big graphs (small-graph loops run AQE-off under run_pregel's
+round-6 conf gate). Lineage is truncated every superstep via
+localCheckpoint.
 """
 
 from __future__ import annotations

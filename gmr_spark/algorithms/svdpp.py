@@ -160,6 +160,14 @@ def svdpp_train(spark: SparkSession, rating_edges_df: DataFrame, *,
         )
 
     owned = [edges, users, items]
+    # |ratings|-scoped physical conf for the GD loop (pregel's round-6
+    # gate); no-op past the big-graph threshold (the 60M-edge SCALE.md runs
+    # are unaffected). The returned prediction join is lazy and evaluates
+    # after restore — only the loop's shuffles run under the small conf.
+    from gmr_spark.plans.pregel import apply_small_loop_conf, restore_conf
+
+    spark = edges.sparkSession
+    saved_conf = apply_small_loop_conf(spark, edges.count())
     try:
         for _ in range(iters):
             _t0 = _time.perf_counter()
@@ -255,3 +263,5 @@ def svdpp_train(spark: SparkSession, rating_edges_df: DataFrame, *,
         for df in owned:
             _drop_checkpoint_blocks(df)
         raise
+    finally:
+        restore_conf(spark, saved_conf)

@@ -314,6 +314,12 @@ def k_truss(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
     # returns remove their result first), so a mid-round executor exception
     # or max_iter exhaustion cannot leak the current round's blocks
     owned: list[DataFrame] = [ckpt]
+    # |E|-scoped physical conf for the peel loop (pregel's round-6 gate);
+    # restored in the existing finally alongside the block releases
+    from gmr_spark.plans.pregel import apply_small_loop_conf, restore_conf
+
+    spark = ckpt.sparkSession
+    saved_conf = apply_small_loop_conf(spark, n_edges)
     try:
         for _ in range(max_iter):
             if n_edges == 0:
@@ -352,6 +358,7 @@ def k_truss(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
                     and id_hi - id_lo + 1 > _ENC_MAX_SPAN):
                 _, id_lo, id_hi = _closure_stats(edges)
     finally:
+        restore_conf(spark, saved_conf)
         for df in owned:
             _drop_checkpoint_blocks(df)
 

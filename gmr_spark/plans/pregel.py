@@ -28,6 +28,7 @@ engine-y piece of code Catalyst cannot provide.
 from __future__ import annotations
 
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import Protocol
 
@@ -55,6 +56,26 @@ BIG_GRAPH_ROWS = 1_500_000
 # two orders of magnitude under the 8 GiB broadcast limit, and ≈1.3M rows
 # for the 3-column SSSP state (the class the G2 measurement locked in).
 ADAPTIVE_BROADCAST_CELLS = 4_000_000
+# Below BIG_GRAPH_ROWS the per-superstep cost is dominated by task-launch
+# and AQE query-stage scheduling, not by data: fixed-k PageRank on the two
+# heaviest sf0.1 bench graphs (1.2M edges, 600k vertices) measured
+# 11.7-13.9 s under the session defaults (AQE on, 32 shuffle partitions)
+# vs 6.1-9.6 s with AQE off + fewer shuffle partitions (round-6 probes,
+# min-of-2 per cell). So for small graphs the loop statically coalesces
+# its shuffles to ~|E|/75k partitions — never above the session setting,
+# which is cluster sizing the engine must respect — and turns per-stage
+# adaptive planning off for the loop's duration (restored on every exit
+# path). The 75k divisor is the best cell of a swept band on the two 1.2M-
+# edge graphs (|E|/150k → 12.5/9.6 s, /75k → 8.3/6.7, /40k → 8.1/8.3,
+# AQE-off-only → 9.0/10.0); everything in the 8-32-partition band sits
+# within host noise, so the constant is a centroid, not a cliff. Big
+# graphs are untouched: AQE's skew-join splitting and runtime coalescing
+# earn their scheduling overhead when a superstep moves O(100M) messages,
+# and the G2 SCALE.md rows were measured with AQE on. This is the static
+# analog of AQE's coalescing: the engine knows |E| exactly (counted on
+# just-materialized blocks), so it can size once instead of paying
+# per-stage re-planning ~3x per superstep.
+LOOP_EDGES_PER_SHUFFLE_PARTITION = 75_000
 MAX_ITERATION = 120
 
 
@@ -120,6 +141,49 @@ def _drop_checkpoint_blocks(df: DataFrame) -> None:
         plan.rdd().unpersist(False)
     except Exception:
         pass  # best-effort: leaked blocks cost time, not correctness
+
+
+def apply_small_loop_conf(spark, n_rows: int) -> dict[str, str]:
+    """Imperative half of :func:`small_loop_conf` for loops that already
+    own a try/finally: applies the small-loop conf and returns the saved
+    values to pass to :func:`restore_conf` in the caller's ``finally``."""
+    saved: dict[str, str] = {}
+    if n_rows <= BIG_GRAPH_ROWS:
+        target = max(4, -(-n_rows // LOOP_EDGES_PER_SHUFFLE_PARTITION))
+        try:
+            configured = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            configured = spark.sparkContext.defaultParallelism
+        if target < configured:
+            saved["spark.sql.shuffle.partitions"] = str(configured)
+            spark.conf.set("spark.sql.shuffle.partitions", str(target))
+        saved["spark.sql.adaptive.enabled"] = str(
+            spark.conf.get("spark.sql.adaptive.enabled", "true"))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    return saved
+
+
+def restore_conf(spark, saved: dict[str, str]) -> None:
+    for key, val in saved.items():
+        spark.conf.set(key, val)
+
+
+@contextmanager
+def small_loop_conf(spark, n_rows: int):
+    """Loop-scoped physical conf for an iterative driver loop over a
+    known-small materialized relation (see LOOP_EDGES_PER_SHUFFLE_PARTITION
+    for the measurements): below BIG_GRAPH_ROWS, shuffle partitions are
+    statically coalesced to ~``n_rows``/75k (never above the session
+    setting) and per-stage adaptive planning is turned off for the scope's
+    duration; above the threshold this is a no-op. Restores the saved conf
+    on every exit path. Session-level conf mutation is safe here because
+    the engine's iterative loops are driver-sequential — no two loops
+    share a session concurrently."""
+    saved = apply_small_loop_conf(spark, n_rows)
+    try:
+        yield
+    finally:
+        restore_conf(spark, saved)
 
 
 def run_pregel(
@@ -192,12 +256,11 @@ def run_pregel(
     # (BIG_GRAPH_ROWS is module-level so tests can force this branch on
     # fixture graphs; the two counts run on blocks the localCheckpoints
     # just materialized — metadata-cheap, not plan recomputes.)
-    big_edges = edges.count() > BIG_GRAPH_ROWS
+    n_edges = edges.count()
+    big_edges = n_edges > BIG_GRAPH_ROWS
     big_vertices = vertices.count() > BIG_GRAPH_ROWS
     prev_state = vertices  # last materialized state whose blocks we own
     metrics: list[dict] = []
-    iterations = 0
-    converged = False
     # exact frontier size for the adaptive join strategy: with ci=1 the
     # checkpoint census counts the NEXT superstep's frontier exactly, so
     # seed it once from the just-materialized init state (one cheap scan of
@@ -209,6 +272,25 @@ def run_pregel(
     state_cols = max(1, len(vertices.columns))
     max_broadcast_rows = ADAPTIVE_BROADCAST_CELLS // state_cols
 
+    with small_loop_conf(edges.sparkSession, n_edges):
+        return _pregel_loop(
+            program, edges, vertices, max_iter=max_iter,
+            early_stop=early_stop, collect_metrics=collect_metrics,
+            checkpoint_interval=checkpoint_interval,
+            big_edges=big_edges, big_vertices=big_vertices,
+            last_n_active=last_n_active,
+            max_broadcast_rows=max_broadcast_rows,
+            prev_state=prev_state, metrics=metrics)
+
+
+def _pregel_loop(program, edges, vertices, *, max_iter, early_stop,
+                 collect_metrics, checkpoint_interval, big_edges,
+                 big_vertices, last_n_active, max_broadcast_rows,
+                 prev_state, metrics) -> PregelResult:
+    """The superstep loop body of :func:`run_pregel`, split out so the
+    loop-scoped conf override (``small_loop_conf``) wraps it in one scope."""
+    iterations = 0
+    converged = False
     for i in range(max_iter):
         t0 = time.perf_counter()
         frontier = vertices.filter(F.col("active")) if early_stop else vertices

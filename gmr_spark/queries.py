@@ -152,7 +152,10 @@ def _q_pagerank_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
     map task pre-combines to ≤1 row per id, so the hot hub key crosses the
     exchange as at most #partitions rows, never as |in-degree| rows; and
     (b) the hub's large *out*-fan in the edges⋈frontier join is covered by
-    AQE skew-join splitting (enabled session-wide). Declared green +
+    AQE skew-join splitting on big graphs; below BIG_GRAPH_ROWS the pregel
+    loop runs AQE-off (round-6 conf gate) and the out-fan — ≤|E| rows
+    total — is already bounded by the |E|-proportional shuffle sizing the
+    gate picks. Declared green +
     benched: superstep time on this graph tracks pagerank_big's per-edge
     cost rather than exploding with the hot key."""
     g = derive_graph(spark, sf_dir, "hub", materialize=True)
@@ -772,6 +775,28 @@ _CHANGED_THIS_ROUND = {
                               # note above
         "dedup_embedding",    # normalize-once rewrite (norms per vector,
                               # not per pair; dot-only sim) on BOTH engines
+        # run_pregel loop-scoped physical conf (AQE off + |E|-sized shuffle
+        # partitions on small graphs): values are conf-independent by
+        # construction, but a physical-execution change to every pregel-
+        # routed query fronts them per the discipline note above
+        "bfs_geo",
+        "pregel_census_bfs",
+        "ppr_geo",
+        "sssp_cs",
+        "sssp_cs_weighted",
+        "pagerank_geo",
+        "pagerank_big",
+        "pagerank_hub",
+        "cc_cs",
+        "scc_nation_ring",
+        "label_propagation_geo",
+        "kcore_cs",
+        "shortest_paths_geo",
+        "graph_file_bfs",
+        # non-pregel iterative drivers that adopted the same gate
+        "mst_nation_mesh",
+        "svdpp_ratings",
+        "ktruss_hub_tri",
     ),
 }
 
@@ -804,6 +829,14 @@ def _changed_names() -> frozenset[str]:
 # every CORRECTNESS_r* artifact) — the rotation math below is stated against
 # this constant and test_rotation pins the staleness bound to it.
 DRIVER_WINDOW = 50
+# Steady-state ceiling on per-round _CHANGED_THIS_ROUND names that the
+# 3-round staleness bound is stated against. A single round MAY exceed this
+# (e.g. a physical-execution change touching every pregel query); the
+# rotation then defers at most (spike − steady) oldest refreshes by one
+# round, each still caught by test_rotation's dynamic must-refresh-fits-
+# window assertion — and the self-expiring stamp prevents a persistent
+# spike. The static ceil(N/(W−steady)) ≤ 3 check pins registry growth.
+STEADY_CHANGED_MAX = 5
 
 
 def _driver_row_rounds() -> dict[str, int]:
