@@ -412,3 +412,45 @@ def test_pregel_adaptive_broadcast_end_to_end(spark, monkeypatch):
            for r in res.vertices.select(
                "id", res.vertices.value.alias("level")).collect()}
     assert got == want and len(want) > 0
+
+
+def test_small_loop_conf_contract(spark):
+    """The round-6 loop-scoped physical conf (plans/pregel.py): below
+    BIG_GRAPH_ROWS the scope coalesces shuffle partitions to ~n/75k
+    (floored at 4, never above the session setting) and turns AQE off;
+    above it the scope is a strict no-op; the saved conf is restored on
+    clean exit, on exception, and correctly under nesting (inner scope
+    saves the outer's values, not the session's)."""
+    from gmr_spark.plans.pregel import (
+        BIG_GRAPH_ROWS, LOOP_EDGES_PER_SHUFFLE_PARTITION, small_loop_conf)
+
+    part_key, aqe_key = "spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled"
+    base = (spark.conf.get(part_key), spark.conf.get(aqe_key))
+    assert base[1] == "true"  # the session default the gate must restore
+
+    # small: coalesced + AQE off, restored on clean exit
+    with small_loop_conf(spark, 300_000):
+        want = max(4, -(-300_000 // LOOP_EDGES_PER_SHUFFLE_PARTITION))
+        assert int(spark.conf.get(part_key)) == min(want, int(base[0]))
+        assert spark.conf.get(aqe_key) == "false"
+    assert (spark.conf.get(part_key), spark.conf.get(aqe_key)) == base
+
+    # big: strict no-op (AQE's runtime re-planning earns its keep there)
+    with small_loop_conf(spark, BIG_GRAPH_ROWS + 1):
+        assert (spark.conf.get(part_key), spark.conf.get(aqe_key)) == base
+
+    # exception path restores
+    try:
+        with small_loop_conf(spark, 100_000):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert (spark.conf.get(part_key), spark.conf.get(aqe_key)) == base
+
+    # nesting: inner saves the OUTER scope's values and restores to them
+    with small_loop_conf(spark, 1_000_000):
+        outer = (spark.conf.get(part_key), spark.conf.get(aqe_key))
+        with small_loop_conf(spark, 100_000):
+            assert spark.conf.get(aqe_key) == "false"
+        assert (spark.conf.get(part_key), spark.conf.get(aqe_key)) == outer
+    assert (spark.conf.get(part_key), spark.conf.get(aqe_key)) == base
