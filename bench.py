@@ -107,9 +107,13 @@ HEADLINE = [
     "assortativity_cs",
     "graph_summary_cs",
     "degree_histogram_hub",
-    # round 6 additions: BM25 retrieval scoring and SemDeDup semantic dedup
+    # round 6 additions: BM25 retrieval scoring, SemDeDup semantic dedup,
+    # exact-substring dedup (Lee et al. ExactSubstr)
     "bm25_topk",
     "semdedup_embeddings",
+    "dedup_substring",
+    "multimodal_audio",
+    "unigram_lm_score",
 ]
 
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from gmr_spark.functions.text import exploded_word_shingles, seeded_md5
+from gmr_spark.functions.text import exploded_word_shingles, seeded_md5, tokens
 from gmr_spark.sources.tables import load_tables
 
 N_HASHES = 8
@@ -531,26 +531,28 @@ def semdedup_frame(emb: DataFrame, *, k: int = SEMDEDUP_K,
         F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
         F.lit(0.0), lambda acc, v: acc + v,
     )
-    norm_a = F.sqrt(F.aggregate(
-        F.transform(F.col("va"), lambda x: x * x), F.lit(0.0),
-        lambda acc, v: acc + v))
-    norm_b = F.sqrt(F.aggregate(
-        F.transform(F.col("vb"), lambda x: x * x), F.lit(0.0),
+    # each vector's norm computed ONCE here (the dedup_embedding round-6
+    # rewrite applied to the cluster-join path): the pair join below does a
+    # single array fold per candidate pair instead of three. Arithmetic is
+    # unchanged — dot/(na*nb), exactly the oracle's norms-CTE shape — so
+    # sims stay bit-identical.
+    norm = F.sqrt(F.aggregate(
+        F.transform(F.col("vec"), lambda x: x * x), F.lit(0.0),
         lambda acc, v: acc + v))
     clustered = (
         assigned.join(vecs, "id")
-        .select("id", "cluster", "vec")
+        .select("id", "cluster", "vec", norm.alias("nrm"))
         .localCheckpoint(eager=True)  # kmeans assign runs once, not per side
     )
     a = clustered.select(F.col("id").alias("id_a"), "cluster",
-                         F.col("vec").alias("va"))
+                         F.col("vec").alias("va"), F.col("nrm").alias("na"))
     b = clustered.select(F.col("id").alias("id_b"), "cluster",
-                         F.col("vec").alias("vb"))
+                         F.col("vec").alias("vb"), F.col("nrm").alias("nb"))
     sims = (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(F.col("id_b").alias("id"),
-                F.round(dot / (norm_a * norm_b), 6).alias("sim"))
+                F.round(dot / (F.col("na") * F.col("nb")), 6).alias("sim"))
     )
     earlier = sims.groupBy("id").agg(
         F.max("sim").alias("max_sim_earlier"),
@@ -621,4 +623,90 @@ def _semdedup_arrow(emb: DataFrame, *, k: int, iters: int,
         per_cluster,
         "vec_id bigint, cluster int, max_sim_earlier double, "
         "n_dup_earlier int, keep boolean",
+    )
+
+
+SUBSTR_WINDOW = 8  # words per exact-substring window
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str, *,
+                    window: int = SUBSTR_WINDOW) -> DataFrame:
+    """(doc_id, n_windows, n_dup_windows, dup_frac, max_docs_sharing, keep):
+    cross-document EXACT substring deduplication (public method: Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better" — the
+    ExactSubstr pass that complements document-level near-dedup). Every
+    ``window``-word sliding window of every document is keyed by
+    ``md5(space-joined words)``; a window position is *duplicated* when its
+    key occurs in ≥2 distinct documents. Per document: total window count,
+    duplicated-position count, their ratio (ROUND 6), the widest sharing
+    fan-out (0 sentinel when clean — no NULL numerics), and
+    ``keep = n_dup_windows == 0``.
+
+    The fifth dedup modality next to exact / MinHash / SimHash / SemDeDup:
+    exact catches identical docs, MinHash-Jaccard catches high-overlap
+    pairs, this catches a single verbatim passage pasted across otherwise
+    unrelated documents — the boilerplate/license/quotation case the
+    document-level methods dilute below threshold.
+
+    Scale: windows are emitted by the same posexplode+lead plan as every
+    shingle consumer (one shuffle, by doc); the global key groupBy runs on
+    the fixed-width md5, never the text (map-side combinable; at 100 TB the
+    32-hex key bounds shuffle width exactly like dedup_exact's md5 rule);
+    the shared-key set (keys with ≥2 docs) is usually tiny — AQE converts
+    the annotate-join to broadcast at runtime. Lee et al. build a suffix
+    array; a sliding rolling-hash window over a shuffle-grouped corpus is
+    the Spark-native equivalent for fixed window length."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return dedup_substring_frame(docs, window=window)
+
+
+def dedup_substring_frame(docs: DataFrame, *,
+                          window: int = SUBSTR_WINDOW) -> DataFrame:
+    """Core of :func:`dedup_substring` over any (doc_id, text) frame —
+    split out so the planted-passage unit test can feed its own corpus
+    (the ``semdedup_frame`` pattern)."""
+    # the window stream feeds BOTH global-key aggregation and the per-doc
+    # annotate join — materialize it once (same discipline as _doc_shingles;
+    # ~90M (doc_id, md5) rows ≈ 4.5 GB at the 2M-doc proof, well inside
+    # executor storage and spillable beyond it). Before this checkpoint the
+    # posexplode+lead+md5 subtree evaluated once per consumer — measured
+    # 263.6 s at 2M docs; see SCALE.md for the after number.
+    wins = exploded_word_shingles(docs, k=window).select(
+        "doc_id", F.md5(F.col("sh")).alias("h")
+    ).localCheckpoint(eager=True)
+    shared = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+    )
+    # n_windows = max(0, n_tokens - (window-1)) directly from the text — a
+    # narrow scan; counting the exploded window rows again would be a second
+    # full-width aggregation for a number the token count already determines
+    per_doc = docs.select(
+        "doc_id",
+        F.greatest(
+            F.size(tokens(F.col("text"))) - (window - 1), F.lit(0)
+        ).cast("long").alias("n_windows"),
+    )
+    dup = (
+        wins.join(shared, "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"),
+             F.max("nd").alias("max_docs_sharing"))
+    )
+    n_dup = F.coalesce(F.col("n_dup_windows"), F.lit(0).cast("long"))
+    return (
+        per_doc
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_windows"), F.lit(0).cast("long")).alias("n_windows"),
+            n_dup.alias("n_dup_windows"),
+            F.when(F.coalesce(F.col("n_windows"), F.lit(0)) > 0,
+                   F.round(n_dup.cast("double") / F.col("n_windows"), 6))
+            .otherwise(F.lit(0.0)).alias("dup_frac"),
+            F.coalesce(F.col("max_docs_sharing"), F.lit(0).cast("long"))
+            .alias("max_docs_sharing"),
+            (n_dup == 0).alias("keep"),
+        )
     )

@@ -263,6 +263,202 @@ def multimodal_decode_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(_make_decode_batches(), schema=DECODED_SCHEMA)
 
 
+AUDIO_SCHEMA = ("doc_id bigint, n_bytes int, n_channels int, sample_rate int, "
+                "bits_per_sample int, n_frames bigint, duration_ms bigint, "
+                "sum_abs bigint")
+
+# synthetic-audio bounds: ≤500 frames × ≤2 channels × 2 bytes ≈ 2 KB/clip —
+# like PPM_MAX_W/H, sized so a 100k-doc partition's PCM planes stay inside
+# an Arrow batch budget
+WAV_MAX_FRAMES = 500
+
+
+def wav_payload(doc_id: int) -> bytes:
+    """Deterministic RIFF/WAVE PCM payload for a doc — the audio member of
+    the multimodal family (image twin: :func:`ppm_payload`). Closed forms
+    the DuckDB twin recomputes (oracle.llm_sql.MULTIMODAL_AUDIO):
+    channels = id%2+1, rate = 8000*(id%3+1), frames = (id*11)%500+1,
+    interleaved int16 sample k = ((id*31 + k*7) % 4096) - 2048.
+
+    The container is REAL RIFF: fmt chunk (PCM, 16-bit), a LIST metadata
+    chunk the decoder must SKIP (proving chunk-walking, not offset
+    hard-coding), then the data chunk — so n_bytes = 60 + 2·frames·channels."""
+    import struct
+
+    import numpy as np
+
+    n_channels = doc_id % 2 + 1
+    sample_rate = 8000 * (doc_id % 3 + 1)
+    n_frames = (doc_id * 11) % WAV_MAX_FRAMES + 1
+    total = n_frames * n_channels
+    pcm = ((((doc_id * 31) + 7 * np.arange(total)) % 4096) - 2048).astype(
+        "<i2").tobytes()
+    block_align = 2 * n_channels
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate,
+                      sample_rate * block_align, block_align, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"LIST" + struct.pack("<I", 8) + b"INFOgmr0"  # skippable
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_audio(data: bytes) -> tuple[int, int, int, int]:
+    """-> (n_channels, sample_rate, n_frames, sum_abs). REAL decoder for
+    RIFF/WAVE PCM-16: verifies the container magic, walks the chunk list
+    (skipping unknown chunks, honoring RIFF's odd-size pad byte), parses the
+    fmt chunk, and sums |sample| over the interleaved int16 data plane.
+    Non-RIFF containers and non-PCM / non-16-bit encodings land on the
+    unsupported-codec branch where an ffmpeg/soundfile-backed decoder would
+    slot in (none in this container)."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise NotImplementedError(
+            f"unsupported audio container (magic {data[:4]!r}); only "
+            "RIFF/WAVE is decodable without codec libraries")
+    pos, fmt_fields, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        chunk = data[pos + 8:pos + 8 + size]
+        if len(chunk) != size:
+            raise ValueError(f"truncated {cid!r} chunk: {len(chunk)} of {size}")
+        if cid == b"fmt ":
+            fmt_fields = struct.unpack("<HHIIHH", chunk[:16])
+        elif cid == b"data":
+            pcm = chunk
+        pos += 8 + size + (size & 1)  # unknown chunks skipped; odd sizes pad
+    if fmt_fields is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, block_align, bits = fmt_fields
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"non-PCM-16 WAV (format {audio_format}, {bits}-bit) unsupported")
+    n_frames = len(pcm) // block_align
+    samples = np.frombuffer(pcm, dtype="<i2",
+                            count=n_frames * n_channels)
+    # |sample| SUM: exact integer on both engines (same rationale as the
+    # image decoder's red-channel sum)
+    sum_abs = int(np.abs(samples.astype(np.int64)).sum())
+    return n_channels, sample_rate, n_frames, sum_abs
+
+
+def _make_wav_payload_batches():
+    """Audio-payload synthesis stage (nested closure shipped by value —
+    workers can't import the package; image twin _make_ppm_payload_batches)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+        import pandas as _pd
+
+        def one(doc_id: int) -> bytes:
+            # same formulas as module-level wav_payload, inlined by value —
+            # keep the two textually in lock-step (pinned by
+            # test_multimodal_audio_closures_match_module_functions)
+            n_channels = doc_id % 2 + 1
+            sample_rate = 8000 * (doc_id % 3 + 1)
+            n_frames = (doc_id * 11) % 500 + 1
+            total = n_frames * n_channels
+            pcm = ((((doc_id * 31) + 7 * np.arange(total)) % 4096)
+                   - 2048).astype("<i2").tobytes()
+            block_align = 2 * n_channels
+            fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate,
+                              sample_rate * block_align, block_align, 16)
+            body = (b"WAVE"
+                    + b"fmt " + struct.pack("<I", 16) + fmt
+                    + b"LIST" + struct.pack("<I", 8) + b"INFOgmr0"
+                    + b"data" + struct.pack("<I", len(pcm)) + pcm)
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": pdf["doc_id"].map(one),
+            })
+
+    return gen
+
+
+def _make_audio_decode_batches():
+    """The real audio decode stage: RIFF chunk walk + fmt parse + |sample|
+    sum (same parser as module-level decode_audio, inlined by value)."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+        import pandas as _pd
+
+        def decode(data: bytes) -> tuple[int, int, int, int]:
+            # same parser as module-level decode_audio, inlined by value —
+            # keep the two textually in lock-step (pinned by
+            # test_multimodal_audio_closures_match_module_functions)
+            if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+                raise NotImplementedError("only RIFF/WAVE decodable here")
+            pos, fmt_fields, pcm = 12, None, None
+            while pos + 8 <= len(data):
+                cid = data[pos:pos + 4]
+                (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+                chunk = data[pos + 8:pos + 8 + size]
+                if len(chunk) != size:
+                    raise ValueError("truncated chunk")
+                if cid == b"fmt ":
+                    fmt_fields = struct.unpack("<HHIIHH", chunk[:16])
+                elif cid == b"data":
+                    pcm = chunk
+                pos += 8 + size + (size & 1)
+            if fmt_fields is None or pcm is None:
+                raise ValueError("missing fmt/data chunk")
+            audio_format, n_channels, sample_rate, _, block_align, bits = fmt_fields
+            if audio_format != 1 or bits != 16:
+                raise NotImplementedError("non-PCM-16 WAV unsupported")
+            n_frames = len(pcm) // block_align
+            samples = np.frombuffer(pcm, dtype="<i2",
+                                    count=n_frames * n_channels)
+            sum_abs = int(np.abs(samples.astype(np.int64)).sum())
+            return n_channels, sample_rate, n_frames, sum_abs
+
+        for pdf in batches:
+            payload = pdf["payload"]
+            decoded = payload.map(decode)
+            sample_rate = decoded.map(lambda d: d[1]).astype("int64")
+            n_frames = decoded.map(lambda d: d[2]).astype("int64")
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payload.str.len().astype("int32"),
+                "n_channels": decoded.map(lambda d: d[0]).astype("int32"),
+                "sample_rate": sample_rate.astype("int32"),
+                "bits_per_sample": np.full(len(pdf), 16, dtype="int32"),
+                "n_frames": n_frames,
+                "duration_ms": n_frames * 1000 // sample_rate,
+                "sum_abs": decoded.map(lambda d: d[3]).astype("int64"),
+            })
+
+    return decode_batches
+
+
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bytes, n_channels, sample_rate, bits_per_sample, n_frames,
+    duration_ms, sum_abs): the audio member of the multimodal family —
+    synthesize deterministic RIFF/WAVE PCM-16 clips per doc and REALLY
+    decode them (container magic check, chunk walk past a planted metadata
+    chunk, fmt parse, interleaved-int16 |sample| sum) in a narrow Arrow
+    ``mapInPandas`` stage, mirroring the image path's PPM decoder. The
+    DuckDB twin recomputes every field from the synthesis closed forms; the
+    Spark side touches only bytes. At 100 TB the stage is partition-
+    preserving and decode-dominated — linear in executors, no shuffle."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    payloads = docs.select("doc_id").mapInPandas(
+        _make_wav_payload_batches(), schema="doc_id bigint, payload binary")
+    return payloads.mapInPandas(_make_audio_decode_batches(),
+                                schema=AUDIO_SCHEMA)
+
+
 RESIZED_SCHEMA = "doc_id bigint, in_width int, in_height int, out_width int, out_height int"
 
 

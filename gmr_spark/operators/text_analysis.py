@@ -475,6 +475,51 @@ def bm25_frame(docs: DataFrame, *, spark: SparkSession,
     )
 
 
+def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, mean_inv_freq, max_inv_freq): corpus-LM scoring —
+    the language-model filtering pass of CCNet (Wenzek et al. 2020, public),
+    which scores each document by how surprising its tokens are under a
+    model trained on the corpus itself and drops the high-perplexity tail.
+    Here the LM is the corpus's own unigram distribution p(w) = C(w)/T and
+    the score is the mean INVERSE frequency Σ c_dw·(T/C(w)) / n_tokens — the
+    rational-form surprisal: strictly increasing in rarity like mean
+    -log p(w), but one IEEE division per term instead of a transcendental
+    whose last ulp differs between the JVM and DuckDB's libm (same
+    deliberate choice as bm25_topk / tfidf_top_terms). max_inv_freq exposes
+    the single rarest token — the spike a hard-cutoff filter keys on.
+
+    Scale: C(w) is one map-side-combinable aggregation; per-(doc, term)
+    counts are a second; the count join is left UNHINTED — vocabulary grows
+    ~Heaps-law-sublinearly, so AQE picks broadcast while it fits and
+    degrades to a shuffle join (not an executor OOM) at the 100 TB tail;
+    T rides a 1-row broadcast cross join. No window, no global sort."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return unigram_lm_frame(docs)
+
+
+def unigram_lm_frame(docs: DataFrame) -> DataFrame:
+    """Core of :func:`unigram_lm_score` over any (doc_id, text) frame —
+    split out (bm25_frame pattern) so the unit test can plant a corpus with
+    one genuinely rare token and prove the rarity ranking the synthetic
+    corpus's near-uniform vocabulary would mask."""
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    cnt = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("t"))
+    dtc = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cdw"))
+    inv = F.col("t").cast("double") / F.col("c")
+    return (
+        dtc.join(cnt, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cdw").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("cdw") * inv) / F.sum("cdw"), 6)
+            .alias("mean_inv_freq"),
+            F.round(F.max(inv), 6).alias("max_inv_freq"),
+        )
+    )
+
+
 def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(bucket, lo, n_docs, avg_words): power-of-two histogram of per-doc
     word counts — the sequence-length planning view every training pipeline

@@ -555,6 +555,32 @@ FROM tok GROUP BY token
 HAVING COUNT(*) >= 10
 """
 
+# Twin of text_analysis.unigram_lm_score: corpus-unigram inverse-frequency
+# scoring (rational-form CCNet LM filter). t/C(w) is a single IEEE division
+# on both engines; the per-doc sum rounds at 6 dp like every float
+# aggregate in this module.
+UNIGRAM_LM_SCORE = f"""
+WITH words AS MATERIALIZED (
+    SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+),
+cnt AS MATERIALIZED (
+    SELECT w, COUNT(*) AS c FROM words GROUP BY w
+),
+tot AS MATERIALIZED (
+    SELECT SUM(c) AS t FROM cnt
+),
+dtc AS MATERIALIZED (
+    SELECT doc_id, w, COUNT(*) AS cdw FROM words GROUP BY doc_id, w
+)
+SELECT doc_id,
+       CAST(SUM(cdw) AS BIGINT) AS n_tokens,
+       ROUND(SUM(cdw * (CAST(t AS DOUBLE) / c)) / SUM(cdw), 6)
+           AS mean_inv_freq,
+       ROUND(MAX(CAST(t AS DOUBLE) / c), 6) AS max_inv_freq
+FROM dtc JOIN cnt USING (w) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
 TFIDF_TOP_TERMS = f"""
 WITH tok AS MATERIALIZED (
     SELECT doc_id, unnest({_TOKS}) AS token FROM documents
@@ -660,6 +686,38 @@ WITH f AS MATERIALIZED (
 )
 SELECT doc_id, CAST(unnest(generate_series(0, n_frames - 1, 10)) AS BIGINT) AS frame_idx
 FROM f WHERE n_frames > 0
+"""
+
+# Twin of the REAL WAV decode (multimodal.multimodal_audio): the Spark side
+# walks actual RIFF chunks and sums |int16 sample| over the PCM plane; this
+# side recomputes every field from the synthesis closed forms (channels =
+# id%2+1, rate = 8000*(id%3+1), frames = (id*11)%500+1, sample k =
+# ((id*31+7k)%4096)-2048; container = 60 header/metadata bytes + 2 bytes
+# per interleaved sample). sum_abs is an exact BIGINT on both engines.
+MULTIMODAL_AUDIO = """
+WITH d AS MATERIALIZED (
+    SELECT doc_id,
+           doc_id % 2 + 1 AS n_channels,
+           8000 * (doc_id % 3 + 1) AS sample_rate,
+           (doc_id * 11) % 500 + 1 AS n_frames
+    FROM documents
+),
+pcm AS MATERIALIZED (
+    SELECT doc_id,
+           SUM(ABS((doc_id * 31 + 7 * k.k) % 4096 - 2048)) AS sum_abs
+    FROM d, LATERAL (SELECT unnest(generate_series(
+                         0, d.n_frames * d.n_channels - 1)) AS k) k
+    GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(60 + 2 * d.n_frames * d.n_channels AS INTEGER) AS n_bytes,
+       CAST(d.n_channels AS INTEGER) AS n_channels,
+       CAST(d.sample_rate AS INTEGER) AS sample_rate,
+       CAST(16 AS INTEGER) AS bits_per_sample,
+       CAST(d.n_frames AS BIGINT) AS n_frames,
+       CAST(d.n_frames * 1000 // d.sample_rate AS BIGINT) AS duration_ms,
+       CAST(pcm.sum_abs AS BIGINT) AS sum_abs
+FROM d JOIN pcm USING (doc_id)
 """
 
 MULTIMODAL_FEATURES = """
@@ -885,4 +943,47 @@ JOIN sizes za ON za.doc_id = i.doc_a
 JOIN sizes zb ON zb.doc_id = i.doc_b
 WHERE ROUND(CAST(i.n_common AS DOUBLE)
             / CAST(LEAST(za.n_sh, zb.n_sh) AS DOUBLE), 6) >= 0.5
+"""
+
+
+# Twin of operators.dedup.dedup_substring (window = SUBSTR_WINDOW = 8):
+# md5-keyed 8-word sliding windows; a position is duplicated when its key
+# appears in >= 2 distinct documents. array_to_string(t[i:i+7], ' ') is the
+# same space-join as Spark's concat_ws over the lead window; md5 hex matches
+# across engines.
+DEDUP_SUBSTRING = """
+WITH toks AS MATERIALIZED (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+),
+wins AS MATERIALIZED (
+    SELECT doc_id,
+           unnest([md5(array_to_string(t[i:i+7], ' '))
+                   for i in generate_series(1, len(t) - 7)]) AS h
+    FROM toks WHERE len(t) >= 8
+),
+shared AS MATERIALIZED (
+    SELECT h, COUNT(DISTINCT doc_id) AS nd
+    FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+per_doc AS MATERIALIZED (
+    SELECT doc_id, COUNT(*) AS n_windows FROM wins GROUP BY doc_id
+),
+dup AS MATERIALIZED (
+    SELECT w.doc_id, COUNT(*) AS n_dup_windows, MAX(s.nd) AS max_docs_sharing
+    FROM wins w JOIN shared s ON s.h = w.h
+    GROUP BY w.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_windows, 0) AS n_windows,
+       COALESCE(u.n_dup_windows, 0) AS n_dup_windows,
+       CASE WHEN COALESCE(p.n_windows, 0) > 0
+            THEN ROUND(CAST(COALESCE(u.n_dup_windows, 0) AS DOUBLE)
+                       / p.n_windows, 6)
+            ELSE 0.0 END AS dup_frac,
+       COALESCE(u.max_docs_sharing, 0) AS max_docs_sharing,
+       COALESCE(u.n_dup_windows, 0) = 0 AS keep
+FROM documents d
+LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+LEFT JOIN dup u ON u.doc_id = d.doc_id
 """

@@ -633,12 +633,17 @@ LLM_QUERIES: dict[str, QueryFn] = {
     "token_stats": TA.token_stats,
     "term_frequencies": TA.term_frequencies,
     "tfidf_top_terms": TA.tfidf_top_terms,
+    # round 6: CCNet-style corpus-LM filtering score (rational surprisal)
+    "unigram_lm_score": TA.unigram_lm_score,
     "doc_fingerprints": TA.doc_fingerprints,
     "tokenize_udtf": TA.tokenize_udtf,
     "multimodal_decode": M.multimodal_decode,
     "multimodal_resize": M.multimodal_resize,
     "multimodal_frame_sample": M.multimodal_frame_sample,
     "multimodal_features": M.multimodal_features,
+    # round 6: audio member of the multimodal family — real RIFF/WAVE
+    # chunk-walking PCM-16 decode, mirroring the image PPM decoder
+    "multimodal_audio": M.multimodal_audio,
     "dup_clusters": D.dup_clusters,
     "stratified_sample": SAMP.stratified_sample,
     "doc_chunking": TA.doc_chunking,
@@ -652,6 +657,8 @@ LLM_QUERIES: dict[str, QueryFn] = {
     # round 6: BM25 retrieval scoring + SemDeDup semantic near-dup removal
     "bm25_topk": TA.bm25_topk,
     "semdedup_embeddings": D.semdedup_embeddings,
+    # round 6: exact-substring dedup (Lee et al. 2022 ExactSubstr pass)
+    "dedup_substring": D.dedup_substring,
 }
 
 
@@ -732,12 +739,14 @@ LLM_ORACLES: dict[str, str] = {
     "token_stats": LSQL.TOKEN_STATS,
     "term_frequencies": LSQL.TERM_FREQUENCIES,
     "tfidf_top_terms": LSQL.TFIDF_TOP_TERMS,
+    "unigram_lm_score": LSQL.UNIGRAM_LM_SCORE,
     "doc_fingerprints": LSQL.DOC_FINGERPRINTS,
     "tokenize_udtf": LSQL.TOKENIZE_UDTF,
     "multimodal_decode": LSQL.MULTIMODAL_DECODE,
     "multimodal_resize": LSQL.MULTIMODAL_RESIZE,
     "multimodal_frame_sample": LSQL.MULTIMODAL_FRAME_SAMPLE,
     "multimodal_features": LSQL.MULTIMODAL_FEATURES,
+    "multimodal_audio": LSQL.MULTIMODAL_AUDIO,
     "dup_clusters": LSQL.DUP_CLUSTERS,
     "stratified_sample": LSQL.STRATIFIED_SAMPLE,
     "doc_chunking": LSQL.DOC_CHUNKING,
@@ -750,6 +759,7 @@ LLM_ORACLES: dict[str, str] = {
     "temperature_mix_sample": LSQL.TEMPERATURE_MIX_SAMPLE,
     "bm25_topk": LSQL.BM25_TOPK,
     "semdedup_embeddings": semdedup_sql(k=8, iters=2, threshold=0.30),
+    "dedup_substring": LSQL.DEDUP_SUBSTRING,
 }
 
 
@@ -775,6 +785,10 @@ _CHANGED_THIS_ROUND = {
                               # note above
         "dedup_embedding",    # normalize-once rewrite (norms per vector,
                               # not per pair; dot-only sim) on BOTH engines
+        "dedup_substring",    # new this round (Lee et al. ExactSubstr)
+        "semdedup_embeddings",  # new this round + the same norm-once
+                              # rewrite on the Spark side (oracle unchanged:
+                              # dot/(na*nb) arithmetic is identical)
         # run_pregel loop-scoped physical conf (AQE off + |E|-sized shuffle
         # partitions on small graphs): values are conf-independent by
         # construction, but a physical-execution change to every pregel-

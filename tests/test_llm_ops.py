@@ -166,6 +166,105 @@ def test_decode_image_unsupported_codec_branch():
     assert (w, h, len(rgb)) == (2, 1, 6)
 
 
+def test_decode_audio_real_riff_parsing():
+    """The audio decoder is a REAL RIFF/WAVE chunk walker: it must skip the
+    planted LIST metadata chunk, honor the odd-size pad byte, and land on
+    the unsupported-codec branch for non-RIFF containers and non-PCM-16
+    encodings (mirror of the image decoder's guarantees)."""
+    import struct
+
+    import pytest as _pytest
+
+    from gmr_spark.operators.multimodal import decode_audio, wav_payload
+
+    # synthesized payload round-trips: closed-form fields recovered by parse
+    for doc_id in (0, 1, 2, 3, 4, 5, 17):
+        ch, rate, frames, sum_abs = decode_audio(wav_payload(doc_id))
+        assert ch == doc_id % 2 + 1
+        assert rate == 8000 * (doc_id % 3 + 1)
+        assert frames == (doc_id * 11) % 500 + 1
+        want = sum(abs((doc_id * 31 + 7 * k) % 4096 - 2048)
+                   for k in range(frames * ch))
+        assert sum_abs == want
+
+    # hand-crafted WAV with an ODD-size unknown chunk before data: a walker
+    # that forgets RIFF's pad byte misreads everything after it
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    pcm = struct.pack("<3h", 100, -200, 300)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"junk" + struct.pack("<I", 3) + b"xy z"  # 3 bytes + pad
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert decode_audio(wav) == (1, 8000, 3, 600)
+
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"OggS" + bytes(20))  # non-RIFF container
+    # IEEE-float WAV (format 3) -> unsupported-codec branch
+    f32 = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + f32
+            + b"data" + struct.pack("<I", 4) + bytes(4))
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"RIFF" + struct.pack("<I", len(body)) + body)
+    # truncated data chunk -> loud ValueError, not a silent short read
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", 100) + bytes(10))
+    with _pytest.raises(ValueError):
+        decode_audio(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_multimodal_audio_closures_match_module_functions():
+    """Drift guard (same discipline as the image pair): the WAV synthesis/
+    decode formulas exist as module functions AND inlined worker closures.
+    doc_id 0..5 covers the full (channels, rate) grid (periods 2 and 3,
+    lcm 6); 0..59 adds frame-count variety. Assert byte/field equality with
+    decode_audio(wav_payload(id))."""
+    import pandas as pd
+
+    from gmr_spark.operators.multimodal import (
+        _make_audio_decode_batches, _make_wav_payload_batches, decode_audio,
+        wav_payload)
+
+    ids = pd.DataFrame({"doc_id": range(60)})
+    (pay,) = list(_make_wav_payload_batches()([ids]))
+    for i, payload in zip(pay["doc_id"], pay["payload"]):
+        assert bytes(payload) == wav_payload(int(i))
+    (dec,) = list(_make_audio_decode_batches()([pay]))
+    for row in dec.itertuples():
+        payload = wav_payload(int(row.doc_id))
+        ch, rate, frames, sum_abs = decode_audio(payload)
+        assert (row.n_channels, row.sample_rate) == (ch, rate)
+        assert (row.n_frames, row.sum_abs) == (frames, sum_abs)
+        assert row.n_bytes == len(payload)
+        assert row.bits_per_sample == 16
+        assert row.duration_ms == frames * 1000 // rate
+
+
+def test_unigram_lm_score_ranks_rarity(spark):
+    """CCNet-style LM filter on a planted corpus: the doc holding the
+    corpus's single rarest token must carry the highest mean and max
+    inverse frequency; a doc of only the most common token scores the
+    floor (T / C(common))."""
+    from gmr_spark.operators.text_analysis import unigram_lm_frame
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "common common common rareword"),
+            (3, "common common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_lm_frame(docs).collect()}
+    # T = 10, C(common) = 9, C(rareword) = 1
+    assert out[1].n_tokens == 4 and out[3].n_tokens == 2
+    floor = round(10 / 9, 6)
+    assert out[1].mean_inv_freq == floor == out[1].max_inv_freq
+    assert out[3].mean_inv_freq == floor
+    assert out[2].max_inv_freq == 10.0  # the rare token spike
+    assert out[2].mean_inv_freq == round((3 * (10 / 9) + 10.0) / 4, 6)
+    assert out[2].mean_inv_freq > out[1].mean_inv_freq
+
+
 def test_winnowing_shares_fingerprints_on_overlap(spark):
     from gmr_spark.operators.text_analysis import doc_fingerprints
 
@@ -427,3 +526,35 @@ def test_semdedup_arrow_engine_matches_expr(spark):
     arrow = canon(semdedup_frame(emb, k=8, iters=2, threshold=0.3,
                                  engine="arrow"))
     assert expr == arrow
+
+
+def test_dedup_substring_flags_planted_passage(spark):
+    """A verbatim 8-word passage pasted into two otherwise-disjoint
+    documents must mark exactly the windows covering it in both docs
+    (Lee et al. ExactSubstr semantics); unrelated docs stay clean, short
+    docs (< window words) get the 0-sentinel row."""
+    from gmr_spark.operators.dedup import dedup_substring_frame
+
+    passage = "the quick brown fox jumps over the lazy"  # 8 words
+    a_words = [f"a{i}" for i in range(10)]
+    b_words = [f"b{i}" for i in range(6)]
+    rows = [
+        (1, " ".join(a_words[:5] + passage.split() + a_words[5:])),  # 18 w
+        (2, " ".join(b_words + passage.split())),                    # 14 w
+        (3, "completely unrelated text with enough words to window well"),
+        (4, "too short"),                                            # 2 w
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_substring_frame(docs, window=8).collect()}
+    assert len(out) == 4
+    # doc 1: 11 windows (18-8+1), exactly 1 (the passage itself) duplicated
+    assert out[1].n_windows == 11 and out[1].n_dup_windows == 1
+    assert not out[1].keep and out[1].max_docs_sharing == 2
+    assert abs(out[1].dup_frac - round(1 / 11, 6)) < 1e-9
+    # doc 2: 7 windows, the passage is its last window
+    assert out[2].n_windows == 7 and out[2].n_dup_windows == 1
+    assert not out[2].keep
+    # doc 3: windows exist, none shared
+    assert out[3].n_windows == 2 and out[3].n_dup_windows == 0 and out[3].keep
+    # doc 4: below the window length -> sentinel zeros, kept
+    assert out[4].n_windows == 0 and out[4].max_docs_sharing == 0 and out[4].keep

@@ -126,3 +126,26 @@ def test_llm_scale_semdedup_planted_recall(spark, tmp_path):
     # a pair is only visible when both members share a cluster; near-copies
     # virtually always do
     assert len(retired) >= 0.9 * planted, (len(retired), planted)
+
+
+def test_llm_scale_substring_planted_recall(spark, tmp_path):
+    """Exact-substring dedup on the scale corpus at 5k docs: planted
+    (2k, 2k+1) texts differ only in the final alpha/beta token, so every
+    window clear of the tail is shared verbatim — both members must be
+    flagged, and (8-gram collisions being ~997^-8) nothing else."""
+    from scale_llm import build_corpus
+
+    from gmr_spark.operators.dedup import dedup_substring
+
+    n = 5000
+    sf = build_corpus(spark, n=n, scratch=str(tmp_path / "corpus"),
+                      base_sf="/root/testdata/sf0.001")
+    out = dedup_substring(spark, sf)
+    flagged = {r.doc_id for r in out.filter("NOT keep").collect()}
+    planted = {d for k in range(0, n // 2, 25) for d in (2 * k, 2 * k + 1)}
+    assert flagged == planted
+    # and the dup fraction reflects the tail-only difference: only the
+    # FINAL window covers the differing last token, so all but one shared
+    sample = out.filter(out.doc_id.isin([0, 1])).collect()
+    for r in sample:
+        assert r.n_dup_windows == r.n_windows - 1 and r.max_docs_sharing == 2
