@@ -504,7 +504,12 @@ def unigram_lm_frame(docs: DataFrame) -> DataFrame:
     corpus's near-uniform vocabulary would mask."""
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
     cnt = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    tot = cnt.agg(F.sum("c").alias("t"))
+    # T = corpus token count — computed from a NARROW scan (size of the
+    # token array per doc, partial-agg'd), not by re-aggregating cnt: the
+    # naive cnt.agg(sum) made Catalyst replay the whole explode+groupBy
+    # subtree a third time (the plan scanned the corpus 3×)
+    tot = docs.agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("t"))
     dtc = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cdw"))
     inv = F.col("t").cast("double") / F.col("c")
     return (

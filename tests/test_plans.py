@@ -454,3 +454,37 @@ def test_small_loop_conf_contract(spark):
             assert spark.conf.get(aqe_key) == "false"
         assert (spark.conf.get(part_key), spark.conf.get(aqe_key)) == outer
     assert (spark.conf.get(part_key), spark.conf.get(aqe_key)) == base
+
+
+def test_multimodal_audio_is_narrow_and_prunes(spark):
+    """The audio decode chain must stay shuffle-free (two partition-
+    preserving MapInPandas stages) and read ONLY doc_id from the corpus —
+    at 100 TB any exchange or full-width scan here is pure waste."""
+    p = plan_of(spark, "multimodal_audio")
+    assert n_exchanges(p) == 0
+    assert p.count("MapInPandas") >= 2  # synth stage + decode stage
+    assert "struct<doc_id:bigint>" in p  # text column pruned from the scan
+
+
+def test_dedup_substring_broadcasts_shared_keys_no_cartesian(spark):
+    """ExactSubstr's annotate join must equi-join on the window hash with
+    the (tiny) shared-key set on the build side — never a cartesian — and
+    the whole chain stays within 3 exchanges (count-distinct pair on the
+    key census, per-doc dup agg); the window stream itself is reused via
+    the eager checkpoint, not recomputed per consumer."""
+    p = plan_of(spark, "dedup_substring")
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    assert "BroadcastHashJoin" in p
+    assert n_exchanges(p) <= 3
+
+
+def test_unigram_lm_score_explodes_corpus_twice_not_thrice(spark):
+    """The corpus-LM score needs the token stream for (doc,term) counts and
+    for the vocabulary census — exactly TWO Generate (explode) subtrees.
+    The corpus-total T must come from a narrow array-size scan (no third
+    explode replay: the regression this pins scanned the corpus 3x). The
+    only cross join is the broadcast of the 1-row total."""
+    p = plan_of(spark, "unigram_lm_score")
+    assert len(re.findall(r"\(\d+\) Generate", p)) == 2
+    assert n_exchanges(p) <= 4
+    assert "CartesianProduct" not in p

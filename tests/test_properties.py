@@ -402,3 +402,47 @@ def test_multi_landmark_equals_per_landmark_bfs(edges):
                     q.append(w)
         for v in nodes:
             assert got[v][i] == dist.get(v), (v, i, landmarks, sorted(edges))
+
+
+# random tiny corpora over a 4-word vocabulary: dense window collisions,
+# exercising short docs (< window), whole-doc duplicates, and partial overlap
+word = st.sampled_from(["aa", "bb", "cc", "dd"])
+corpora = st.lists(
+    st.lists(word, min_size=0, max_size=7).map(" ".join),
+    min_size=1, max_size=6,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(corpora)
+def test_dedup_substring_matches_bruteforce(texts):
+    """ExactSubstr over random corpora equals the brute-force definition:
+    a window position is duplicated iff its exact W-word string occurs in
+    >= 2 distinct documents (window W=3 to get collisions at this size)."""
+    from collections import Counter
+
+    from gmr_spark.operators.dedup import dedup_substring_frame
+
+    W = 3
+    spark = _get_spark()
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup_substring_frame(docs, window=W).collect()}
+
+    toks = [t.split() for t in texts]
+    wins = [[" ".join(ts[i:i + W]) for i in range(len(ts) - W + 1)]
+            for ts in toks]
+    docs_per_key = Counter()
+    for ws in wins:
+        for k in set(ws):
+            docs_per_key[k] += 1
+    assert len(got) == len(texts)
+    for d, ws in enumerate(wins):
+        dup = [w for w in ws if docs_per_key[w] >= 2]
+        assert got[d].n_windows == len(ws)
+        assert got[d].n_dup_windows == len(dup)
+        assert got[d].max_docs_sharing == max(
+            (docs_per_key[w] for w in dup), default=0)
+        assert got[d].keep == (not dup)
+        want_frac = round(len(dup) / len(ws), 6) if ws else 0.0
+        assert abs(got[d].dup_frac - want_frac) < 1e-9
