@@ -644,6 +644,9 @@ LLM_QUERIES: dict[str, QueryFn] = {
     # round 6: audio member of the multimodal family — real RIFF/WAVE
     # chunk-walking PCM-16 decode, mirroring the image PPM decoder
     "multimodal_audio": M.multimodal_audio,
+    # round 6: same decode entering through the binaryFile landing zone
+    # (on-disk .wav scan), the audio sibling of multimodal_decode's .ppm scan
+    "multimodal_audio_files": M.multimodal_audio_files,
     "dup_clusters": D.dup_clusters,
     "stratified_sample": SAMP.stratified_sample,
     "doc_chunking": TA.doc_chunking,
@@ -747,6 +750,8 @@ LLM_ORACLES: dict[str, str] = {
     "multimodal_frame_sample": LSQL.MULTIMODAL_FRAME_SAMPLE,
     "multimodal_features": LSQL.MULTIMODAL_FEATURES,
     "multimodal_audio": LSQL.MULTIMODAL_AUDIO,
+    # same closed-form twin: the files variant must decode to identical rows
+    "multimodal_audio_files": LSQL.MULTIMODAL_AUDIO,
     "dup_clusters": LSQL.DUP_CLUSTERS,
     "stratified_sample": LSQL.STRATIFIED_SAMPLE,
     "doc_chunking": LSQL.DOC_CHUNKING,

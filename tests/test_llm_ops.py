@@ -111,6 +111,25 @@ def test_multimodal_decode_scans_binary_files_and_matches_synth(spark):
     assert got == want and len(got) == 500
 
 
+def test_multimodal_audio_files_scans_binary_and_matches_synth(spark):
+    """The audio sibling of the image binaryFile path: the file-backed
+    variant must enter through spark.read.format('binaryFile') over on-disk
+    .wav files and stay result-identical to the synthesized twin."""
+    from gmr_spark.operators.multimodal import (
+        multimodal_audio, multimodal_audio_files)
+
+    df = multimodal_audio_files(spark, "/root/testdata/sf0.001")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "binaryFile" in plan, plan.splitlines()[:20]
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple,
+                      multimodal_audio(spark, "/root/testdata/sf0.001")
+                      .collect()))
+    assert got == want and len(got) == 500
+
+
 def test_multimodal_ppm_files_rebuild_on_fingerprint_change(tmp_path, spark):
     """A rewritten corpus must rebuild the on-disk payloads (marker records
     the fingerprint), and a matching marker short-circuits the write."""
