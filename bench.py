@@ -114,6 +114,7 @@ HEADLINE = [
     "dedup_substring",
     "multimodal_audio",
     "unigram_lm_score",
+    "dsir_select",
 ]
 
 

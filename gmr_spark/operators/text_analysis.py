@@ -525,6 +525,92 @@ def unigram_lm_frame(docs: DataFrame) -> DataFrame:
     )
 
 
+DSIR_BUCKETS = 256
+DSIR_TOP_K = 100
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_feats, score, rnk): DSIR data selection (Xie et al. 2023,
+    public) — rank raw-corpus documents by how much their hashed-bigram
+    feature distribution resembles a target slice (here ``lang = 'en'``,
+    the stand-in for the Wikipedia-quality target a real pipeline picks),
+    and keep the top k. This is the importance-*selection* member of the
+    (†) sampling family: stratified/temperature sampling reweight by
+    membership, DSIR reweights by distributional similarity.
+
+    Deterministic cross-engine variant: per-bucket importance ratio is the
+    Laplace-smoothed RATIONAL probability ratio
+    ``((ct+1)/(cr+1)) * ((Tr+B)/(Tt+B))`` and the document score is the
+    count-weighted ARITHMETIC mean of its buckets' ratios — monotone in the
+    same direction as the paper's mean log-ratio but free of
+    transcendentals whose last ulp differs between the JVM and DuckDB's
+    libm (same deliberate choice as bm25_topk's rational idf). Scores
+    ROUND(·,6); ties break on doc_id.
+
+    Scale: bucket hashing folds the unbounded bigram vocabulary into B=256
+    ids, so the ratio table is ≤B rows — broadcast, never shuffled; the
+    target-slice census explodes only the filtered slice (predicate pushed
+    to the scan); corpus totals come from a NARROW array-size scan (no
+    extra explode replay — the unigram_lm 3×-scan lesson); per-doc bucket
+    counts are one map-side-combinable aggregation; top-k is
+    TakeOrderedAndProject, never a global sort."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return dsir_frame(docs)
+
+
+def dsir_frame(docs: DataFrame, *, n_buckets: int = DSIR_BUCKETS,
+               k: int = DSIR_TOP_K,
+               target_lang: str = DSIR_TARGET_LANG) -> DataFrame:
+    """Core of :func:`dsir_select` over any (doc_id, lang, text) frame —
+    split out (bm25_frame pattern) so the unit test can plant a corpus
+    whose target slice has a distinctive bigram distribution and prove
+    target-resembling docs outrank raw-typical ones."""
+    bucket = F.conv(F.substring(F.md5(F.col("sh")), 1, 2), 16, 10).cast("int")
+    feats = (
+        exploded_word_shingles(docs, k=2)
+        .select("doc_id", bucket.alias("b"))
+    )
+    dbc = feats.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    rc = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tc = (
+        exploded_word_shingles(docs.filter(F.col("lang") == target_lang), k=2)
+        .select(bucket.alias("b"))
+        .groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    )
+    n_bigrams = F.greatest(F.size(tokens(F.col("text"))) - 1, F.lit(0))
+    tot = docs.agg(
+        F.sum(n_bigrams).cast("double").alias("tr"),
+        F.sum(F.when(F.col("lang") == target_lang, n_bigrams).otherwise(0))
+        .cast("double").alias("tt"),
+    )
+    # ratio table: <= n_buckets rows; parenthesization pinned to match the
+    # DuckDB twin operation-for-operation (IEEE determinism)
+    ratio = (
+        rc.join(tc, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("cr") + 1.0))
+             * ((F.col("tr") + float(n_buckets))
+                / (F.col("tt") + float(n_buckets)))).alias("r"),
+        )
+    )
+    scored = (
+        dbc.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            F.round(F.sum(F.col("c") * F.col("r")) / F.sum("c"), 6)
+            .alias("score"),
+        )
+    )
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(k)
+    # rank the k survivors (tiny frame; the single-partition window is k rows)
+    w = W.orderBy(F.col("score").desc(), "doc_id")
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
 def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(bucket, lo, n_docs, avg_words): power-of-two histogram of per-doc
     word counts — the sequence-length planning view every training pipeline

@@ -581,6 +581,57 @@ FROM dtc JOIN cnt USING (w) CROSS JOIN tot
 GROUP BY doc_id
 """
 
+# Twin of text_analysis.dsir_select (DSIR, Xie et al. 2023): hashed-bigram
+# bucket = int(md5(bigram)[:2], 16) (0..255 — identical md5 hex on both
+# engines, DuckDB's '0x'-cast vs Spark's conv(,16,10)); smoothed rational
+# importance ratio with the SAME parenthesization as the Spark side; score
+# = count-weighted arithmetic mean, ROUND(.,6); top-100 ties break doc_id.
+DSIR_SELECT = f"""
+WITH toks AS MATERIALIZED (
+    SELECT doc_id, lang, {_TOKS} AS t FROM documents
+),
+big AS MATERIALIZED (
+    SELECT doc_id, lang,
+           CAST('0x' || substr(md5(unnest(
+               [t[i] || ' ' || t[i+1] for i in generate_series(1, len(t) - 1)]
+           )), 1, 2) AS INTEGER) AS b
+    FROM toks WHERE len(t) >= 2
+),
+dbc AS MATERIALIZED (
+    SELECT doc_id, b, COUNT(*) AS c FROM big GROUP BY doc_id, b
+),
+rc AS MATERIALIZED (
+    SELECT b, COUNT(*) AS cr FROM big GROUP BY b
+),
+tc AS MATERIALIZED (
+    SELECT b, COUNT(*) AS ct FROM big WHERE lang = 'en' GROUP BY b
+),
+tot AS MATERIALIZED (
+    SELECT CAST(SUM(greatest(len(t) - 1, 0)) AS DOUBLE) AS tr,
+           CAST(SUM(CASE WHEN lang = 'en' THEN greatest(len(t) - 1, 0)
+                         ELSE 0 END) AS DOUBLE) AS tt
+    FROM toks
+),
+ratio AS MATERIALIZED (
+    SELECT rc.b,
+           ((COALESCE(tc.ct, 0) + 1.0) / (rc.cr + 1.0))
+           * ((tot.tr + 256.0) / (tot.tt + 256.0)) AS r
+    FROM rc LEFT JOIN tc ON tc.b = rc.b CROSS JOIN tot
+),
+scored AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_feats,
+           ROUND(SUM(c * r) / SUM(c), 6) AS score
+    FROM dbc JOIN ratio ON ratio.b = dbc.b
+    GROUP BY doc_id
+)
+SELECT doc_id, n_feats, score,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT 100
+"""
+
 TFIDF_TOP_TERMS = f"""
 WITH tok AS MATERIALIZED (
     SELECT doc_id, unnest({_TOKS}) AS token FROM documents

@@ -662,6 +662,8 @@ LLM_QUERIES: dict[str, QueryFn] = {
     "semdedup_embeddings": D.semdedup_embeddings,
     # round 6: exact-substring dedup (Lee et al. 2022 ExactSubstr pass)
     "dedup_substring": D.dedup_substring,
+    # round 6: DSIR importance-based data selection (Xie et al. 2023)
+    "dsir_select": TA.dsir_select,
 }
 
 
@@ -765,6 +767,7 @@ LLM_ORACLES: dict[str, str] = {
     "bm25_topk": LSQL.BM25_TOPK,
     "semdedup_embeddings": semdedup_sql(k=8, iters=2, threshold=0.30),
     "dedup_substring": LSQL.DEDUP_SUBSTRING,
+    "dsir_select": LSQL.DSIR_SELECT,
 }
 
 

@@ -518,6 +518,36 @@ def test_bm25_idf_discounts_common_terms(spark):
     assert sum(1 for r in out if r.query_id == 1) == 1
 
 
+def test_dsir_ranks_target_resembling_docs_first(spark):
+    """DSIR importance selection: documents whose hashed-bigram distribution
+    matches the target slice (lang='en') must outrank documents drawn from
+    the raw-only distribution — on a planted corpus where the target slice
+    uses a disjoint vocabulary so the separation is unambiguous."""
+    from gmr_spark.operators.text_analysis import dsir_frame
+
+    # target slice: 10 'en' docs over vocabulary A; raw background: 20 'xx'
+    # docs over vocabulary B; probes: 2 unlabeled 'xx' docs, one written in
+    # vocabulary A (target-like), one in vocabulary B (raw-typical)
+    va = "alpha beta gamma delta epsilon zeta"
+    vb = "one two three four five six"
+    rows = [(i, "en", f"{va} {va}") for i in range(10)]
+    rows += [(10 + i, "xx", f"{vb} {vb}") for i in range(20)]
+    rows.append((30, "xx", f"{va} {va}"))   # target-like probe
+    rows.append((31, "xx", f"{vb} {vb}"))   # raw-typical probe
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r.doc_id: r for r in dsir_frame(docs, k=32).collect()}
+    assert out[30].score > out[31].score
+    # every vocabulary-A doc outranks every vocabulary-B doc
+    worst_a = min(out[i].rnk for i in list(range(10)) + [30])
+    assert max(out[i].rnk for i in list(range(10)) + [30]) < min(
+        out[i].rnk for i in list(range(10, 30)) + [31])
+    assert worst_a >= 1
+    # scores are the smoothed rational ratios: vocabulary-A docs all share
+    # one bigram profile, so their scores are identical
+    a_scores = {out[i].score for i in list(range(10)) + [30]}
+    assert len(a_scores) == 1
+
+
 def test_semdedup_arrow_engine_matches_expr(spark):
     """The Arrow/BLAS scale path and the Catalyst expression path agree
     exactly on the sf0.001 embeddings (and the GEMM k-means assign agrees

@@ -478,6 +478,17 @@ def test_dedup_substring_broadcasts_shared_keys_no_cartesian(spark):
     assert n_exchanges(p) <= 3
 
 
+def test_dsir_select_broadcasts_ratio_and_takes_ordered(spark):
+    """DSIR's per-bucket ratio table is <= 256 rows — it must reach the
+    per-doc scoring join as a broadcast (never a shuffled join of the
+    feature stream against it), and the final top-k must be
+    TakeOrderedAndProject, not a global Sort of 2M+ scored docs."""
+    p = plan_of(spark, "dsir_select")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
 def test_unigram_lm_score_explodes_corpus_twice_not_thrice(spark):
     """The corpus-LM score needs the token stream for (doc,term) counts and
     for the vocabulary census — exactly TWO Generate (explode) subtrees.
