@@ -911,7 +911,7 @@ def _rotation_order(names: list[str] | dict[str, object]) -> list[str]:
     claim was written at ~93 queries and went false at 110): with N
     registered queries, oldest-first ordering guarantees no query's row is
     ever older than ``ceil(N / (DRIVER_WINDOW - len(_CHANGED_THIS_ROUND)))``
-    rounds, because each round refreshes the stalest ~W rows. At N=113 /
+    rounds, because each round refreshes the stalest ~W rows. At N=117 /
     W=50 / ≤5 changed that is 3 rounds. ``tests/test_rotation.py`` pins
     both the bound and the front-of-window placement of every
     2-round-stale query. A changed query cannot ship on a stale green."""

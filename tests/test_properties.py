@@ -446,3 +446,66 @@ def test_dedup_substring_matches_bruteforce(texts):
         assert got[d].keep == (not dup)
         want_frac = round(len(dup) / len(ws), 6) if ws else 0.0
         assert abs(got[d].dup_frac - want_frac) < 1e-9
+
+
+# random (lang, text) corpora: a 3-word target vocabulary and a partially
+# overlapping 3-word background vocabulary, docs 0-5 words long — exercising
+# empty target slices, <2-token docs (no bigrams), and shared buckets
+_dsir_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_dsir_corpora = st.lists(
+    st.tuples(st.sampled_from(["en", "xx"]),
+              st.lists(_dsir_word, min_size=0, max_size=5).map(" ".join)),
+    min_size=1, max_size=8,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_dsir_corpora)
+def test_dsir_matches_bruteforce(rows):
+    """dsir_frame over random corpora equals the brute-force definition:
+    bucket = int(md5(bigram)[:2], 16); smoothed rational ratio
+    ((ct+1)/(cr+1)) * ((Tr+B)/(Tt+B)); doc score = count-weighted mean of
+    its buckets' ratios, ROUND 6; top-k by (score desc, doc_id)."""
+    import hashlib
+    from collections import Counter
+
+    from gmr_spark.operators.text_analysis import dsir_frame
+
+    B = 256
+    spark = _get_spark()
+    docs = spark.createDataFrame(
+        [(i, lang, text) for i, (lang, text) in enumerate(rows)],
+        "doc_id long, lang string, text string")
+    got = {r.doc_id: r for r in dsir_frame(docs, k=16).collect()}
+
+    def buckets(text):
+        toks = [t for t in text.split(" ") if t]
+        return [int(hashlib.md5(f"{a} {b}".encode()).hexdigest()[:2], 16)
+                for a, b in zip(toks, toks[1:])]
+
+    cr, ct = Counter(), Counter()
+    tr = tt = 0.0
+    per_doc = {}
+    for i, (lang, text) in enumerate(rows):
+        bs = buckets(text)
+        per_doc[i] = Counter(bs)
+        cr.update(bs)
+        tr += len(bs)
+        if lang == "en":
+            ct.update(bs)
+            tt += len(bs)
+    want = []
+    for i, cnts in per_doc.items():
+        if not cnts:
+            continue  # <2 tokens: no features, excluded from the ranking
+        num = sum(c * (((ct[b] + 1.0) / (cr[b] + 1.0))
+                       * ((tr + B) / (tt + B))) for b, c in cnts.items())
+        n = sum(cnts.values())
+        want.append((round(num / n, 6), i, n))
+    want.sort(key=lambda x: (-x[0], x[1]))
+    want = want[:16]
+    assert set(got) == {i for _, i, _ in want}
+    for rnk, (score, i, n) in enumerate(want, start=1):
+        assert got[i].rnk == rnk, (i, got[i], want)
+        assert got[i].n_feats == n
+        assert abs(got[i].score - score) < 1e-9, (i, got[i].score, score)
