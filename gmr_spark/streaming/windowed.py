@@ -30,17 +30,22 @@ EVENTS_STREAM_SCHEMA = T.StructType([
 ])
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       options: dict[str, str] | None = None) -> DataFrame:
     """File-source stream over the events parquet with ts normalized to
     TimestampType — the single entry point for every streaming query here.
     (The file source requires a directory; glob-filter to the events file.)
     Epoch arithmetic, not a cast: see sources/tables.py — a plain NTZ cast
-    would shift instants by the session TZ offset on non-UTC sessions."""
-    raw = (
+    would shift instants by the session TZ offset on non-UTC sessions.
+    ``options`` passes reader options through (e.g. maxFilesPerTrigger to
+    split a multi-file corpus into micro-batches — scripts/scale_stream.py)."""
+    reader = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
     )
+    for k, val in (options or {}).items():
+        reader = reader.option(k, val)
+    raw = reader.parquet(sf_dir)
     return raw.withColumn("ts", F.timestamp_micros(F.expr(
         "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")))
 
