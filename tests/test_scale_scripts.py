@@ -149,3 +149,39 @@ def test_llm_scale_substring_planted_recall(spark, tmp_path):
     sample = out.filter(out.doc_id.isin([0, 1])).collect()
     for r in sample:
         assert r.n_dup_windows == r.n_windows - 1 and r.max_docs_sharing == 2
+
+
+def test_stream_scale_probes_drain_and_count(spark, tmp_path):
+    """The streaming-throughput probe's corpus and both probe shapes run
+    end-to-end at toy size: the file source splits into >1 micro-batch
+    (maxFilesPerTrigger), the windowed agg consumes every event exactly
+    once, and the stream-stream join consumes both sides."""
+    from scale_stream import build_events, drain
+
+    from gmr_spark.streaming.joins import (
+        ATTRIB_WINDOW, _attribution_pairs, _split)
+    from gmr_spark.streaming.windowed import _windowed_agg, read_events_stream
+
+    n = 2000
+    sf = build_events(spark, n, str(tmp_path / "events"))
+    src = f"{sf}/events.parquet"
+    opts = {"pathGlobFilter": "*.parquet", "maxFilesPerTrigger": "8"}
+
+    events = read_events_stream(spark, src, options=opts) \
+        .withWatermark("ts", "1 hour")
+    q = (_windowed_agg(events).writeStream.format("noop")
+         .option("checkpointLocation", str(tmp_path / "ck1"))
+         .outputMode("update").start())
+    _, rows, batches = drain(q)
+    assert rows == n and batches == 8
+
+    p, _ = _split(read_events_stream(spark, src, options=opts))
+    _, v = _split(read_events_stream(spark, src, options=opts))
+    joined = _attribution_pairs(
+        p.withWatermark("p_ts", ATTRIB_WINDOW),
+        v.withWatermark("v_ts", ATTRIB_WINDOW))
+    q = (joined.writeStream.format("noop")
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .outputMode("append").start())
+    _, rows, batches = drain(q)
+    assert rows == 2 * n and batches == 8
