@@ -185,3 +185,43 @@ def test_stream_scale_probes_drain_and_count(spark, tmp_path):
          .outputMode("append").start())
     _, rows, batches = drain(q)
     assert rows == 2 * n and batches == 8
+
+
+def test_tpch_scale_corpus_matches_driver_contract(spark, tmp_path):
+    """The TPC-H scale probe's synthetic corpus must be a faithful stand-in
+    for the driver testdata: same post-load schema for every relational
+    table, the same value alphabets the declared queries filter on, the
+    testdata's 1-7 lines-per-order fan-out, and nonzero result sets for the
+    selective heavy shapes (q18's HAVING tail, q21's double correlation) —
+    the properties the committed SCALE.md walls depend on."""
+    from scale_tpch import build_tpch
+
+    from pyspark.sql import functions as F
+
+    from gmr_spark.operators import relational as R
+    from gmr_spark.sources.tables import load_tables
+
+    n = 8000
+    sf = build_tpch(spark, n, str(tmp_path / "tpch"))
+
+    t = load_tables(spark, sf)
+    ref = load_tables(spark, "/root/testdata/sf0.001")
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem"):
+        assert [(f.name, f.dataType) for f in t[name].schema.fields] == \
+               [(f.name, f.dataType) for f in ref[name].schema.fields], name
+
+    li = t["lineitem"]
+    fan = li.groupBy("l_orderkey").count().agg(
+        F.min("count"), F.max("count"), F.count(F.lit(1))).first()
+    assert 1 <= fan[0] and fan[1] <= 7 and fan[2] == n
+    doms = li.agg(F.collect_set("l_returnflag"),
+                  F.collect_set("l_linestatus")).first()
+    assert sorted(doms[0]) == ["A", "N", "R"] and sorted(doms[1]) == ["F", "O"]
+    assert t["customer"].select("c_mktsegment").distinct().count() == 5
+    assert t["part"].filter(F.col("p_name").like("%bolt%")).count() > 0
+    assert t["part"].filter(F.col("p_type") == "PROMO").count() > 0
+
+    # the two rare-tail shapes stay non-degenerate on the synthetic corpus
+    assert R.q18_large_orders(spark, sf).count() > 0
+    assert R.q21_waiting_suppliers(spark, sf).count() > 0
