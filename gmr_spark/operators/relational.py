@@ -30,6 +30,21 @@ def _dec(col: str, scale: int = 4, precision: int = 18) -> F.Column:
     return F.col(col).cast(f"decimal({precision},{scale})")
 
 
+# Broadcast-hint policy (round 6): F.broadcast FORCES a broadcast regardless
+# of runtime size, so explicit hints are reserved for sides bounded by
+# CONSTRUCTION — nation/region (25/5 rows forever) and 1-row/O(#partitions)
+# aggregates. Sides that scale with SF (customer/supplier/part and their
+# filtered slices, HAVING tails, distinct-key sets) are left UNHINTED: AQE
+# broadcasts them at runtime while they fit the threshold and degrades to a
+# shuffle join — not a forced driver collect and OOM — at the 100 TB tail
+# (same contract as unigram_lm_score's vocabulary join and the pregel
+# adaptive-frontier gate's G2 broadcast-abort lesson). Measured at 120M
+# lineitem rows (SCALE.md): the then-forced 3M-row customer broadcast in q5
+# was the fragile outlier (25.5 s / 55.2 s across runs); at bench SF the
+# unhinted plans converge to the same broadcasts via AQE, pinned in
+# tests/test_plans.py on EXECUTED (isFinalPlan) plans.
+
+
 # Narrow decimals on purpose: Spark's decimal multiply adds precisions
 # (p1+p2+1) and silently ROUNDS once the result exceeds 38
 # (allowPrecisionLoss), while DuckDB keeps full scale — a cross-engine
@@ -63,15 +78,16 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join (broadcast dim) + agg + deterministic top-10.
-    customer is broadcast (small side); lineitem⋈orders shuffles on orderkey."""
+    """Join + agg + deterministic top-10. The BUILDING customer slice is
+    AQE-broadcast while it fits (unhinted — module broadcast policy);
+    lineitem⋈orders shuffles on orderkey."""
     t = load_tables(spark, sf_dir)
     cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
     revenue = F.sum(_dec("l_extendedprice", 2, 12) * (F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 4, 6)))
     joined = (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("o_orderkey", "o_orderpriority")
         .agg(F.round(revenue, 2).cast("double").alias("revenue"))
     )
@@ -89,14 +105,16 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-way join with local-supplier predicate (supplier nation = customer
-    nation), revenue per nation. Dims broadcast; fact join shuffles once."""
+    nation), revenue per nation. nation is hint-broadcast (bounded);
+    supplier/customer are unhinted (module broadcast policy — AQE
+    broadcasts while they fit); the fact join shuffles once."""
     t = load_tables(spark, sf_dir)
     revenue = F.sum(_dec("l_extendedprice", 2, 12) * (F.lit(1).cast("decimal(6,4)") - _dec("l_discount", 4, 6)))
     return (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("s_nationkey") == F.col("c_nationkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
@@ -140,7 +158,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     joined = (
         t["orders"]
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
     )
@@ -512,7 +530,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: a HAVING subquery on the fact table feeding a
     customer join. The quantity rollup shuffles once on orderkey; the
-    surviving order set is tiny, so both follow-up joins broadcast it."""
+    surviving order set is a thin (but SF-linear) tail, so AQE broadcasts
+    it at runtime in both follow-up joins (unhinted — module policy)."""
     t = load_tables(spark, sf_dir)
     big = (
         t["lineitem"].groupBy("l_orderkey")
@@ -520,7 +539,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_qty") > 250)
     )
     return (
-        t["orders"].join(F.broadcast(big),
+        t["orders"].join(big,
                          F.col("o_orderkey") == F.col("l_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "o_orderkey", "o_totalprice",
@@ -533,7 +552,8 @@ def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     directions, by ship year. Both dim sides are pre-filtered to the two
     nations BEFORE the fact join (the nationkey predicate reaches the
     supplier/customer parquet scans), so the fact rows that survive the two
-    broadcast joins are already pair-only; one shuffle for the final group."""
+    filtered-dim joins (unhinted, AQE-broadcast while they fit) are already
+    pair-only; one shuffle for the final group."""
     t = load_tables(spark, sf_dir)
     rev = F.sum(
         _dec("l_extendedprice", 2, 12)
@@ -552,8 +572,8 @@ def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("s_nationkey") != F.col("c_nationkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
@@ -568,7 +588,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts bought by customers in region 0. Share = conditional-sum /
     total-sum, both rounded to cents then divided as doubles (the Q14
     pattern — decimal widths differ across engines above ROUND(·, 2)).
-    Dims broadcast; single fact shuffle on the year group."""
+    nation/region hint-broadcast; part/customer/supplier slices unhinted
+    (module broadcast policy); single fact shuffle on the year group."""
     t = load_tables(spark, sf_dir)
     vol = (
         _dec("l_extendedprice", 2, 12)
@@ -583,11 +604,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(region0_nations),
               F.col("c_nationkey") == F.col("cust_nk"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.year("o_orderdate").alias("o_year"),
             vol.alias("volume"),
@@ -627,7 +648,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("_mx"))
-        .join(F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+        .join(t["supplier"].select("s_suppkey", "s_name"),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name",
                 F.col("total_revenue").cast("double").alias("total_revenue"))
@@ -639,13 +660,14 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     20% of the part's average quantity were no longer taken. The threshold
     compare is exact decimal cross-multiplication (qty*5*cnt < sum_qty) —
     never a float average, whose distributed fold order could flip boundary
-    rows vs the single-threaded oracle. Brand parts broadcast; the per-part
-    stats table is small and broadcast back."""
+    rows vs the single-threaded oracle. The brand part slice and the
+    per-part stats table are AQE-broadcast while they fit (unhinted —
+    module broadcast policy)."""
     t = load_tables(spark, sf_dir)
     b1 = t["part"].filter(F.col("p_brand") == "Brand#1").select("p_partkey")
     li = (
         t["lineitem"].select("l_partkey", "l_quantity", "l_extendedprice")
-        .join(F.broadcast(b1), F.col("l_partkey") == F.col("p_partkey"))
+        .join(b1, F.col("l_partkey") == F.col("p_partkey"))
     )
     # widths chosen so qty(8,2) * 5(2,0) * cnt(10,0) = decimal(22,2) stays
     # far under the 38-precision cap (Spark silently ROUNDS past it)
@@ -654,7 +676,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
     )
     small = (
-        li.join(F.broadcast(stats), F.col("l_partkey") == F.col("sp"))
+        li.join(stats, F.col("l_partkey") == F.col("sp"))
         .filter(
             _dec("l_quantity", 2, 8) * F.lit(5).cast("decimal(2,0)")
             * F.col("cnt").cast("decimal(10,0)")
@@ -694,7 +716,8 @@ def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: revenue lost to returned items per customer, top 20.
-    Fact-fact join shuffles once on orderkey; customer and nation broadcast;
+    Fact-fact join shuffles once on orderkey; nation is hint-broadcast,
+    customer unhinted (module broadcast policy);
     deterministic top-k tiebroken by custkey."""
     t = load_tables(spark, sf_dir)
     revenue = F.sum(
@@ -704,7 +727,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         t["lineitem"].filter(F.col("l_returnflag") == "R")
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.round(revenue, 2).cast("double").alias("revenue"))
@@ -760,7 +783,8 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promo revenue share — conditional aggregate ratio
-    over a part join within a ship-date month. part is broadcast; the ratio
+    over a part join within a ship-date month. part joins unhinted (module
+    broadcast policy); the ratio
     is computed from two exact-decimal sums rounded identically on both
     engines before the (deterministic IEEE) double division."""
     t = load_tables(spark, sf_dir)
@@ -775,7 +799,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast(ts_t))
             & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast(ts_t))
         )
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
     )
     return joined.agg(
         (
@@ -790,8 +814,8 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape adapted (no p_container / l_shipmode): revenue over an
     OR-of-ANDs predicate tying part attributes to lineitem quantities. The
     disjunction sits on the join output; the equi-key (partkey) keeps the
-    join hash-based, and each disjunct's part-side conjuncts could prune the
-    broadcast build side."""
+    join hash-based (part unhinted — module broadcast policy), and each
+    disjunct's part-side conjuncts could prune the build side."""
     t = load_tables(spark, sf_dir)
     revenue = F.sum(
         _dec("l_extendedprice", 2, 12)
@@ -807,7 +831,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["lineitem"]
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(F.round(revenue, 2).cast("double").alias("revenue"))
     )
@@ -857,14 +881,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one more shuffle, partition-bounded) and the winner agg reuses that
     partitioning — no rollup⋈rollup self-join (the first-cut plan paid a
     SortMergeJoin plus two extra exchanges for the same result). Dims
-    (part/supplier/nation) broadcast. Determinism: unit price is a double
+    (part/supplier unhinted per the module broadcast policy; nation
+    hint-broadcast). Determinism: unit price is a double
     division, IEEE-identical on both engines, and MIN picks an exact value
     of it; ties on cost are broken by MIN(suppkey)."""
     t = load_tables(spark, sf_dir)
     parts = t["part"].filter((F.col("p_type") == "SMALL") & (F.col("p_size") >= 40))
     offers = (
         t["lineitem"]
-        .join(F.broadcast(parts.select("p_partkey")),
+        .join(parts.select("p_partkey"),
               F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
@@ -878,9 +903,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         winner
-        .join(F.broadcast(parts.select("p_partkey", "p_brand")),
+        .join(parts.select("p_partkey", "p_brand"),
               F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(t["supplier"]), "s_suppkey")
+        .join(t["supplier"], "s_suppkey")
         .join(F.broadcast(t["nation"]),
               F.col("s_nationkey") == F.col("n_nationkey"))
         .select(F.col("l_partkey").alias("p_partkey"), "p_brand", "s_name",
@@ -892,7 +917,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape adapted (supply cost proxied as 10% of p_retailprice ×
     quantity — no partsupp): profit per supplier-nation per order year over
     the '%bolt%' part slice. Plan: lineitem⋈orders shuffles once on
-    orderkey; part/supplier/nation broadcast; two-key hash agg with map-side
+    orderkey; nation hint-broadcast, part slice and supplier unhinted
+    (module broadcast policy); two-key hash agg with map-side
     partials. Decimal-exact amounts, rounded once, cast to double."""
     t = load_tables(spark, sf_dir)
     parts = t["part"].filter(F.col("p_name").like("%bolt%"))
@@ -904,10 +930,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["lineitem"]
-        .join(F.broadcast(parts.select("p_partkey", "p_retailprice")),
+        .join(parts.select("p_partkey", "p_retailprice"),
               F.col("l_partkey") == F.col("p_partkey"))
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
         .agg(F.round(F.sum(amount), 2).cast("double").alias("profit"))
@@ -932,7 +958,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_part = (
         t["lineitem"]
-        .join(F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(asia_supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(_dec("l_extendedprice", 2, 12) * _dec("l_quantity", 2, 12))
              .alias("_value"))
@@ -951,7 +977,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape adapted (supplier "complaints" proxied as negative
     account balance): distinct supplier count per (brand, type, size) for
     non-Brand#5, non-PROMO parts, excluding flagged suppliers via an
-    anti-join. Plan: part + excluded-supplier sides broadcast; one shuffle
+    anti-join. Plan: part + excluded-supplier sides AQE-broadcast while
+    they fit (unhinted — module broadcast policy); one shuffle
     for the distinct-count agg (Spark expands COUNT(DISTINCT) into a
     two-phase exact agg)."""
     t = load_tables(spark, sf_dir)
@@ -961,9 +988,9 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
         t["lineitem"]
-        .join(F.broadcast(parts.select("p_partkey", "p_brand", "p_type", "p_size")),
+        .join(parts.select("p_partkey", "p_brand", "p_type", "p_size"),
               F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(flagged), F.col("l_suppkey") == F.col("s_suppkey"),
+        .join(flagged, F.col("l_suppkey") == F.col("s_suppkey"),
               "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -983,7 +1010,7 @@ def q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = t["part"].filter(F.col("p_name").like("%red%")).select("p_partkey")
     pair_vol = (
         t["lineitem"]
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(_dec("l_quantity", 2, 12)).alias("sq"))
     )
@@ -996,10 +1023,13 @@ def q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["supplier"]
-        # dominant is DISTINCT supplier keys — bounded by |supplier|, so the
-        # semi-join build side broadcasts (static stats can't see through
-        # the distinct; without the hint this planned as a SortMergeJoin)
-        .join(F.broadcast(dominant), F.col("s_suppkey") == F.col("l_suppkey"),
+        # dominant is DISTINCT supplier keys — bounded by |supplier|, which
+        # still SCALES with SF, so no forced hint (module broadcast policy):
+        # static stats can't see through the distinct and plan a SortMerge-
+        # Join, but AQE converts to broadcast at runtime while it fits
+        # (pinned on the executed plan in test_plans), and degrades to the
+        # shuffle join instead of a driver OOM at the 100 TB tail.
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"),
               "left_semi")
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
@@ -1039,7 +1069,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sole.groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
-        .join(F.broadcast(t["supplier"]),
+        .join(t["supplier"],
               F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "numwait")
         .orderBy(F.col("numwait").desc(), "s_name")

@@ -819,6 +819,28 @@ _CHANGED_THIS_ROUND = {
         "mst_nation_mesh",
         "svdpp_ratings",
         "ktruss_hub_tri",
+        # module broadcast policy (relational.py): forced F.broadcast hints
+        # removed from every SF-scaling join side (customer/supplier/part
+        # slices, HAVING tails, distinct-key sets) — results are identical,
+        # but a physical-plan change to a declared query fronts it per the
+        # discipline note above
+        "q2_min_cost_supplier",
+        "q3_top_orders",
+        "q5_nation_revenue",
+        "q7_nation_trade",
+        "q8_market_share",
+        "q9_product_profit",
+        "q10_returned_items",
+        "q11_important_stock",
+        "q14_promo_effect",
+        "q15_top_supplier",
+        "q16_supplier_part_counts",
+        "q17_small_quantity",
+        "q18_large_orders",
+        "q19_disjunctive_revenue",
+        "q20_bulk_suppliers",
+        "q21_waiting_suppliers",
+        "rollup_revenue",
     ),
 }
 

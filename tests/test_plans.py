@@ -28,6 +28,18 @@ def plan_of(spark, name: str) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+def final_plan_of(spark, name: str) -> str:
+    """The EXECUTED adaptive plan (isFinalPlan=true): the module broadcast
+    policy leaves SF-scaling join sides unhinted, so the broadcasts those
+    joins are expected to get at small SF exist only after AQE's runtime
+    conversion — the static explain shows SortMergeJoin placeholders."""
+    df = all_queries()[name](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan[:300]
+    return plan
+
+
 def test_q6_pushdown_and_pruning(spark):
     p = plan_of(spark, "q6_forecast_revenue")
     pushed = re.search(r"PushedFilters: \[(.*?)\]", p).group(1)
@@ -46,8 +58,12 @@ def test_filter_scan_pushdown(spark):
 
 
 def test_q5_broadcasts_dims(spark):
-    p = plan_of(spark, "q5_nation_revenue")
+    """supplier/customer are unhinted (they scale with SF — module broadcast
+    policy); at sf0.001 AQE must still converge every dim join to a runtime
+    broadcast, so the policy costs nothing at bench scale."""
+    p = final_plan_of(spark, "q5_nation_revenue")
     assert p.count("BroadcastHashJoin") >= 3  # supplier, customer, nation
+    assert "SortMergeJoin" not in p
 
 
 def test_q1_single_shuffle(spark):
@@ -63,8 +79,10 @@ def test_dedup_exact_single_shuffle(spark):
 
 
 def test_q18_broadcasts_having_result(spark):
-    p = plan_of(spark, "q18_large_orders")
-    assert "BroadcastHashJoin" in p  # tiny HAVING output broadcast to orders
+    # the HAVING tail is SF-linear so it carries no forced hint; AQE must
+    # still broadcast it to orders at runtime (thin output at small SF)
+    p = final_plan_of(spark, "q18_large_orders")
+    assert "BroadcastHashJoin" in p
 
 
 def test_global_sort_rank_no_single_partition_window(spark):
@@ -238,16 +256,19 @@ def test_q2_q20_rollup_min_is_windowed_not_self_joined(spark):
     """q2/q20 pin: the per-part best/total over the (partkey, suppkey)
     rollup must be a partkey-partitioned Window, not a rollup⋈rollup
     SortMergeJoin — the self-join formulation cost 3-4 extra exchanges.
-    Also pins zero SortMergeJoins overall (dims broadcast, dominant-keys
-    side broadcast)."""
+    Also pins zero SortMergeJoins in the EXECUTED plan (the part/supplier/
+    dominant sides are unhinted per the module broadcast policy, so the
+    static plan now legitimately carries SMJ placeholders that AQE must
+    convert to broadcasts at this SF)."""
     for name, max_exchanges in (("q2_min_cost_supplier", 3),
                                 ("q20_bulk_suppliers", 4)):
         p = plan_of(spark, name)
-        assert "SortMergeJoin" not in p, f"{name}:\n{p[:800]}"
         assert re.search(r"windowspecdefinition\(l_partkey#\d+", p), \
             f"{name}: expected partkey-partitioned window"
         assert n_exchanges(p) <= max_exchanges, \
             f"{name}: {n_exchanges(p)} exchanges"
+        fp = final_plan_of(spark, name)
+        assert "SortMergeJoin" not in fp, f"{name}:\n{fp[:800]}"
 
 
 def test_q3_top10_is_take_ordered(spark):
