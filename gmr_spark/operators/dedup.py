@@ -432,13 +432,24 @@ def dedup_survivors(spark: SparkSession, sf_dir: str, *, min_jaccard: float = 0.
     cluster members minus representatives).
 
     Scale: the retire list is |cluster members| - |clusters| rows — tiny
-    against the corpus — and broadcasts; the corpus side is a narrow scan +
-    broadcast anti-join, no shuffle of the full data."""
+    against the corpus, but SF-LINEAR (a 30%-dup 100 TB corpus retires
+    billions of ids), so the broadcast is gated on a count against
+    ``_BROADCAST_IDS_CAP`` exactly like the candidate-id filter in the
+    verified-pair chain (an explicit hint has no AQE fallback — Spark
+    honors it regardless and aborts past the driver limit). Under the cap:
+    narrow scan + broadcast anti-join, no shuffle of the corpus. Over it:
+    shuffled anti-join, the right plan there."""
     docs = load_tables(spark, sf_dir)["documents"]
     clusters = dup_clusters(spark, sf_dir, min_jaccard=min_jaccard)
-    retired = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    retired = (
+        clusters.filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    if retired.count() <= _BROADCAST_IDS_CAP:
+        retired = F.broadcast(retired)
     return (
-        docs.join(F.broadcast(retired), "doc_id", "left_anti")
+        docs.join(retired, "doc_id", "left_anti")
         .select("doc_id", "lang", "source", "n_chars")
     )
 

@@ -313,7 +313,11 @@ def split_oversized_buckets(vecs: DataFrame, cap: int = BUCKET_CAP) -> DataFrame
     split reproducible in the DuckDB twin.
 
     Input: (id, ..., bucket). Output: same + ``sub``. The per-bucket count
-    table is one row per bucket — broadcast.
+    table is one row per bucket, and every caller's bucket domain is
+    bounded by CONSTRUCTION (2^planes sign patterns, n_centroids IVF
+    cells, bands × 2^band-bits), not by data size — which is what makes
+    the forced broadcast hint safe here at any SF (contrast the SF-linear
+    sides relational.py's broadcast policy un-hinted).
     """
     counts = vecs.groupBy("bucket").agg(F.count(F.lit(1)).alias("_cnt"))
     return (

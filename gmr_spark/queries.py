@@ -841,6 +841,9 @@ _CHANGED_THIS_ROUND = {
         "q20_bulk_suppliers",
         "q21_waiting_suppliers",
         "rollup_revenue",
+        # same policy applied to the dedup retire-list broadcast (now
+        # count-gated against _BROADCAST_IDS_CAP instead of forced)
+        "dedup_survivors",
     ),
 }
 
