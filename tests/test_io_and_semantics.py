@@ -134,3 +134,29 @@ def test_format_round_trips(spark, tmp_path):
         write_table(orders, p, fmt=fmt)
         got = read_table(spark, p, fmt=fmt, schema=orders.schema).select(*orders.columns)
         assert sorted(tuple(r) for r in got.collect()) == want
+
+
+def test_cli_entry_point_matches_goldens(spark, capsys, tmp_path):
+    """python -m gmr_spark — the startgmr.sh/igmr parity surface
+    (SURVEY §3.1): trianglecount on the reference's own small.graph fixture
+    prints its known golden (2 triangles), bfs levels match the library
+    call, and --output writes a readable parquet result. main() reuses the
+    test session via getOrCreate, so this is in-process."""
+    from gmr_spark.__main__ import main
+
+    path = "/root/reference/graph/small.graph"
+    if not os.path.exists(path):
+        return
+
+    assert main(["trianglecount", path, "--show", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "tri_cnt" in out and "\n2\n" in out and "1 rows" in out
+
+    out_dir = str(tmp_path / "bfs_out")
+    assert main(["bfs", path, "--source", "1", "--output", out_dir]) == 0
+    written = {(r.id, r.level) for r in spark.read.parquet(out_dir).collect()}
+    from gmr_spark.algorithms.sssp import bfs
+    from gmr_spark.sources.graph_file import read_graph_file
+    expected = {(r.id, r.level)
+                for r in bfs(read_graph_file(spark, path), source=1).collect()}
+    assert written == expected
