@@ -36,12 +36,15 @@ def _build_parser() -> argparse.ArgumentParser:
                     "lines; 0- or 1-based ids auto-detected).")
     p.add_argument("algorithm",
                    choices=["pagerank", "sssp", "bfs", "trianglecount",
-                            "cc", "scc", "mst", "kcore", "lpa"],
+                            "cc", "scc", "mst", "kcore", "lpa",
+                            "samplesort"],
                    help="reference names: pagerank/sssp/trianglecount "
-                        "(implemented there) and bfs/cc/scc/mst (its "
-                        "declared stubs); kcore/lpa are engine additions")
+                        "(implemented there), bfs/cc/scc/mst (its declared "
+                        "stubs), samplesort (its standalone entry point 3); "
+                        "kcore/lpa are engine additions")
     p.add_argument("graphfile", help="graph text file (or a directory "
-                                     "written by write_graph_file)")
+                                     "written by write_graph_file); for "
+                                     "samplesort: one integer per line")
     p.add_argument("--partitions", type=int, default=None,
                    help="edge-table partitions (the reference's process "
                         "count analog; default: Spark's choice)")
@@ -81,8 +84,28 @@ def _run(args: argparse.Namespace):
     from gmr_spark.session import get_session
     from gmr_spark.sources.graph_file import read_graph_file
 
+    from pyspark.sql import functions as F
+
     spark = get_session(f"gmr_{args.algorithm}", cpus=args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.algorithm == "samplesort":
+        # entry point 3 (SURVEY §3.3, samplesort.cpp:21-191): the
+        # reference's standalone MPI sample sort of a numbers file. Spark's
+        # orderBy IS that algorithm — sample, range-partition (the splitter
+        # exchange), shuffle, per-partition sort; `--partitions` plays the
+        # reference's process count. (The reference checkout's samplesort
+        # binary no longer builds — stale testsamplesort.h include.)
+        nums = (
+            spark.read.text(args.graphfile)
+            .select(F.trim("value").alias("s"))
+            .filter((F.length("s") > 0) & ~F.col("s").startswith("#"))
+            .select(F.col("s").cast("bigint").alias("v"))
+        )
+        if args.partitions:
+            nums = nums.repartitionByRange(args.partitions, "v")
+        return nums.orderBy("v"), ["v"]
+
     g = read_graph_file(spark, args.graphfile,
                         num_partitions=args.partitions)
 

@@ -160,3 +160,26 @@ def test_cli_entry_point_matches_goldens(spark, capsys, tmp_path):
     expected = {(r.id, r.level)
                 for r in bfs(read_graph_file(spark, path), source=1).collect()}
     assert written == expected
+
+
+def test_cli_samplesort_entry_point(spark, capsys, tmp_path):
+    """Entry point 3 (SURVEY §3.3): samplesort over a numbers file — the
+    output must be the globally sorted sequence."""
+    from gmr_spark.__main__ import main
+
+    src = tmp_path / "nums.txt"
+    vals = [93, 4, -7, 58, 12, 0, 99, 4]
+    src.write_text("\n".join(str(v) for v in vals) + "\n")
+
+    out_dir = str(tmp_path / "sorted")
+    assert main(["samplesort", str(src), "--partitions", "3",
+                 "--output", out_dir, "--format", "csv"]) == 0
+    got = [int(r.v) for r in
+           spark.read.option("header", "true").csv(out_dir)
+           .orderBy("v").collect()]
+    assert sorted(got) == sorted(vals)
+
+    capsys.readouterr()  # drop the --output run's status line
+    assert main(["samplesort", str(src), "--show", "3"]) == 0
+    out = capsys.readouterr().out
+    assert out.splitlines()[2].strip() == "-7"  # smallest value first
