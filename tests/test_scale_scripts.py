@@ -225,3 +225,25 @@ def test_tpch_scale_corpus_matches_driver_contract(spark, tmp_path):
     # the two rare-tail shapes stay non-degenerate on the synthetic corpus
     assert R.q18_large_orders(spark, sf).count() > 0
     assert R.q21_waiting_suppliers(spark, sf).count() > 0
+
+
+def test_ingest_scale_roundtrip_and_checksum(spark, tmp_path):
+    """The ingest probe's round-trip contract at toy size: the sharded
+    write → read cycle preserves vertex/edge counts AND the order-invariant
+    edge checksum, and the checksum actually discriminates (dropping one
+    edge changes it)."""
+    from scale_ingest import build_graph, edge_checksum
+
+    from gmr_spark.sources.graph_file import read_graph_file, write_graph_file
+
+    n = 2000
+    g = build_graph(spark, n)
+    ne = g.edges.count()
+    cs = edge_checksum(g.edges)
+
+    path = str(tmp_path / "g.graph")
+    write_graph_file(g, path, distributed=True)
+    g2 = read_graph_file(spark, path)
+    assert g2.vertices.count() == n and g2.edges.count() == ne
+    assert edge_checksum(g2.edges) == cs
+    assert edge_checksum(g2.edges.limit(ne - 1)) != cs
