@@ -103,7 +103,13 @@ def _run(args: argparse.Namespace):
             .select(F.col("s").cast("bigint").alias("v"))
         )
         if args.partitions:
-            nums = nums.repartitionByRange(args.partitions, "v")
+            # range partition + per-partition sort IS the sample sort at
+            # the requested fan-out; chaining orderBy after it would
+            # re-sample and re-exchange everything a second time into
+            # spark.sql.shuffle.partitions, making --partitions a dead
+            # extra shuffle
+            return (nums.repartitionByRange(args.partitions, "v")
+                    .sortWithinPartitions("v"), ["v"])
         return nums.orderBy("v"), ["v"]
 
     g = read_graph_file(spark, args.graphfile,

@@ -440,11 +440,14 @@ def dedup_survivors(spark: SparkSession, sf_dir: str, *, min_jaccard: float = 0.
     narrow scan + broadcast anti-join, no shuffle of the corpus. Over it:
     shuffled anti-join, the right plan there."""
     docs = load_tables(spark, sf_dir)["documents"]
-    clusters = dup_clusters(spark, sf_dir, min_jaccard=min_jaccard)
-    retired = (
-        clusters.filter(F.col("doc_id") != F.col("cluster_id"))
+    # application-memoized like the chain it derives from, so repeat calls
+    # share one CC run and clear_dedup_memo() can release the blocks
+    retired = _memo(
+        spark, ("retired", sf_dir, _corpus_token(sf_dir), min_jaccard),
+        lambda: dup_clusters(spark, sf_dir, min_jaccard=min_jaccard)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
         .select("doc_id")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True),
     )
     if retired.count() <= _BROADCAST_IDS_CAP:
         retired = F.broadcast(retired)
@@ -553,7 +556,12 @@ def semdedup_frame(emb: DataFrame, *, k: int = SEMDEDUP_K,
     clustered = (
         assigned.join(vecs, "id")
         .select("id", "cluster", "vec", norm.alias("nrm"))
-        .localCheckpoint(eager=True)  # kmeans assign runs once, not per side
+        # kmeans assign runs once, not per side. A bare per-call checkpoint
+        # (outside the _memo release discipline) is acceptable HERE only
+        # because this expr path runs at declared-query scale (|embeddings|
+        # rows, ~2k at sf0.1); the 2M-vector scale suite takes the arrow
+        # engine below, which checkpoints nothing.
+        .localCheckpoint(eager=True)
     )
     a = clustered.select(F.col("id").alias("id_a"), "cluster",
                          F.col("vec").alias("va"), F.col("nrm").alias("na"))
@@ -668,23 +676,43 @@ def dedup_substring(spark: SparkSession, sf_dir: str, *,
     array; a sliding rolling-hash window over a shuffle-grouped corpus is
     the Spark-native equivalent for fixed window length."""
     docs = load_tables(spark, sf_dir)["documents"]
-    return dedup_substring_frame(docs, window=window)
+    # the ~90M-row window-stream checkpoint (4.5 GB at the 2M-doc proof) is
+    # application-memoized like every other chain intermediate, so repeat
+    # calls share the blocks and clear_dedup_memo() can RELEASE them — a
+    # bare in-function checkpoint would sit outside the module's release
+    # discipline and stay resident until ContextCleaner catches up
+    wins = _memo(
+        spark, ("substr_wins", sf_dir, _corpus_token(sf_dir), window),
+        lambda: _substring_window_stream(docs, window)
+        .localCheckpoint(eager=True),
+    )
+    return _dedup_substring_over(docs, wins, window)
 
 
 def dedup_substring_frame(docs: DataFrame, *,
                           window: int = SUBSTR_WINDOW) -> DataFrame:
     """Core of :func:`dedup_substring` over any (doc_id, text) frame —
     split out so the planted-passage unit test can feed its own corpus
-    (the ``semdedup_frame`` pattern)."""
-    # the window stream feeds BOTH global-key aggregation and the per-doc
-    # annotate join — materialize it once (same discipline as _doc_shingles;
-    # ~90M (doc_id, md5) rows ≈ 4.5 GB at the 2M-doc proof, well inside
-    # executor storage and spillable beyond it). Before this checkpoint the
-    # posexplode+lead+md5 subtree evaluated once per consumer — measured
-    # 263.6 s at 2M docs; see SCALE.md for the after number.
-    wins = exploded_word_shingles(docs, k=window).select(
-        "doc_id", F.md5(F.col("sh")).alias("h")
-    ).localCheckpoint(eager=True)
+    (the ``semdedup_frame`` pattern). Synthetic frames have no sf_dir
+    fingerprint to memo under, so this path checkpoints per call (toy
+    corpora only; the declared sf_dir wrapper memoizes)."""
+    wins = _substring_window_stream(docs, window).localCheckpoint(eager=True)
+    return _dedup_substring_over(docs, wins, window)
+
+
+def _substring_window_stream(docs: DataFrame, window: int) -> DataFrame:
+    """The (doc_id, md5(window)) stream — feeds BOTH the global-key
+    aggregation and the per-doc annotate join, so callers materialize it
+    once (same discipline as _doc_shingles; ~90M rows ≈ 4.5 GB at the
+    2M-doc proof, well inside executor storage and spillable beyond it).
+    Before that checkpoint the posexplode+lead+md5 subtree evaluated once
+    per consumer — measured 263.6 s at 2M docs; see SCALE.md."""
+    return exploded_word_shingles(docs, k=window).select(
+        "doc_id", F.md5(F.col("sh")).alias("h"))
+
+
+def _dedup_substring_over(docs: DataFrame, wins: DataFrame,
+                          window: int) -> DataFrame:
     shared = (
         wins.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))

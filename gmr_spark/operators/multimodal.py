@@ -208,12 +208,27 @@ def _ensure_payload_files(spark: SparkSession, sf_dir: str, ext: str,
         "/tmp", f"gmr_{ext}_files",
         hashlib.md5(f"{sf_dir}|{token}".encode()).hexdigest()[:16])
     marker = os.path.join(out_dir, "_FINGERPRINT")
+
+    def _payload_count() -> int:
+        with os.scandir(out_dir) as it:
+            return sum(1 for e in it if e.name.endswith(f".{ext}"))
+
     with _PAYLOAD_FILES_LOCK:
         try:
             with open(marker) as fh:
-                if fh.read() == token:
-                    return out_dir
-        except OSError:
+                committed = fh.read().splitlines()
+            # validate the FILES, not just the marker: a /tmp reaper can
+            # age out payload files while the marker survives (its own
+            # read refreshes atime) — a marker-only check would then feed
+            # the binaryFile scan a silently truncated corpus. The marker
+            # records the expected file count; one scandir pass per
+            # process confirms it. (The lock is process-local by design:
+            # the engine assumes one driver per scratch dir, like every
+            # /tmp artifact here.)
+            if (len(committed) == 2 and committed[0] == token
+                    and int(committed[1]) == _payload_count()):
+                return out_dir
+        except (OSError, ValueError):
             pass
         os.makedirs(out_dir, exist_ok=True)
         docs = load_tables(spark, sf_dir)["documents"]
@@ -227,7 +242,7 @@ def _ensure_payload_files(spark: SparkSession, sf_dir: str, ext: str,
             raise RuntimeError(
                 f"{ext} materialization wrote {written} of {n_docs} files")
         with open(marker, "w") as fh:
-            fh.write(token)  # commit AFTER every file landed
+            fh.write(f"{token}\n{written}")  # commit AFTER every file landed
     return out_dir
 
 

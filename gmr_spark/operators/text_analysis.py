@@ -439,7 +439,13 @@ def bm25_frame(docs: DataFrame, *, spark: SparkSession,
     puts every term in nearly every document, so df ≈ N across the board
     there)."""
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # per-doc length from a NARROW scan (array size per row), not a second
+    # unfiltered explode+groupBy over every corpus token (the unigram_lm
+    # 3x-scan lesson); the dl > 0 filter keeps exact parity with the
+    # oracle's explode-derived dl, which never emits zero-token docs
+    dl = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("dl")
+    ).filter(F.col("dl") > 0)
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -550,11 +556,11 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: bucket hashing folds the unbounded bigram vocabulary into B=256
     ids, so the ratio table is ≤B rows — broadcast, never shuffled; the
-    target-slice census explodes only the filtered slice (predicate pushed
-    to the scan); corpus totals come from a NARROW array-size scan (no
-    extra explode replay — the unigram_lm 3×-scan lesson); per-doc bucket
-    counts are one map-side-combinable aggregation; top-k is
-    TakeOrderedAndProject, never a global sort."""
+    corpus EXPLODES EXACTLY ONCE (the per-(doc, bucket) aggregation) and
+    both censuses — raw and target-slice — are re-aggregations of it;
+    corpus totals come from a NARROW array-size scan (the unigram_lm
+    3×-scan lesson, applied twice); top-k is TakeOrderedAndProject, never
+    a global sort."""
     docs = load_tables(spark, sf_dir)["documents"]
     return dsir_frame(docs)
 
@@ -572,11 +578,16 @@ def dsir_frame(docs: DataFrame, *, n_buckets: int = DSIR_BUCKETS,
         .select("doc_id", bucket.alias("b"))
     )
     dbc = feats.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
-    rc = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    # rc and tc are RE-AGGREGATIONS of dbc (sum of per-doc counts), never a
+    # second/third corpus explode — the unigram_lm 3x-scan lesson; dbc is
+    # at most |docs|·n_buckets rows, orders of magnitude under the bigram
+    # stream. The target census semi-joins on the (unhinted — AQE-sized)
+    # target doc-id slice.
+    rc = dbc.groupBy("b").agg(F.sum("c").alias("cr"))
     tc = (
-        exploded_word_shingles(docs.filter(F.col("lang") == target_lang), k=2)
-        .select(bucket.alias("b"))
-        .groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+        dbc.join(docs.filter(F.col("lang") == target_lang).select("doc_id"),
+                 "doc_id", "left_semi")
+        .groupBy("b").agg(F.sum("c").alias("ct"))
     )
     n_bigrams = F.greatest(F.size(tokens(F.col("text"))) - 1, F.lit(0))
     tot = docs.agg(

@@ -844,6 +844,11 @@ _CHANGED_THIS_ROUND = {
         # same policy applied to the dedup retire-list broadcast (now
         # count-gated against _BROADCAST_IDS_CAP instead of forced)
         "dedup_survivors",
+        # single-explode rewrites (values identical, plans changed):
+        # bm25's dl from a narrow array-size scan; dsir's raw/target
+        # censuses re-aggregated from the one per-(doc,bucket) table
+        "bm25_topk",
+        "dsir_select",
     ),
 }
 
@@ -935,9 +940,14 @@ def _rotation_order(names: list[str] | dict[str, object]) -> list[str]:
     Staleness bound (round-4 verdict item 2 — the old "within two rounds"
     claim was written at ~93 queries and went false at 110): with N
     registered queries, oldest-first ordering guarantees no query's row is
-    ever older than ``ceil(N / (DRIVER_WINDOW - len(_CHANGED_THIS_ROUND)))``
-    rounds, because each round refreshes the stalest ~W rows. At N=117 /
-    W=50 / ≤5 changed that is 3 rounds. ``tests/test_rotation.py`` pins
+    ever older than ``ceil(N / (DRIVER_WINDOW - steady_changed))`` rounds,
+    where ``steady_changed`` is the per-round changed-name count the bound
+    is stated against (``STEADY_CHANGED_MAX``, currently 5 — NOT
+    ``len(_CHANGED_THIS_ROUND)``, which since the round-stamp redesign is a
+    2-key dict whose effective set is :func:`_changed_names`). A single
+    round may spike past the steady ceiling (see the STEADY_CHANGED_MAX
+    note); the self-expiring stamp prevents a persistent spike. At N=117 /
+    W=50 / steady ≤5 the bound is 3 rounds. ``tests/test_rotation.py`` pins
     both the bound and the front-of-window placement of every
     2-round-stale query. A changed query cannot ship on a stale green."""
     order = {n: i for i, n in enumerate(names)}

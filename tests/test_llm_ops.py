@@ -607,3 +607,21 @@ def test_dedup_substring_flags_planted_passage(spark):
     assert out[3].n_windows == 2 and out[3].n_dup_windows == 0 and out[3].keep
     # doc 4: below the window length -> sentinel zeros, kept
     assert out[4].n_windows == 0 and out[4].max_docs_sharing == 0 and out[4].keep
+
+
+def test_payload_file_cache_detects_missing_files(spark):
+    """The binaryFile landing-zone cache must validate the FILES, not just
+    its marker: deleting a payload (the /tmp-reaper scenario) makes the
+    next ensure-call rebuild the directory instead of serving a silently
+    truncated corpus to the binaryFile scan."""
+    import os
+
+    from gmr_spark.operators.multimodal import _ensure_ppm_files
+
+    d = _ensure_ppm_files(spark, SF001)
+    files = sorted(f for f in os.listdir(d) if f.endswith(".ppm"))
+    victim = os.path.join(d, files[0])
+    os.unlink(victim)
+    d2 = _ensure_ppm_files(spark, SF001)
+    assert d2 == d and os.path.exists(victim), \
+        "reaped payload file not detected/rebuilt"
