@@ -556,11 +556,11 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: bucket hashing folds the unbounded bigram vocabulary into B=256
     ids, so the ratio table is ≤B rows — broadcast, never shuffled; the
-    corpus EXPLODES EXACTLY ONCE (the per-(doc, bucket) aggregation) and
-    both censuses — raw and target-slice — are re-aggregations of it;
-    corpus totals come from a NARROW array-size scan (the unigram_lm
-    3×-scan lesson, applied twice); top-k is TakeOrderedAndProject, never
-    a global sort."""
+    raw/target censuses are cheap ≤256-group map-side aggregations over
+    the bigram stream (deliberately NOT derived from the per-(doc, bucket)
+    table — see the in-code measurement note); corpus totals come from a
+    NARROW array-size scan (the unigram_lm 3×-scan lesson); top-k is
+    TakeOrderedAndProject, never a global sort."""
     docs = load_tables(spark, sf_dir)["documents"]
     return dsir_frame(docs)
 
@@ -578,16 +578,20 @@ def dsir_frame(docs: DataFrame, *, n_buckets: int = DSIR_BUCKETS,
         .select("doc_id", bucket.alias("b"))
     )
     dbc = feats.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
-    # rc and tc are RE-AGGREGATIONS of dbc (sum of per-doc counts), never a
-    # second/third corpus explode — the unigram_lm 3x-scan lesson; dbc is
-    # at most |docs|·n_buckets rows, orders of magnitude under the bigram
-    # stream. The target census semi-joins on the (unhinted — AQE-sized)
-    # target doc-id slice.
-    rc = dbc.groupBy("b").agg(F.sum("c").alias("cr"))
+    # rc/tc deliberately re-explode rather than re-aggregate dbc: Catalyst
+    # does NOT reuse dbc's (doc_id, b) shuffle across the three consumers
+    # (different downstream groupings), so deriving rc = dbc.groupBy(b) and
+    # tc = dbc ⋉ target-ids re-RUNS the explode PLUS the wide per-(doc,b)
+    # shuffle per consumer — measured 188 s vs 25 s at the 2M-doc proof.
+    # The direct forms below keep each extra pass a cheap ≤256-group
+    # map-side-combinable aggregation with no (doc,b) shuffle at all; the
+    # alternative (checkpoint dbc once) would pin an ~80M-row block set
+    # outside any release discipline for a declared per-call query.
+    rc = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
     tc = (
-        dbc.join(docs.filter(F.col("lang") == target_lang).select("doc_id"),
-                 "doc_id", "left_semi")
-        .groupBy("b").agg(F.sum("c").alias("ct"))
+        exploded_word_shingles(docs.filter(F.col("lang") == target_lang), k=2)
+        .select(bucket.alias("b"))
+        .groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
     )
     n_bigrams = F.greatest(F.size(tokens(F.col("text"))) - 1, F.lit(0))
     tot = docs.agg(
