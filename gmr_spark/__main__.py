@@ -96,11 +96,17 @@ def _run(args: argparse.Namespace):
         # exchange), shuffle, per-partition sort; `--partitions` plays the
         # reference's process count. (The reference checkout's samplesort
         # binary no longer builds — stale testsamplesort.h include.)
+        # the reference's sampledata shards are WHITESPACE-separated
+        # integers (many per line, one file per process,
+        # samplesort.cpp:40-58) — explode on whitespace so both that shape
+        # and one-per-line files parse; a directory input reads every
+        # shard, standing in for the reference's per-process files
         nums = (
             spark.read.text(args.graphfile)
-            .select(F.trim("value").alias("s"))
+            .select(F.explode(F.split(F.trim("value"), r"\s+")).alias("s"))
             .filter((F.length("s") > 0) & ~F.col("s").startswith("#"))
             .select(F.col("s").cast("bigint").alias("v"))
+            .filter(F.col("v").isNotNull())
         )
         if args.partitions:
             # range partition + per-partition sort IS the sample sort at

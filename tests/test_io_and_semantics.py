@@ -183,3 +183,26 @@ def test_cli_samplesort_entry_point(spark, capsys, tmp_path):
     assert main(["samplesort", str(src), "--show", "3"]) == 0
     out = capsys.readouterr().out
     assert out.splitlines()[2].strip() == "-7"  # smallest value first
+
+
+def test_cli_samplesort_reads_reference_shards(spark, capsys, tmp_path):
+    """The samplesort entry point must parse the reference's OWN sampledata
+    shards (single-line whitespace-separated integers, one file per
+    process) — pointed at the directory, the output is the globally sorted
+    concatenation of all three."""
+    ref = "/root/reference/sampledata"
+    if not os.path.isdir(ref):
+        return
+    from gmr_spark.__main__ import main
+
+    expected = sorted(
+        int(tok)
+        for name in os.listdir(ref)
+        for tok in open(os.path.join(ref, name)).read().split()
+    )
+    out_dir = str(tmp_path / "sorted_ref")
+    assert main(["samplesort", ref, "--partitions", "3",
+                 "--output", out_dir, "--format", "csv"]) == 0
+    got = sorted(int(r.v) for r in
+                 spark.read.option("header", "true").csv(out_dir).collect())
+    assert got == expected and len(got) > 100

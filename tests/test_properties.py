@@ -31,6 +31,19 @@ edge_sets = st.sets(
 )
 
 
+
+def _r6(x: float) -> float:
+    """ROUND(x, 6) with Spark/DuckDB semantics — HALF_UP on the shortest
+    decimal repr (Spark's Round wraps BigDecimal.valueOf(double), DuckDB
+    rounds half away from zero; positives agree). Python's round() is
+    half-EVEN, which diverges exactly on .xxxxxx5 boundaries — hypothesis
+    found one (1/128-style ratios) in the dsir brute force."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                           rounding=ROUND_HALF_UP))
+
+
 def _graph(edges):
     spark = _get_spark()
     df = spark.createDataFrame(
@@ -41,6 +54,7 @@ def _graph(edges):
 
 @settings(max_examples=5, deadline=None)
 @given(edge_sets)
+
 def test_sssp_is_bfs_distance_on_unit_weights(edges):
     g = _graph(edges)
     got = {r.id: r.dist for r in sssp(g, source=min(min(e) for e in edges)).collect()}
@@ -336,7 +350,7 @@ def test_local_clustering_matches_bruteforce(edges):
         d = len(nbrs[v])
         t = sum(1 for a, b in combinations(sorted(nbrs[v]), 2)
                 if frozenset((a, b)) in und)
-        lcc = round(2.0 * t / (d * (d - 1)), 6) if d >= 2 else 0.0
+        lcc = _r6(2.0 * t / (d * (d - 1))) if d >= 2 else 0.0
         assert got[v] == (d, t, lcc), (v, got[v], (d, t, lcc))
     assert set(got) == nodes
 
@@ -444,7 +458,7 @@ def test_dedup_substring_matches_bruteforce(texts):
         assert got[d].max_docs_sharing == max(
             (docs_per_key[w] for w in dup), default=0)
         assert got[d].keep == (not dup)
-        want_frac = round(len(dup) / len(ws), 6) if ws else 0.0
+        want_frac = _r6(len(dup) / len(ws)) if ws else 0.0
         assert abs(got[d].dup_frac - want_frac) < 1e-9
 
 
@@ -501,7 +515,7 @@ def test_dsir_matches_bruteforce(rows):
         num = sum(c * (((ct[b] + 1.0) / (cr[b] + 1.0))
                        * ((tr + B) / (tt + B))) for b, c in cnts.items())
         n = sum(cnts.values())
-        want.append((round(num / n, 6), i, n))
+        want.append((_r6(num / n), i, n))
     want.sort(key=lambda x: (-x[0], x[1]))
     want = want[:16]
     assert set(got) == {i for _, i, _ in want}
