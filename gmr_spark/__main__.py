@@ -121,8 +121,12 @@ def _run(args: argparse.Namespace):
     g = read_graph_file(spark, args.graphfile,
                         num_partitions=args.partitions)
 
+    # per-algorithm defaults via `is None`, not `or` — `--k 0` must not be
+    # silently treated as unset (round-6 ADVICE item 3); k < 1 is rejected
+    # up front in main() so every branch here sees a validated positive k.
     if args.algorithm == "pagerank":
-        return pagerank(g, k=args.k or 10, damping=args.damping), ["id"]
+        return pagerank(g, k=10 if args.k is None else args.k,
+                        damping=args.damping), ["id"]
     if args.algorithm == "sssp":
         return sssp(g, args.source, weighted=not args.unweighted), ["id"]
     if args.algorithm == "bfs":
@@ -136,14 +140,17 @@ def _run(args: argparse.Namespace):
     if args.algorithm == "mst":
         return minimum_spanning_forest(g), ["src", "dst"]
     if args.algorithm == "kcore":
-        return k_core(g, k=args.k or 2), ["id"]
+        return k_core(g, k=2 if args.k is None else args.k), ["id"]
     if args.algorithm == "lpa":
-        return label_propagation(g, k=args.k or 4), ["id"]
+        return label_propagation(g, k=4 if args.k is None else args.k), ["id"]
     raise AssertionError(args.algorithm)  # argparse choices prevent this
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = _build_parser().parse_args(argv)
+    parser = _build_parser()
+    args = parser.parse_args(argv)
+    if args.k is not None and args.k < 1:
+        parser.error(f"--k must be >= 1 (got {args.k})")
     t0 = time.perf_counter()
     result, sort_cols = _run(args)
     if args.output:

@@ -63,12 +63,22 @@ def _assign_arrow(df: DataFrame, centroids: list[tuple[int, list[float]]]) -> Da
     C = np.asarray([vec for _, vec in centroids], dtype=np.float64)
     ids = np.asarray([c for c, _ in centroids], dtype=np.int64)
     c2 = (C * C).sum(axis=1)
+    # row-chunk the GEMM so the distance matrix stays ~64 MB per task no
+    # matter how large k grows: a full Arrow batch (~10k rows) against
+    # k=50k centroids is a 4 GB f64 matrix — ×32 concurrent tasks, an OOM,
+    # not a slowdown. Same bounded-block shape as semdedup's per-cluster
+    # CHUNK: a bigger k degrades to more chunks, never to more memory.
+    row_chunk = max(16, 8_000_000 // max(1, len(ids)))
 
     def fn(batches):
         for pdf in batches:
             V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-            d2 = (V * V).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (V @ C.T)
-            best = np.round(d2, 9).argmin(axis=1)
+            v2 = (V * V).sum(axis=1)
+            best = np.empty(len(V), dtype=np.int64)
+            for lo in range(0, len(V), row_chunk):
+                hi = min(lo + row_chunk, len(V))
+                d2 = v2[lo:hi, None] + c2[None, :] - 2.0 * (V[lo:hi] @ C.T)
+                best[lo:hi] = np.round(d2, 9).argmin(axis=1)
             yield pd.DataFrame({"id": pdf["id"].to_numpy(),
                                 "cluster": ids[best].astype(np.int32)})
 

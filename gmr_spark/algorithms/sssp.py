@@ -57,22 +57,6 @@ class _SSSPProgram:
         )
 
 
-def _auto_ci(graph: PropertyGraph) -> int:
-    """Size-adaptive checkpoint cadence for sparse-frontier programs: the
-    SCALE.md cadence sweep puts the ci crossover at graph size — ci=1 arms
-    the exact-census adaptive frontier broadcast that wins at G2 class
-    (82.2 s vs 293.6 s SSSP), while below ``BIG_GRAPH_ROWS`` per-superstep
-    cost is job launch, where ci=2 halves the job count and the census
-    gate buys nothing (sf0.1 A/B: a wash-to-loss). Uses the graph file's
-    DECLARED edge count when present (read_graph_file sets it) so the
-    probe costs nothing; otherwise one count over the edge table."""
-    from gmr_spark.plans.pregel import BIG_GRAPH_ROWS
-
-    declared = getattr(graph, "declared_counts", None)
-    n_edges = declared[1] if declared else graph.edges.count()
-    return 1 if n_edges >= BIG_GRAPH_ROWS else 2
-
-
 def sssp(graph: PropertyGraph, source: int, *, weighted: bool = True,
          max_iter: int = 120,
          checkpoint_interval: int | None = None) -> DataFrame:
@@ -81,11 +65,12 @@ def sssp(graph: PropertyGraph, source: int, *, weighted: bool = True,
     ``checkpoint_interval=1`` additionally arms run_pregel's exact-census
     adaptive join strategy (broadcast small frontiers) — the measured right
     cadence for G2-class graphs, where SSSP's frontier is tiny for most of
-    a high-diameter run (see SCALE.md). Default (None) picks the measured
-    side of the crossover by graph size (``_auto_ci``)."""
-    ci = checkpoint_interval if checkpoint_interval is not None else _auto_ci(graph)
+    a high-diameter run (see SCALE.md). Default (None) lets run_pregel pick
+    the measured side of the crossover from the edge count it already takes
+    on checkpointed blocks — no extra scan of unmaterialized edge lineage
+    (round-6 ADVICE item 1)."""
     result = run_pregel(graph, _SSSPProgram(source, weighted), max_iter=max_iter,
-                        checkpoint_interval=ci)
+                        checkpoint_interval=checkpoint_interval)
     return result.vertices.select("id", F.col("value").alias("dist"))
 
 
@@ -93,10 +78,10 @@ def bfs(graph: PropertyGraph, source: int, *, max_iter: int = 120,
         checkpoint_interval: int | None = None) -> DataFrame:
     """BFS levels = unit-weight SSSP (the reference's actual SSSP,
     algorithms.h:17-18). -> (id, level DOUBLE). Cadence auto-picked by
-    graph size like :func:`sssp`."""
-    ci = checkpoint_interval if checkpoint_interval is not None else _auto_ci(graph)
+    graph size inside run_pregel like :func:`sssp`."""
     result = run_pregel(graph, _SSSPProgram(source, weighted=False),
-                        max_iter=max_iter, checkpoint_interval=ci)
+                        max_iter=max_iter,
+                        checkpoint_interval=checkpoint_interval)
     return result.vertices.select("id", F.col("value").alias("level"))
 
 

@@ -42,6 +42,11 @@ _BROADCAST_IDS_CAP = 5_000_000
 # the same path within one session (scale_llm.build_corpus does rmtree +
 # rewrite) invalidates the cache instead of being served stale results.
 _CKPT_MEMO: dict[tuple, DataFrame] = {}
+# scalar side-car: counts of memoized frames (same keys as _CKPT_MEMO).
+# A memoized frame's count is constant per memo key, so re-running
+# df.count() per call is a wasted Spark job (round-6 ADVICE item 5);
+# evicted in lock-step with the frame it describes.
+_COUNT_MEMO: dict[tuple, int] = {}
 
 
 def _corpus_token(sf_dir: str) -> tuple:
@@ -68,6 +73,8 @@ def clear_dedup_memo() -> None:
 
     while _CKPT_MEMO:
         _drop_checkpoint_blocks(_CKPT_MEMO.popitem()[1])
+    _COUNT_MEMO.clear()
+    _FRAME_MEMO_SRC.clear()
     import gc
 
     gc.collect()
@@ -94,9 +101,69 @@ def _memo(spark: SparkSession, key: tuple, build) -> DataFrame:
                  and k != full_key]
         for k in stale:
             _drop_checkpoint_blocks(_CKPT_MEMO.pop(k))
+            _COUNT_MEMO.pop(k, None)
         df = build()
         _CKPT_MEMO[full_key] = df
     return df
+
+
+def _frame_memo(df_src: DataFrame, kind: str, params: tuple, build) -> DataFrame:
+    """``_memo`` for operators over CALLER-SUPPLIED frames (``*_frame``
+    entry points, which have no sf_dir fingerprint to key on): keyed by the
+    source frame's Catalyst ``semanticHash``, confirmed with
+    ``sameSemantics`` on every hit — a 32-bit hash collision (or a cached
+    entry whose source frame object this frame merely resembles) evicts and
+    rebuilds rather than serving another frame's result. This puts the
+    synthetic-frame checkpoints under the module release discipline
+    (round-6 verdict item 3: ``dedup_substring_frame`` / ``semdedup_frame``
+    checkpointed per call with no release, so a caller looping them over
+    frames accumulated blocks until ContextCleaner caught up): repeat calls
+    on a semantically-identical frame now share one checkpoint, and
+    ``clear_dedup_memo()`` releases everything. Assumes the frame's
+    underlying data is immutable for the session — the same contract a
+    localCheckpoint snapshot already imposes; the declared sf_dir wrappers
+    keep their stronger mtime-token invalidation."""
+    spark = df_src.sparkSession
+    try:
+        h = df_src.semanticHash()
+    except Exception:
+        return build()  # un-analyzable frame: per-call behavior, best effort
+    full_key = (spark.sparkContext.applicationId, kind, h, *params)
+    hit = _CKPT_MEMO.get(full_key)
+    if hit is not None:
+        src_prev = _FRAME_MEMO_SRC.get(full_key)
+        try:
+            same = src_prev is not None and df_src.sameSemantics(src_prev)
+        except Exception:
+            same = False
+        if same:
+            return hit
+        from gmr_spark.plans.pregel import _drop_checkpoint_blocks
+
+        _drop_checkpoint_blocks(_CKPT_MEMO.pop(full_key))
+        _FRAME_MEMO_SRC.pop(full_key, None)
+        _COUNT_MEMO.pop(full_key, None)
+    df = build()
+    _CKPT_MEMO[full_key] = df
+    _FRAME_MEMO_SRC[full_key] = df_src
+    return df
+
+
+# source frames backing _frame_memo entries, for the sameSemantics
+# confirmation; cleared with the memo it shadows
+_FRAME_MEMO_SRC: dict[tuple, DataFrame] = {}
+
+
+def _memo_count(spark: SparkSession, key: tuple, df: DataFrame) -> int:
+    """Count of a ``_memo``-ed frame, cached under the frame's own key so
+    repeat calls skip the Spark job (the value is constant per memo key —
+    the frame is an eager checkpoint)."""
+    full_key = (spark.sparkContext.applicationId, *key)
+    n = _COUNT_MEMO.get(full_key)
+    if n is None:
+        n = df.count()
+        _COUNT_MEMO[full_key] = n
+    return n
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -442,14 +509,15 @@ def dedup_survivors(spark: SparkSession, sf_dir: str, *, min_jaccard: float = 0.
     docs = load_tables(spark, sf_dir)["documents"]
     # application-memoized like the chain it derives from, so repeat calls
     # share one CC run and clear_dedup_memo() can release the blocks
+    retired_key = ("retired", sf_dir, _corpus_token(sf_dir), min_jaccard)
     retired = _memo(
-        spark, ("retired", sf_dir, _corpus_token(sf_dir), min_jaccard),
+        spark, retired_key,
         lambda: dup_clusters(spark, sf_dir, min_jaccard=min_jaccard)
         .filter(F.col("doc_id") != F.col("cluster_id"))
         .select("doc_id")
         .localCheckpoint(eager=True),
     )
-    if retired.count() <= _BROADCAST_IDS_CAP:
+    if _memo_count(spark, retired_key, retired) <= _BROADCAST_IDS_CAP:
         retired = F.broadcast(retired)
     return (
         docs.join(retired, "doc_id", "left_anti")
@@ -536,7 +604,6 @@ def semdedup_frame(emb: DataFrame, *, k: int = SEMDEDUP_K,
 
     if engine == "arrow":
         return _semdedup_arrow(emb, k=k, iters=iters, threshold=threshold)
-    assigned = kmeans(emb, k=k, iters=iters)  # (id, cluster)
     vecs = emb.select(
         F.col("vec_id").cast("bigint").alias("id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
@@ -553,15 +620,17 @@ def semdedup_frame(emb: DataFrame, *, k: int = SEMDEDUP_K,
     norm = F.sqrt(F.aggregate(
         F.transform(F.col("vec"), lambda x: x * x), F.lit(0.0),
         lambda acc, v: acc + v))
-    clustered = (
-        assigned.join(vecs, "id")
+    # kmeans assign runs once, not per side; the EAGER kmeans run plus the
+    # clustered checkpoint both live inside the _frame_memo build, so
+    # looped calls on the same frame share one Lloyd run and one block set,
+    # and clear_dedup_memo() releases it (round-6 verdict item 3 — a bare
+    # per-call checkpoint sat outside the release discipline).
+    clustered = _frame_memo(
+        emb, "semdedup_clustered", (k, iters),
+        lambda: kmeans(emb, k=k, iters=iters)  # (id, cluster)
+        .join(vecs, "id")
         .select("id", "cluster", "vec", norm.alias("nrm"))
-        # kmeans assign runs once, not per side. A bare per-call checkpoint
-        # (outside the _memo release discipline) is acceptable HERE only
-        # because this expr path runs at declared-query scale (|embeddings|
-        # rows, ~2k at sf0.1); the 2M-vector scale suite takes the arrow
-        # engine below, which checkpoints nothing.
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True),
     )
     a = clustered.select(F.col("id").alias("id_a"), "cluster",
                          F.col("vec").alias("va"), F.col("nrm").alias("na"))
@@ -694,9 +763,15 @@ def dedup_substring_frame(docs: DataFrame, *,
     """Core of :func:`dedup_substring` over any (doc_id, text) frame —
     split out so the planted-passage unit test can feed its own corpus
     (the ``semdedup_frame`` pattern). Synthetic frames have no sf_dir
-    fingerprint to memo under, so this path checkpoints per call (toy
-    corpora only; the declared sf_dir wrapper memoizes)."""
-    wins = _substring_window_stream(docs, window).localCheckpoint(eager=True)
+    fingerprint, so the window-stream checkpoint is memoized under the
+    frame's semantic hash (``_frame_memo``) — looped calls share blocks
+    and ``clear_dedup_memo()`` releases them (the declared sf_dir wrapper
+    keeps its stronger mtime-token memo)."""
+    wins = _frame_memo(
+        docs, "substr_wins_frame", (window,),
+        lambda: _substring_window_stream(docs, window)
+        .localCheckpoint(eager=True),
+    )
     return _dedup_substring_over(docs, wins, window)
 
 

@@ -210,8 +210,15 @@ def _ensure_payload_files(spark: SparkSession, sf_dir: str, ext: str,
     marker = os.path.join(out_dir, "_FINGERPRINT")
 
     def _payload_count() -> int:
+        # count only NON-EMPTY payloads: a reaper or crashed writer that
+        # truncates a file to 0 bytes in place would pass a count-only
+        # check and feed the binaryFile scan a corrupt corpus (round-6
+        # ADVICE item 2). Every synthesized payload is >= its header, so
+        # size>0 is a safe validity floor; a short-but-nonzero file still
+        # fails loudly downstream in the decoder's length checks.
         with os.scandir(out_dir) as it:
-            return sum(1 for e in it if e.name.endswith(f".{ext}"))
+            return sum(1 for e in it
+                       if e.name.endswith(f".{ext}") and e.stat().st_size > 0)
 
     with _PAYLOAD_FILES_LOCK:
         try:

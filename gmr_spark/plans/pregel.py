@@ -193,9 +193,18 @@ def run_pregel(
     max_iter: int = MAX_ITERATION,
     early_stop: bool = True,
     collect_metrics: bool = False,
-    checkpoint_interval: int = 2,
+    checkpoint_interval: int | None = 2,
 ) -> PregelResult:
     """Run ``program`` to convergence (no active vertices) or ``max_iter``.
+
+    ``checkpoint_interval=None`` auto-picks the cadence from the edge count
+    this function already takes on just-materialized checkpoint blocks
+    (metadata-cheap): ci=1 above ``BIG_GRAPH_ROWS`` — arming the exact-census
+    adaptive frontier broadcast that wins at G2 class (SCALE.md cadence
+    sweep) — else ci=2, where job-launch overhead dominates and halving the
+    job count wins. Callers with declared sizes need no extra scan
+    (round-6 ADVICE item 1: the old ``_auto_ci`` probe paid a full
+    unmaterialized-lineage count before run_pregel counted again).
 
     Scale notes (100 TB):
     - edges are hash-partitioned by ``src`` once and materialized once; the
@@ -258,6 +267,8 @@ def run_pregel(
     # just materialized — metadata-cheap, not plan recomputes.)
     n_edges = edges.count()
     big_edges = n_edges > BIG_GRAPH_ROWS
+    if checkpoint_interval is None:
+        checkpoint_interval = 1 if big_edges else 2
     big_vertices = vertices.count() > BIG_GRAPH_ROWS
     prev_state = vertices  # last materialized state whose blocks we own
     metrics: list[dict] = []

@@ -782,73 +782,30 @@ LLM_ORACLES: dict[str, str] = {
 # query measures MUST bump ``round`` to the current round and list the
 # query here (measuring gates are auto-added via _MEASURED_BY below).
 _CHANGED_THIS_ROUND = {
-    "round": 6,
+    "round": 7,
     "names": (
-        "multimodal_decode",  # decode now scans real on-disk PPM files via
-                              # spark.read.format("binaryFile") (r5 item 3)
-        "kmeans_embeddings",  # kmeans._update now joins assignments BEFORE
-                              # the ×dim posexplode (O(N) join, not O(N·dim))
-                              # — same aggregation, but a plan change to a
-                              # declared query fronts it per the discipline
-                              # note above
-        "dedup_embedding",    # normalize-once rewrite (norms per vector,
-                              # not per pair; dot-only sim) on BOTH engines
-        "dedup_substring",    # new this round (Lee et al. ExactSubstr)
-        "semdedup_embeddings",  # new this round + the same norm-once
-                              # rewrite on the Spark side (oracle unchanged:
-                              # dot/(na*nb) arithmetic is identical)
-        # run_pregel loop-scoped physical conf (AQE off + |E|-sized shuffle
-        # partitions on small graphs): values are conf-independent by
-        # construction, but a physical-execution change to every pregel-
-        # routed query fronts them per the discipline note above
-        "bfs_geo",
-        "pregel_census_bfs",
-        "ppr_geo",
+        # sssp()/bfs() cadence resolution moved INTO run_pregel (round-6
+        # ADVICE item 1: the old _auto_ci paid a full unmaterialized-lineage
+        # edge count before run_pregel counted again). Declared graphs are
+        # all below BIG_GRAPH_ROWS so the chosen cadence (ci=2) and the
+        # physical plans are identical — fronted per the discipline note.
         "sssp_cs",
         "sssp_cs_weighted",
-        "pagerank_geo",
-        "pagerank_big",
-        "pagerank_hub",
-        "cc_cs",
-        "scc_nation_ring",
-        "label_propagation_geo",
-        "kcore_cs",
-        "shortest_paths_geo",
+        "bfs_geo",
         "graph_file_bfs",
-        # non-pregel iterative drivers that adopted the same gate
-        "mst_nation_mesh",
-        "svdpp_ratings",
-        "ktruss_hub_tri",
-        # module broadcast policy (relational.py): forced F.broadcast hints
-        # removed from every SF-scaling join side (customer/supplier/part
-        # slices, HAVING tails, distinct-key sets) — results are identical,
-        # but a physical-plan change to a declared query fronts it per the
-        # discipline note above
-        "q2_min_cost_supplier",
-        "q3_top_orders",
-        "q5_nation_revenue",
-        "q7_nation_trade",
-        "q8_market_share",
-        "q9_product_profit",
-        "q10_returned_items",
-        "q11_important_stock",
-        "q14_promo_effect",
-        "q15_top_supplier",
-        "q16_supplier_part_counts",
-        "q17_small_quantity",
-        "q18_large_orders",
-        "q19_disjunctive_revenue",
-        "q20_bulk_suppliers",
-        "q21_waiting_suppliers",
-        "rollup_revenue",
-        # same policy applied to the dedup retire-list broadcast (now
-        # count-gated against _BROADCAST_IDS_CAP instead of forced)
+        # semdedup_frame expr path: the kmeans-assign + clustered checkpoint
+        # now builds inside _frame_memo (release discipline, round-6 verdict
+        # item 3) — same plan and values, but the checkpoint lifecycle the
+        # declared query executes changed.
+        "semdedup_embeddings",
+        # dedup_survivors: retired-count now memoized alongside the frame
+        # (round-6 ADVICE item 5) — broadcast gating decision unchanged.
         "dedup_survivors",
-        # single-explode rewrites (values identical, plans changed):
-        # bm25's dl from a narrow array-size scan; dsir's raw/target
-        # censuses re-aggregated from the one per-(doc,bucket) table
-        "bm25_topk",
-        "dsir_select",
+        # payload-cache validation now requires non-empty files (round-6
+        # ADVICE item 2) — the binaryFile corpus these two scan is
+        # revalidated under a stricter rule.
+        "multimodal_decode",
+        "multimodal_audio_files",
     ),
 }
 

@@ -208,6 +208,267 @@ def main() -> None:
         extra["ktruss"] = {"vertices": TN + 6, "surviving_edges": n_truss,
                            "expected": expected_truss}
 
+    # ---- round-7 G2-class rows for the remaining iterative algorithms ----
+    # (verdict r6 item 2: CC/SCC/MST/k-core/LPA had only sf0.1 bench
+    # evidence; these are the loops whose join-per-round shape could hide a
+    # scale constant). Every row asserts a CLOSED-FORM invariant of a
+    # designed graph — wall-clock alone proves nothing.
+
+    if os.environ.get("G2_RUN_CC", ""):
+        # M disjoint chord rings of B = N/M vertices each: the min-label +
+        # pointer-jump loop must converge to exactly M components labeled by
+        # each block's minimum id {0, B, 2B, ...}, each of size B. The
+        # within-block power ladder keeps diameter ~log2(B), so convergence
+        # exercises both the propagation join AND the jump loop.
+        from gmr_spark.algorithms.cc import connected_components
+
+        M = int(os.environ.get("CC_BLOCKS", 4))
+        B = N // M
+        assert N % M == 0
+        bchords = max(1, (B - 1).bit_length())
+        t0 = time.perf_counter()
+        boffs = F.array(*[F.lit(2**j) for j in range(bchords)])
+        block = F.col("id") - F.pmod(F.col("id"), F.lit(B))
+        cc_edges = (
+            spark.range(N)
+            .select(F.col("id"), F.explode(boffs).alias("off"))
+            .select(
+                F.col("id").alias("src"),
+                (block + F.pmod(F.col("id") - block + F.col("off"), F.lit(B))
+                 ).alias("dst"),
+                F.lit(1.0).alias("weight"),
+            )
+            .repartition(n_parts, "src")
+            .localCheckpoint(eager=True)
+        )
+        cc_g = PropertyGraph(
+            vertices=spark.range(N).select("id").localCheckpoint(eager=True),
+            edges=cc_edges)
+        n_cc_edges = cc_edges.count()
+        comp = connected_components(cc_g)
+        sizes = sorted(
+            (r.component, r.cnt)
+            for r in comp.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("cnt")).collect()
+        )
+        timings["cc"] = round(time.perf_counter() - t0, 1)
+        print(f"cc: {len(sizes)} components ({timings['cc']}s)",
+              file=sys.stderr)
+        assert sizes == [(m * B, B) for m in range(M)], sizes[:8]
+        extra["cc"] = {"edges": n_cc_edges, "components": len(sizes)}
+
+    if os.environ.get("G2_RUN_SCC", ""):
+        # L layers of B = N/L vertices: each layer is a chord ring (strongly
+        # connected, log diameter) and every vertex also points one layer
+        # forward — the condensation is a PATH of L SCCs, so the
+        # forward-backward peel must emit exactly L components of size B
+        # labeled {0, B, 2B, ...}, peeling one per phase. Default L=2: each
+        # phase's color loop is a FULL ~log2(B)-superstep min-propagation
+        # over the whole remaining graph (~N active per superstep — the
+        # worst-case Pregel shape, unlike SSSP's thin frontiers), so phases
+        # are the expensive axis and two of them already prove the peel.
+        from gmr_spark.algorithms.scc import strongly_connected_components
+
+        L = int(os.environ.get("SCC_LAYERS", 2))
+        B = N // L
+        assert N % L == 0
+        bchords = max(1, (B - 1).bit_length())
+        t0 = time.perf_counter()
+        boffs = F.array(*[F.lit(2**j) for j in range(bchords)])
+        block = F.col("id") - F.pmod(F.col("id"), F.lit(B))
+        ring = (
+            spark.range(N)
+            .select(F.col("id"), F.explode(boffs).alias("off"))
+            .select(
+                F.col("id").alias("src"),
+                (block + F.pmod(F.col("id") - block + F.col("off"), F.lit(B))
+                 ).alias("dst"))
+        )
+        fwd = (
+            spark.range(N - B)
+            .select(F.col("id").alias("src"), (F.col("id") + B).alias("dst"))
+        )
+        scc_edges = (
+            ring.unionAll(fwd)
+            .select("src", "dst", F.lit(1.0).alias("weight"))
+            .repartition(n_parts, "src")
+            .localCheckpoint(eager=True)
+        )
+        scc_g = PropertyGraph(
+            vertices=spark.range(N).select("id").localCheckpoint(eager=True),
+            edges=scc_edges)
+        n_scc_edges = scc_edges.count()
+        scc = strongly_connected_components(scc_g)
+        ssizes = sorted(
+            (r.scc, r.cnt)
+            for r in scc.groupBy("scc").agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        timings["scc"] = round(time.perf_counter() - t0, 1)
+        print(f"scc: {len(ssizes)} sccs ({timings['scc']}s)", file=sys.stderr)
+        assert ssizes == [(m * B, B) for m in range(L)], ssizes[:8]
+        extra["scc"] = {"edges": n_scc_edges, "sccs": len(ssizes)}
+
+    if os.environ.get("G2_RUN_MST", ""):
+        # Chord ring with weight = offset, minus every 4th unit ring edge:
+        # the 3N/4 surviving weight-1 edges are forced into the forest (they
+        # are acyclic), and the N/4 blocks they form must be bridged by
+        # N/4 - 1 weight-2 chords — unique MSF weight 3N/4 + 2(N/4 - 1) =
+        # 1.25N - 2 over exactly N - 1 edges, reached only if Borůvka's
+        # pick-merge loop and the component-graph collapse both hold at
+        # 110M canonical edges.
+        from gmr_spark.algorithms.mst import minimum_spanning_forest
+
+        t0 = time.perf_counter()
+        mst_edges = (
+            spark.range(N)
+            .select(F.col("id"), F.explode(offsets).alias("off"))
+            .filter(~((F.col("off") == 1) & (F.pmod(F.col("id"), F.lit(4)) == 3)))
+            .select(
+                F.col("id").alias("src"),
+                F.pmod(F.col("id") + F.col("off"), F.lit(N)).alias("dst"),
+                F.col("off").cast("double").alias("weight"),
+            )
+            .repartition(n_parts, "src")
+            .localCheckpoint(eager=True)
+        )
+        mst_g = PropertyGraph(
+            vertices=spark.range(N).select("id").localCheckpoint(eager=True),
+            edges=mst_edges)
+        n_mst_edges = mst_edges.count()
+        forest = minimum_spanning_forest(mst_g).localCheckpoint(eager=True)
+        agg = forest.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("weight").alias("w")).first()
+        timings["mst"] = round(time.perf_counter() - t0, 1)
+        print(f"mst: {agg.n} edges, weight {agg.w} ({timings['mst']}s)",
+              file=sys.stderr)
+        assert agg.n == N - 1, (agg.n, N - 1)
+        assert abs(agg.w - (1.25 * N - 2)) < 0.5, (agg.w, 1.25 * N - 2)
+        extra["mst"] = {"edges_in": n_mst_edges, "forest_edges": agg.n,
+                        "forest_weight": agg.w}
+
+    if os.environ.get("G2_RUN_KCORE", ""):
+        # Chord ring (every vertex 46-regular undirected) + a planted K_60
+        # clique on ids 0..59 + T degree-1 tail vertices each hooked to a
+        # distinct ring vertex >= 60. k = 47 peels in a designed cascade:
+        # round 1 drops tails and untailed ring vertices (deg 46), round 2
+        # drops the tailed ring vertices (their tail is gone, <= 46 chord
+        # neighbors remain), round 3 confirms the clique fixpoint — the
+        # surviving 47-core is EXACTLY the 60 clique vertices at induced
+        # degree 59.
+        from gmr_spark.algorithms.kcore import k_core
+
+        T = int(os.environ.get("KCORE_TAILS", 1_000_000))
+        assert T <= N - 60
+        t0 = time.perf_counter()
+        clique = (
+            spark.range(60).select(F.col("id").alias("src"))
+            .crossJoin(spark.range(60).select(F.col("id").alias("dst")))
+            .filter(F.col("src") < F.col("dst"))
+        )
+        tails = spark.range(T).select(
+            (F.lit(N) + F.col("id")).alias("src"),
+            (F.lit(60) + F.col("id")).alias("dst"))
+        kc_edges = (
+            edges.select("src", "dst")
+            .unionAll(clique)
+            .unionAll(tails)
+            .select("src", "dst", F.lit(1.0).alias("weight"))
+            .repartition(n_parts, "src")
+            .localCheckpoint(eager=True)
+        )
+        kc_g = PropertyGraph(
+            vertices=spark.range(N + T).select("id").localCheckpoint(eager=True),
+            edges=kc_edges)
+        n_kc_edges = kc_edges.count()
+        core = k_core(kc_g, k=47).localCheckpoint(eager=True)
+        kagg = core.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("core_degree").alias("dmin"),
+            F.max("core_degree").alias("dmax"),
+            F.max("id").alias("idmax")).first()
+        timings["kcore47"] = round(time.perf_counter() - t0, 1)
+        print(f"kcore47: {kagg.n} vertices ({timings['kcore47']}s)",
+              file=sys.stderr)
+        assert (kagg.n, kagg.dmin, kagg.dmax) == (60, 59, 59), kagg
+        assert kagg.idmax == 59, kagg
+        extra["kcore"] = {"edges": n_kc_edges, "tails": T,
+                          "core_vertices": kagg.n}
+
+    if os.environ.get("G2_RUN_LPA", ""):
+        # N/24 disjoint 24-cliques (both edge directions) = N*23 directed
+        # edges, exactly the G2 message-volume class. Synchronous LPA with
+        # min tie-break converges on a clique in <= 3 rounds to the clique's
+        # minimum id, so after the default k=4 every vertex must carry label
+        # id - id % 24 — checked exactly, zero mismatches allowed.
+        from gmr_spark.algorithms.lpa import label_propagation
+
+        S = 24
+        assert N % S == 0
+        t0 = time.perf_counter()
+        doffs = F.array(*[F.lit(d) for d in range(1, S)])
+        cbase = F.col("id") - F.pmod(F.col("id"), F.lit(S))
+        lpa_edges = (
+            spark.range(N)
+            .select(F.col("id"), F.explode(doffs).alias("d"))
+            .select(
+                F.col("id").alias("src"),
+                (cbase + F.pmod(F.col("id") - cbase + F.col("d"), F.lit(S))
+                 ).alias("dst"),
+                F.lit(1.0).alias("weight"),
+            )
+            .repartition(n_parts, "src")
+            .localCheckpoint(eager=True)
+        )
+        lpa_g = PropertyGraph(
+            vertices=spark.range(N).select("id").localCheckpoint(eager=True),
+            edges=lpa_edges)
+        n_lpa_edges = lpa_edges.count()
+        lab = label_propagation(lpa_g, k=4).localCheckpoint(eager=True)
+        mism = lab.filter(
+            F.col("label") != F.col("id") - F.pmod(F.col("id"), F.lit(S))
+        ).count()
+        n_lab = lab.select("label").distinct().count()
+        timings["lpa"] = round(time.perf_counter() - t0, 1)
+        print(f"lpa: {n_lab} communities, {mism} mismatches "
+              f"({timings['lpa']}s)", file=sys.stderr)
+        assert mism == 0 and n_lab == N // S, (mism, n_lab)
+        extra["lpa"] = {"edges": n_lpa_edges, "communities": n_lab}
+
+    if os.environ.get("G2_RUN_MATMUL", ""):
+        # C = A·A for A = the 10-chord adjacency of an NM-ring: nnz(A) =
+        # 10·NM, the inner join streams 100·NM product terms, and by
+        # translation invariance C has exactly |{2^a + 2^b}| = 55 distinct
+        # offsets -> nnz(C) = 55·NM (~110M at NM = 2M) with value-sum
+        # 100·NM — both closed-form, both asserted from one aggregate.
+        from gmr_spark.algorithms.matmul import matmul_coo
+
+        NM = int(os.environ.get("MATMUL_N", 2_000_000))
+        MC = 10
+        t0 = time.perf_counter()
+        moffs = F.array(*[F.lit(2**j) for j in range(MC)])
+        A = (
+            spark.range(NM)
+            .select(F.col("id"), F.explode(moffs).alias("off"))
+            .select(
+                F.col("id").alias("i"),
+                F.pmod(F.col("id") + F.col("off"), F.lit(NM)).alias("j"),
+                F.lit(1.0).alias("v"),
+            )
+            .repartition(n_parts, "i")
+            .localCheckpoint(eager=True)
+        )
+        C = matmul_coo(A, A)
+        magg = C.agg(F.count(F.lit(1)).alias("nnz"),
+                     F.sum("v").alias("vsum")).first()
+        timings["matmul"] = round(time.perf_counter() - t0, 1)
+        print(f"matmul: nnz {magg.nnz}, sum {magg.vsum} "
+              f"({timings['matmul']}s)", file=sys.stderr)
+        n_sums = len({2**a + 2**b for a in range(MC) for b in range(MC)})
+        assert magg.nnz == n_sums * NM, (magg.nnz, n_sums * NM)
+        assert abs(magg.vsum - MC * MC * NM) < 0.5, magg.vsum
+        extra["matmul"] = {"n": NM, "nnz_a": MC * NM, "nnz_c": magg.nnz}
+
     # Optional checkpoint-cadence sweep (G2_CADENCE_SWEEP="1,3"): re-times
     # PageRank at the given checkpoint_intervals to confirm the k=2 default
     # (measured on the 600k fixture; see run_pregel scale notes) still wins

@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pytest
 from pyspark.sql import functions as F
 
 from gmr_spark.plans.pregel import apply_reduced
@@ -72,7 +73,7 @@ def test_read_graph_file_zero_based_shift(spark):
 def test_read_reference_fixture_if_present(spark):
     path = "/root/reference/graph/small.graph"
     if not os.path.exists(path):
-        return
+        pytest.skip("reference fixture absent")
     g = read_graph_file(spark, path)
     assert g.edges.count() == 22
 
@@ -146,7 +147,7 @@ def test_cli_entry_point_matches_goldens(spark, capsys, tmp_path):
 
     path = "/root/reference/graph/small.graph"
     if not os.path.exists(path):
-        return
+        pytest.skip("reference fixture absent")
 
     assert main(["trianglecount", path, "--show", "3"]) == 0
     out = capsys.readouterr().out
@@ -192,7 +193,7 @@ def test_cli_samplesort_reads_reference_shards(spark, capsys, tmp_path):
     concatenation of all three."""
     ref = "/root/reference/sampledata"
     if not os.path.isdir(ref):
-        return
+        pytest.skip("reference fixture absent")
     from gmr_spark.__main__ import main
 
     expected = sorted(
