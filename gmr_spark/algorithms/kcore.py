@@ -64,14 +64,40 @@ def k_core(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
             if n_alive == 0:
                 owned.remove(alive)
                 return alive
+            # the alive set has one row per surviving VERTEX — |V|-scaling
+            # until the peel bites, and its runtime stats sit near the
+            # autoBroadcast threshold at G2 size (the Borůvka phase-1
+            # lesson, algorithms/mst.py: AQE driver-built a ~5M-row
+            # broadcast under checkpoint storage pressure and OOM'd). The
+            # census is exact and free (n_alive is this round's count), so
+            # pin shuffle_hash only while the set is genuinely big and let
+            # AQE broadcast the late small peels.
+            from gmr_spark.plans.pregel import BIG_GRAPH_ROWS
+
+            def _pin(df: DataFrame) -> DataFrame:
+                return (df.hint("shuffle_hash")
+                        if n_alive > BIG_GRAPH_ROWS else df)
+
             induced = (
-                sym.join(alive.select(F.col("id").alias("a")), "a", "left_semi")
-                .join(alive.select(F.col("id").alias("b")), "b", "left_semi")
+                sym.join(_pin(alive.select(F.col("id").alias("a"))),
+                         "a", "left_semi")
+                .join(_pin(alive.select(F.col("id").alias("b"))),
+                      "b", "left_semi")
             )
             deg = induced.groupBy(F.col("a").alias("id")).agg(
                 F.count(F.lit(1)).alias("core_degree")
             )
             nxt = deg.filter(F.col("core_degree") >= k).localCheckpoint(eager=True)
+            if n_alive > BIG_GRAPH_ROWS:
+                # each peel references the previous alive set TWICE, so the
+                # checkpoint-propagated size estimate doubles its digit
+                # count per round — a deep peel at scale would stall the
+                # driver in BigInteger stats math (the Borůvka fixpoint
+                # lesson, plans/pregel.reset_plan_stats). Zero-copy re-leaf
+                # while the set is big; small peels keep their stats.
+                from gmr_spark.plans.pregel import reset_plan_stats
+
+                nxt = reset_plan_stats(nxt)
             owned.append(nxt)
             n_nxt = nxt.count()
             # superseded peel state is dead weight — drop its blocks now

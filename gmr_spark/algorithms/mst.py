@@ -33,18 +33,39 @@ from gmr_spark.plans.pregel import small_loop_conf
 
 
 def _min_label_fixpoint(nodes: DataFrame, und_edges: DataFrame,
-                        max_iter: int = 64) -> DataFrame:
+                        max_iter: int = 64, *, big: bool = False) -> DataFrame:
     """Exact min-id labels per connected component of a (small) graph.
 
     nodes: (u BIGINT); und_edges: (u, v) symmetric. Returns (u, lbl).
     Monotone min-propagation with a pointer-jump accelerator; stops at the
     propagation fixpoint, where labels are provably constant per component
-    and equal to the component's minimum id.
+    and equal to the component's minimum id. ``big`` pins shuffle_hash on
+    the |V|-scaling sides (see :func:`_boruvka_phases`) — phase-1 component
+    graphs are vertex-sized before the geometric shrink kicks in.
     """
-    lbl = nodes.select("u", F.col("u").alias("lbl")).localCheckpoint(eager=True)
+
+    def _pin(df: DataFrame) -> DataFrame:
+        return df.hint("shuffle_hash") if big else df
+
+    from gmr_spark.plans.pregel import _drop_checkpoint_blocks, reset_plan_stats
+
+    def _cut(df: DataFrame) -> DataFrame:
+        # the jump step SELF-joins the previous checkpoint, so the
+        # propagated size estimate SQUARES per iteration — past ~15
+        # iterations the driver drowns in million-digit BigInteger
+        # multiplies inside the next checkpoint's stats rewrite (see
+        # reset_plan_stats; measured at the G2 phase-2 fixpoint, a
+        # 1.2M-node path needing ~21 jump rounds). Big graphs re-leaf each
+        # checkpoint over its own blocks; small graphs keep the stats —
+        # their fixpoints converge in <10 rounds and the estimates feed
+        # legitimate compile-time broadcasts.
+        return reset_plan_stats(df) if big else df
+
+    lbl = _cut(nodes.select("u", F.col("u").alias("lbl"))
+               .localCheckpoint(eager=True))
     for _ in range(max_iter):
         nb = (
-            und_edges.join(lbl.withColumnRenamed("u", "v"), "v")
+            und_edges.join(_pin(lbl.withColumnRenamed("u", "v")), "v")
             .groupBy("u").agg(F.min("lbl").alias("ml"))
         )
         prop = (
@@ -52,17 +73,24 @@ def _min_label_fixpoint(nodes: DataFrame, und_edges: DataFrame,
             .select("u", F.least("lbl", F.coalesce("ml", "lbl")).alias("lbl"))
         )
         # pointer jump: labels are node ids, so re-resolve through the table
-        jump = (
+        jump = _cut(
             prop.join(
-                prop.select(F.col("u").alias("lbl"), F.col("lbl").alias("lbl2")),
+                _pin(prop.select(F.col("u").alias("lbl"),
+                                 F.col("lbl").alias("lbl2"))),
                 "lbl",
             ).select("u", F.col("lbl2").alias("lbl"))
-        ).localCheckpoint(eager=True)
+            .localCheckpoint(eager=True)
+        )
         changed = (
             jump.join(lbl.withColumnRenamed("lbl", "old"), "u")
             .filter(F.col("lbl") < F.col("old"))
         )
         improved = not changed.isEmpty()
+        # the superseded label table is dead the moment the convergence
+        # check read it — drop its blocks now (run_pregel's per-superstep
+        # hygiene; phase-1 component graphs are vertex-sized, and ~20
+        # pointer-jump rounds of retained V-row checkpoints is real memory)
+        _drop_checkpoint_blocks(lbl)
         lbl = jump
         if not improved:
             break
@@ -95,8 +123,21 @@ def minimum_spanning_forest(graph: PropertyGraph, *,
     # |E|-scoped physical conf for the phase loop (the count reads the
     # just-materialized checkpoint blocks — metadata-cheap); no-op on graphs
     # past the big-graph threshold, where AQE earns its keep
-    with small_loop_conf(spark, canon.count()):
-        mst = _boruvka_phases(canon, comp, mst, max_phases)
+    n_edges = canon.count()
+    from gmr_spark.plans.pregel import BIG_GRAPH_ROWS, _drop_checkpoint_blocks
+
+    try:
+        with small_loop_conf(spark, n_edges):
+            mst = _boruvka_phases(canon, comp, mst, max_phases,
+                                  big=n_edges > BIG_GRAPH_ROWS)
+    finally:
+        # the canonical edge table is never reachable from the returned
+        # forest (checkpoints cut lineage) — release it on every exit.
+        # _boruvka_phases releases every label-state checkpoint it creates;
+        # the initial comp drop here covers the zero-phase path (and is a
+        # harmless no-op double-drop otherwise).
+        _drop_checkpoint_blocks(canon)
+        _drop_checkpoint_blocks(comp)
     return mst.select(
         F.col("a").alias("src"), F.col("b").alias("dst"),
         F.col("w").alias("weight"),
@@ -104,20 +145,39 @@ def minimum_spanning_forest(graph: PropertyGraph, *,
 
 
 def _boruvka_phases(canon: DataFrame, comp: DataFrame, mst: DataFrame,
-                    max_phases: int) -> DataFrame:
+                    max_phases: int, *, big: bool = False) -> DataFrame:
     """The Borůvka phase loop of :func:`minimum_spanning_forest`, split out
     so ``small_loop_conf`` wraps it in one scope. Returns the forest
-    (a, b, w)."""
-    for _ in range(max_phases):
+    (a, b, w).
+
+    ``big`` (edges above ``BIG_GRAPH_ROWS``) pins shuffle_hash on every
+    |V|-scaling join side — the same policy as run_pregel's state joins.
+    The component-label table has one row per VERTEX, so it scales with the
+    graph, and its runtime stats sit near the autoBroadcast threshold at
+    G2 size: measured, AQE picked a ~5M-row driver-built broadcast for the
+    phase-1 label join while executor storage held the checkpointed edge
+    table, and the build OOM'd the shared local-mode heap. On a cluster the
+    same choice is a driver collect of a vertex-sized table — the r6
+    broadcast-policy trap shape — so above the gate the label side is
+    pinned shuffled, like pregel; below it AQE keeps the (correct)
+    broadcast choice."""
+
+    def _pin(df: DataFrame) -> DataFrame:
+        return df.hint("shuffle_hash") if big else df
+
+    from gmr_spark.plans.pregel import _drop_checkpoint_blocks
+
+    for _ in range(max_phases):  # noqa: B007 (break-on-fixpoint loop)
         lab = (
             canon
-            .join(comp.select(F.col("id").alias("a"),
-                              F.col("comp").alias("ca")), "a")
-            .join(comp.select(F.col("id").alias("b"),
-                              F.col("comp").alias("cb")), "b")
+            .join(_pin(comp.select(F.col("id").alias("a"),
+                                   F.col("comp").alias("ca"))), "a")
+            .join(_pin(comp.select(F.col("id").alias("b"),
+                                   F.col("comp").alias("cb"))), "b")
             .filter(F.col("ca") != F.col("cb"))
         ).localCheckpoint(eager=True)
         if lab.isEmpty():
+            _drop_checkpoint_blocks(lab)
             break
         # each component picks its minimum incident cross-edge by (w, a, b)
         incident = lab.select(
@@ -131,16 +191,31 @@ def _boruvka_phases(canon: DataFrame, comp: DataFrame, mst: DataFrame,
             .select("m.w", "m.a", "m.b", "m.ca", "m.cb")
             .distinct()
         ).localCheckpoint(eager=True)
+        # lab is ~|cross-edges| rows — the FULL edge table in early phases
+        # (several GB checkpointed at G2 size); both consumers (the census
+        # and the pick aggregate) have run, so release it before the next
+        # phase's lab lands. Retaining one lab per phase was measured as a
+        # 50 GB heap and a GC-bound crawl at 110M edges.
+        _drop_checkpoint_blocks(lab)
+        prev_mst = mst
         mst = mst.unionByName(sel.select("a", "b", "w")).localCheckpoint(eager=True)
+        _drop_checkpoint_blocks(prev_mst)
         # merge components: min-label over the picked component-graph edges
         nodes = comp.select(F.col("comp").alias("u")).distinct()
         cg = sel.select(F.col("ca").alias("u"), F.col("cb").alias("v")).unionByName(
             sel.select(F.col("cb").alias("u"), F.col("ca").alias("v"))
         ).distinct()
-        lbl = _min_label_fixpoint(nodes, cg)
+        lbl = _min_label_fixpoint(nodes, cg, big=big)
+        prev_comp = comp
         comp = (
-            comp.join(lbl, comp["comp"] == lbl["u"])
+            comp.join(_pin(lbl), comp["comp"] == lbl["u"])
             .select("id", F.col("lbl").alias("comp"))
         ).localCheckpoint(eager=True)
+        for dead in (prev_comp, lbl, sel):
+            _drop_checkpoint_blocks(dead)
 
+    # the label state is internal — the returned forest's checkpoints have
+    # no lineage into it — so release the last comp on the way out too
+    # (every exit path: fixpoint break above or max_phases exhaustion here)
+    _drop_checkpoint_blocks(comp)
     return mst

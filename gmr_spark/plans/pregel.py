@@ -143,6 +143,43 @@ def _drop_checkpoint_blocks(df: DataFrame) -> None:
         pass  # best-effort: leaked blocks cost time, not correctness
 
 
+def reset_plan_stats(df: DataFrame) -> DataFrame:
+    """Re-leaf a just-``localCheckpoint``-ed DataFrame over the SAME
+    persisted blocks, discarding the origin plan's propagated statistics.
+
+    Why this exists: Spark 4's ``Dataset.localCheckpoint`` propagates the
+    origin plan's *estimated* stats onto the new ``LogicalRDD`` leaf
+    (``LogicalRDD.fromDataset`` → ``rewriteStatsAndConstraints``), and the
+    size-only estimator models a join as the PRODUCT of its children's
+    ``sizeInBytes``. An iterative loop whose step SELF-joins the previous
+    checkpoint therefore squares the BigInt per iteration — digit count
+    doubles, and past ~15 iterations the driver disappears into
+    million-digit ``BigInteger.multiply`` calls inside the next
+    checkpoint's stats rewrite (measured: the Borůvka pointer-jump
+    fixpoint at G2 size pinned one driver thread for 20+ minutes in
+    Toom-Cook multiplication while zero tasks ran). Small fixtures never
+    see it — their fixpoints converge in <10 iterations.
+
+    The reset is zero-copy and JVM-only: the analyzed plan of a
+    checkpointed frame IS a ``LogicalRDD`` whose ``rdd`` field holds the
+    persisted ``InternalRow`` blocks; ``internalCreateDataFrame`` wraps
+    that same RDD in a fresh leaf whose stats fall back to
+    ``spark.sql.defaultSizeInBytes``. Falls back to the input unchanged if
+    the internal API is unavailable (cost: driver CPU, not correctness).
+    Use on big graphs only — the default (huge) size estimate disables
+    compile-time broadcast choices that small graphs legitimately want.
+    """
+    try:
+        jdf = df._jdf
+        plan = jdf.queryExecution().analyzed()
+        jrdd = plan.rdd()  # the persisted block-backed RDD[InternalRow]
+        jspark = df.sparkSession._jsparkSession
+        new_jdf = jspark.internalCreateDataFrame(jrdd, plan.schema(), False)
+        return DataFrame(new_jdf, df.sparkSession)
+    except Exception:
+        return df
+
+
 def apply_small_loop_conf(spark, n_rows: int) -> dict[str, str]:
     """Imperative half of :func:`small_loop_conf` for loops that already
     own a try/finally: applies the small-loop conf and returns the saved

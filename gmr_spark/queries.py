@@ -806,6 +806,13 @@ _CHANGED_THIS_ROUND = {
         # revalidated under a stricter rule.
         "multimodal_decode",
         "multimodal_audio_files",
+        # Borůvka/k-core big-graph hardening: |V|-scaling join sides pinned
+        # shuffle_hash above BIG_GRAPH_ROWS and superseded checkpoints
+        # released per phase. Declared graphs sit BELOW the gate (plans
+        # unchanged there), but the loop implementation changed — fronted
+        # per the discipline note.
+        "mst_nation_mesh",
+        "kcore_cs",
     ),
 }
 

@@ -658,7 +658,12 @@ def test_frame_path_checkpoints_release_when_looped(spark):
     for _ in range(3):
         dedup_substring_frame(docs, window=8).collect()
         semdedup_frame(emb, k=2, iters=1, threshold=0.9).collect()
-    assert _n_persistent_rdds(spark) == after_first, \
+    # one-sided on purpose: the property is NO GROWTH across looped calls.
+    # The count is session-global and ContextCleaner unpersists other
+    # tests' dead blocks asynchronously, so an equality check flakes when
+    # the cleaner fires mid-loop (observed under a concurrent full-suite
+    # run); a DECREASE is the cleaner's business, never this operator's.
+    assert _n_persistent_rdds(spark) <= after_first, \
         "looped *_frame calls accumulated persisted checkpoint blocks"
     # a semantically DIFFERENT frame must not be served the memoized result
     docs2 = spark.createDataFrame(

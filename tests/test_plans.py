@@ -520,3 +520,53 @@ def test_unigram_lm_score_explodes_corpus_twice_not_thrice(spark):
     assert len(re.findall(r"\(\d+\) Generate", p)) == 2
     assert n_exchanges(p) <= 4
     assert "CartesianProduct" not in p
+
+
+def test_reset_plan_stats_releafs_checkpoints_zero_copy(spark):
+    """Spark 4's localCheckpoint propagates the origin plan's ESTIMATED
+    stats onto the LogicalRDD leaf, and the size-only estimator models a
+    join as the product of its children's sizeInBytes — so an iterative
+    self-join loop squares the BigInt per iteration and, past ~15 rounds,
+    the driver stalls in million-digit BigInteger multiplies inside the
+    next checkpoint's stats rewrite (measured: the Borůvka pointer-jump
+    fixpoint at G2 size pinned one driver thread 20+ minutes while zero
+    tasks ran). reset_plan_stats must (a) preserve rows/schema over the
+    SAME persisted blocks, (b) reset sizeInBytes to the default, (c) keep
+    a 20-round self-join checkpoint loop wall-bounded."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from gmr_spark.plans.pregel import _drop_checkpoint_blocks, reset_plan_stats
+
+    def size_of(df) -> int:
+        return int(str(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+
+    base = spark.range(500).select("id", (F.col("id") * 2).alias("v")) \
+        .localCheckpoint(eager=True)
+    joined = base.join(base.selectExpr("id", "v as v2"), "id") \
+        .localCheckpoint(eager=True)
+    assert size_of(joined) < 2 ** 63  # propagated product estimate, finite
+    reset = reset_plan_stats(joined)
+    assert reset.schema == joined.schema
+    assert reset.count() == 500
+    assert size_of(reset) == 2 ** 63 - 1  # spark.sql.defaultSizeInBytes
+
+    cur, owned = base, [base, joined]
+    t0 = time.perf_counter()
+    for _ in range(20):
+        nxt = reset_plan_stats(
+            cur.alias("a")
+            .join(cur.alias("b").selectExpr("id", "v as v2"), "id")
+            .select("id", "v").localCheckpoint(eager=True))
+        owned.append(nxt)
+        cur = nxt
+    wall = time.perf_counter() - t0
+    # without the reset the 20th checkpoint alone multiplies ~10M-digit
+    # BigIntegers for minutes; with it the whole loop is seconds
+    assert wall < 60, f"stats squaring not cut: {wall:.1f}s for 20 rounds"
+    assert cur.count() == 500
+    assert size_of(cur) == 2 ** 63 - 1
+    for df in owned:
+        _drop_checkpoint_blocks(df)
