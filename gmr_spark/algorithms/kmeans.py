@@ -88,17 +88,22 @@ def _assign_arrow(df: DataFrame, centroids: list[tuple[int, list[float]]]) -> Da
 def _update(df: DataFrame, assigned: DataFrame) -> list[tuple[int, list[float]]]:
     # join BEFORE the ×dim explode: the equi-join runs on O(N) rows, not
     # O(N·dim) — at the 2M×64 scale proof that is a 2M-row join feeding a
-    # 128M-row map-side-combinable aggregate instead of a 128M-row shuffle
+    # 128M-row map-side-combinable aggregate instead of a 128M-row shuffle.
+    # The k×dim result comes back over Arrow (toPandas), not a pickled
+    # collect(): at SemDeDup-class k the retrieval is 640k+ rows and the
+    # row-at-a-time pickle path was a measurable slice of each Lloyd
+    # iteration (k=10k sweep, SCALE.md). Values are identical — the 9 dp
+    # rounding happens Spark-side either way; Arrow moves exact doubles.
     stats = (
         df.join(assigned, "id")
         .select("cluster", F.posexplode("vec").alias("pos", "val"))
         .groupBy("cluster", "pos")
         .agg(F.round(F.avg("val"), 9).alias("val"))
-        .collect()
+        .toPandas()
     )
     by_cluster: dict[int, dict[int, float]] = {}
-    for r in stats:
-        by_cluster.setdefault(r.cluster, {})[r.pos] = r.val
+    for c, p, v in zip(stats["cluster"], stats["pos"], stats["val"]):
+        by_cluster.setdefault(int(c), {})[int(p)] = float(v)
     return sorted(
         (c, [dims[p] for p in sorted(dims)]) for c, dims in by_cluster.items()
     )

@@ -502,7 +502,17 @@ def multimodal_audio_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the same SQL as ``multimodal_audio``) still recomputes every decoded
     field from closed forms while the Spark side touches only the bytes the
     file scan returns. Must stay result-identical to the synthesized
-    variant (pinned in ``tests/test_llm_ops.py``)."""
+    variant (pinned in ``tests/test_llm_ops.py``).
+
+    Small-files strategy (measured at 2M real ~550 B objects, SCALE.md
+    round 7): listing stays linear (23k files/s at 2M objects) but the
+    per-object open()/row constant caps the scan+decode at ~4.6k files/s —
+    the same 501M frames decode at 147M frames/s when the bytes arrive
+    in-stream. At 100 TB, use this operator for the ingest hop only and
+    land media in packed formats (parquet binary columns — what
+    ``multimodal_audio``'s decode stage consumes — or tar/WebDataset-style
+    shards of tens of MB+), so per-object cost amortizes and the
+    decode-bound rate takes over."""
     files_dir = _ensure_payload_files(spark, sf_dir, "wav",
                                       _make_wav_payload_batches)
     payloads = (

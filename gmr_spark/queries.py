@@ -813,6 +813,10 @@ _CHANGED_THIS_ROUND = {
         # per the discipline note.
         "mst_nation_mesh",
         "kcore_cs",
+        # kmeans._update centroid retrieval moved from pickled collect() to
+        # Arrow toPandas (values identical — rounding is Spark-side) for
+        # the SemDeDup k-sweep; fronted per the discipline note.
+        "kmeans_embeddings",
     ),
 }
 
