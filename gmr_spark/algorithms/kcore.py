@@ -38,7 +38,11 @@ def k_core(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
     representable here."""
     if k < 1:
         raise ValueError(f"k_core requires k >= 1, got {k}")
-    from gmr_spark.plans.pregel import _drop_checkpoint_blocks
+    from gmr_spark.plans.pregel import (
+        BIG_GRAPH_ROWS,
+        _drop_checkpoint_blocks,
+        reset_plan_stats,
+    )
 
     und = canonical_undirected(graph.edges)
     # symmetric view so degree = out-degree in one groupBy
@@ -59,25 +63,23 @@ def k_core(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
     # (round-4 ADVICE: the exhausted/exception paths used to leak the
     # current peel's blocks)
     owned: list[DataFrame] = [alive]
+
+    # the alive set has one row per surviving VERTEX — |V|-scaling until the
+    # peel bites, and its runtime stats sit near the autoBroadcast threshold
+    # at G2 size (the Borůvka phase-1 lesson, algorithms/mst.py: AQE
+    # driver-built a ~5M-row broadcast under checkpoint storage pressure and
+    # OOM'd). The census is exact and free (n_alive is this round's count),
+    # so pin shuffle_hash only while the set is genuinely big and let AQE
+    # broadcast the late small peels. (n_alive is read at call time, so one
+    # helper serves every iteration.)
+    def _pin(df: DataFrame) -> DataFrame:
+        return df.hint("shuffle_hash") if n_alive > BIG_GRAPH_ROWS else df
+
     try:
         for _ in range(max_iter):
             if n_alive == 0:
                 owned.remove(alive)
                 return alive
-            # the alive set has one row per surviving VERTEX — |V|-scaling
-            # until the peel bites, and its runtime stats sit near the
-            # autoBroadcast threshold at G2 size (the Borůvka phase-1
-            # lesson, algorithms/mst.py: AQE driver-built a ~5M-row
-            # broadcast under checkpoint storage pressure and OOM'd). The
-            # census is exact and free (n_alive is this round's count), so
-            # pin shuffle_hash only while the set is genuinely big and let
-            # AQE broadcast the late small peels.
-            from gmr_spark.plans.pregel import BIG_GRAPH_ROWS
-
-            def _pin(df: DataFrame) -> DataFrame:
-                return (df.hint("shuffle_hash")
-                        if n_alive > BIG_GRAPH_ROWS else df)
-
             induced = (
                 sym.join(_pin(alive.select(F.col("id").alias("a"))),
                          "a", "left_semi")
@@ -95,8 +97,6 @@ def k_core(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
                 # driver in BigInteger stats math (the Borůvka fixpoint
                 # lesson, plans/pregel.reset_plan_stats). Zero-copy re-leaf
                 # while the set is big; small peels keep their stats.
-                from gmr_spark.plans.pregel import reset_plan_stats
-
                 nxt = reset_plan_stats(nxt)
             owned.append(nxt)
             n_nxt = nxt.count()

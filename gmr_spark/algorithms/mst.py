@@ -167,55 +167,78 @@ def _boruvka_phases(canon: DataFrame, comp: DataFrame, mst: DataFrame,
 
     from gmr_spark.plans.pregel import _drop_checkpoint_blocks
 
-    for _ in range(max_phases):  # noqa: B007 (break-on-fixpoint loop)
-        lab = (
-            canon
-            .join(_pin(comp.select(F.col("id").alias("a"),
-                                   F.col("comp").alias("ca"))), "a")
-            .join(_pin(comp.select(F.col("id").alias("b"),
-                                   F.col("comp").alias("cb"))), "b")
-            .filter(F.col("ca") != F.col("cb"))
-        ).localCheckpoint(eager=True)
-        if lab.isEmpty():
-            _drop_checkpoint_blocks(lab)
-            break
-        # each component picks its minimum incident cross-edge by (w, a, b)
-        incident = lab.select(
-            F.col("ca").alias("comp"), "w", "a", "b", "ca", "cb"
-        ).unionByName(
-            lab.select(F.col("cb").alias("comp"), "w", "a", "b", "ca", "cb")
-        )
-        sel = (
-            incident.groupBy("comp")
-            .agg(F.min(F.struct("w", "a", "b", "ca", "cb")).alias("m"))
-            .select("m.w", "m.a", "m.b", "m.ca", "m.cb")
-            .distinct()
-        ).localCheckpoint(eager=True)
-        # lab is ~|cross-edges| rows — the FULL edge table in early phases
-        # (several GB checkpointed at G2 size); both consumers (the census
-        # and the pick aggregate) have run, so release it before the next
-        # phase's lab lands. Retaining one lab per phase was measured as a
-        # 50 GB heap and a GC-bound crawl at 110M edges.
-        _drop_checkpoint_blocks(lab)
-        prev_mst = mst
-        mst = mst.unionByName(sel.select("a", "b", "w")).localCheckpoint(eager=True)
-        _drop_checkpoint_blocks(prev_mst)
-        # merge components: min-label over the picked component-graph edges
-        nodes = comp.select(F.col("comp").alias("u")).distinct()
-        cg = sel.select(F.col("ca").alias("u"), F.col("cb").alias("v")).unionByName(
-            sel.select(F.col("cb").alias("u"), F.col("ca").alias("v"))
-        ).distinct()
-        lbl = _min_label_fixpoint(nodes, cg, big=big)
-        prev_comp = comp
-        comp = (
-            comp.join(_pin(lbl), comp["comp"] == lbl["u"])
-            .select("id", F.col("lbl").alias("comp"))
-        ).localCheckpoint(eager=True)
-        for dead in (prev_comp, lbl, sel):
-            _drop_checkpoint_blocks(dead)
+    # every live checkpoint this loop owns (round-7 ADVICE: a mid-phase
+    # failure used to leak the current lab/sel/lbl/comp blocks until
+    # ContextCleaner caught up — k_core's owned-list exit hygiene, mirrored).
+    # Entries leave the list by being returned (the forest) or dropped; the
+    # finally releases whatever a phase left behind on ANY exit.
+    owned: list[DataFrame] = [comp]
 
-    # the label state is internal — the returned forest's checkpoints have
-    # no lineage into it — so release the last comp on the way out too
-    # (every exit path: fixpoint break above or max_phases exhaustion here)
-    _drop_checkpoint_blocks(comp)
+    def _drop(df: DataFrame) -> None:
+        _drop_checkpoint_blocks(df)
+        if any(df is o for o in owned):
+            owned.remove(df)
+
+    try:
+        for _ in range(max_phases):  # noqa: B007 (break-on-fixpoint loop)
+            lab = (
+                canon
+                .join(_pin(comp.select(F.col("id").alias("a"),
+                                       F.col("comp").alias("ca"))), "a")
+                .join(_pin(comp.select(F.col("id").alias("b"),
+                                       F.col("comp").alias("cb"))), "b")
+                .filter(F.col("ca") != F.col("cb"))
+            ).localCheckpoint(eager=True)
+            owned.append(lab)
+            if lab.isEmpty():
+                _drop(lab)
+                break
+            # each component picks its min incident cross-edge by (w, a, b)
+            incident = lab.select(
+                F.col("ca").alias("comp"), "w", "a", "b", "ca", "cb"
+            ).unionByName(
+                lab.select(F.col("cb").alias("comp"), "w", "a", "b", "ca", "cb")
+            )
+            sel = (
+                incident.groupBy("comp")
+                .agg(F.min(F.struct("w", "a", "b", "ca", "cb")).alias("m"))
+                .select("m.w", "m.a", "m.b", "m.ca", "m.cb")
+                .distinct()
+            ).localCheckpoint(eager=True)
+            owned.append(sel)
+            # lab is ~|cross-edges| rows — the FULL edge table in early
+            # phases (several GB checkpointed at G2 size); both consumers
+            # (the census and the pick aggregate) have run, so release it
+            # before the next phase's lab lands. Retaining one lab per phase
+            # was measured as a 50 GB heap and a GC-bound crawl at 110M
+            # edges.
+            _drop(lab)
+            prev_mst = mst
+            mst = mst.unionByName(sel.select("a", "b", "w")).localCheckpoint(eager=True)
+            owned.append(mst)
+            _drop(prev_mst)
+            # merge components: min-label over the picked component edges
+            nodes = comp.select(F.col("comp").alias("u")).distinct()
+            cg = sel.select(F.col("ca").alias("u"), F.col("cb").alias("v")).unionByName(
+                sel.select(F.col("cb").alias("u"), F.col("ca").alias("v"))
+            ).distinct()
+            lbl = _min_label_fixpoint(nodes, cg, big=big)
+            owned.append(lbl)
+            prev_comp = comp
+            comp = (
+                comp.join(_pin(lbl), comp["comp"] == lbl["u"])
+                .select("id", F.col("lbl").alias("comp"))
+            ).localCheckpoint(eager=True)
+            owned.append(comp)
+            for dead in (prev_comp, lbl, sel):
+                _drop(dead)
+    finally:
+        # releases the final comp on clean exits (label state is internal —
+        # the returned forest's checkpoints have no lineage into it) AND the
+        # current phase's partial state on the exception path. The forest
+        # itself is removed from the list before return.
+        if any(mst is o for o in owned):
+            owned.remove(mst)
+        for df in owned:
+            _drop_checkpoint_blocks(df)
     return mst

@@ -119,16 +119,28 @@ def _frame_memo(df_src: DataFrame, kind: str, params: tuple, build) -> DataFrame
     checkpointed per call with no release, so a caller looping them over
     frames accumulated blocks until ContextCleaner caught up): repeat calls
     on a semantically-identical frame now share one checkpoint, and
-    ``clear_dedup_memo()`` releases everything. Assumes the frame's
-    underlying data is immutable for the session — the same contract a
-    localCheckpoint snapshot already imposes; the declared sf_dir wrappers
-    keep their stronger mtime-token invalidation."""
+    ``clear_dedup_memo()`` releases everything.
+
+    Plan semantics alone cannot see a rewrite of the files BEHIND the plan
+    (``spark.read.parquet(p)`` is the same Catalyst plan before and after
+    ``p`` is rewritten — round-7 ADVICE), so frames with file sources fold
+    a data fingerprint (sorted file list + local size/mtime) into the key;
+    an un-fingerprintable source (non-local scheme, huge listing) skips
+    memoization entirely — per-call behavior, never a stale hit. Eviction
+    on a semanticHash collision drops only the dict references: frames
+    previously RETURNED to callers may still reference the checkpointed
+    blocks (no lineage to rebuild from), so ContextCleaner reclaims them
+    asynchronously once the last reference dies (round-7 ADVICE — an
+    explicit block drop here broke outstanding callers)."""
     spark = df_src.sparkSession
     try:
         h = df_src.semanticHash()
     except Exception:
         return build()  # un-analyzable frame: per-call behavior, best effort
-    full_key = (spark.sparkContext.applicationId, kind, h, *params)
+    fp = _file_fingerprint(df_src)
+    if fp is _UNFINGERPRINTABLE:
+        return build()  # external source we cannot validate: no memoization
+    full_key = (spark.sparkContext.applicationId, kind, h, fp, *params)
     hit = _CKPT_MEMO.get(full_key)
     if hit is not None:
         src_prev = _FRAME_MEMO_SRC.get(full_key)
@@ -138,15 +150,49 @@ def _frame_memo(df_src: DataFrame, kind: str, params: tuple, build) -> DataFrame
             same = False
         if same:
             return hit
-        from gmr_spark.plans.pregel import _drop_checkpoint_blocks
-
-        _drop_checkpoint_blocks(_CKPT_MEMO.pop(full_key))
+        # collision eviction: drop references only (see docstring)
+        _CKPT_MEMO.pop(full_key, None)
         _FRAME_MEMO_SRC.pop(full_key, None)
         _COUNT_MEMO.pop(full_key, None)
     df = build()
     _CKPT_MEMO[full_key] = df
     _FRAME_MEMO_SRC[full_key] = df_src
     return df
+
+
+# sentinel: the frame reads external files we cannot cheaply fingerprint
+_UNFINGERPRINTABLE = object()
+# past this many backing files the per-call stat() sweep costs more than
+# the rebuild it would save; skip memoization instead of going stale
+_FINGERPRINT_MAX_FILES = 4096
+
+
+def _file_fingerprint(df_src: DataFrame):
+    """Data fingerprint of the files backing ``df_src``'s plan: a hash over
+    the sorted file list with each local file's (size, mtime). Returns
+    ``None`` for purely in-memory plans (LocalRelation/range — nothing to go
+    stale), a hashable token for fingerprintable file plans, and
+    ``_UNFINGERPRINTABLE`` when files exist but cannot be validated."""
+    import os
+
+    try:
+        files = df_src.inputFiles()
+    except Exception:
+        return _UNFINGERPRINTABLE
+    if not files:
+        return None
+    if len(files) > _FINGERPRINT_MAX_FILES:
+        return _UNFINGERPRINTABLE
+    parts: list[str] = []
+    for uri in sorted(files):
+        path = uri[len("file:"):] if uri.startswith("file:") else None
+        if path is None or not os.path.exists(path):
+            return _UNFINGERPRINTABLE  # non-local scheme: cannot stat
+        st = os.stat(path)
+        parts.append(f"{uri}\x00{st.st_size}\x00{st.st_mtime_ns}")
+    import hashlib
+
+    return hashlib.md5("\x01".join(parts).encode()).hexdigest()
 
 
 # source frames backing _frame_memo entries, for the sameSemantics

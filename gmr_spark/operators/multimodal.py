@@ -529,6 +529,95 @@ def multimodal_audio_files(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 schema=AUDIO_SCHEMA)
 
 
+# pack-hop shard sizing: parquet row groups of ~64 MB of payload bytes keep
+# the re-scan sequential and the per-object constant amortized (the r7
+# small-files measurement: 4.6k files/s per-object-bound scan vs 147M
+# frames/s once bytes arrive in-stream)
+PACK_TARGET_SHARD_BYTES = 64 << 20
+
+
+def _ensure_packed_payloads(spark: SparkSession, sf_dir: str, ext: str,
+                            synth_factory) -> str:
+    """The PACK HOP, as a real operator (round-7 verdict item 5 — it lived
+    in ``multimodal_audio_files``'s prose until now): one binaryFile pass
+    over the small-files landing zone, re-landed as parquet binary-column
+    shards of ~``PACK_TARGET_SHARD_BYTES`` payload bytes each. This is the
+    ingest hop a 100 TB media corpus pays ONCE so every later decode pass
+    reads packed sequential bytes at the decode-bound rate instead of
+    paying the per-object open()/row constant (measured at 2M real objects:
+    23k files/s listing, 4.6k files/s per-object scan cap — SCALE.md r7).
+
+    Shard count comes from a metadata-only pass (binaryFile's ``length``
+    column; ``content`` is pruned from that scan so no payload bytes move),
+    then the content pass shuffles into byte-balanced shards. Build is
+    once per (corpus fingerprint, ext), committed by a marker AFTER the
+    parquet lands — same staleness discipline as ``_ensure_payload_files``.
+    """
+    import hashlib
+    import os
+
+    from gmr_spark.sources.tables import sf_token
+
+    files_dir = _ensure_payload_files(spark, sf_dir, ext, synth_factory)
+    token = repr(sf_token(sf_dir))
+    out_dir = os.path.join(
+        "/tmp", f"gmr_{ext}_packed",
+        hashlib.md5(f"{sf_dir}|{token}".encode()).hexdigest()[:16])
+    marker = os.path.join(out_dir, "_FINGERPRINT")
+
+    with _PAYLOAD_FILES_LOCK:
+        try:
+            with open(marker) as fh:
+                committed = fh.read().splitlines()
+            if (len(committed) == 2 and committed[0] == token
+                    and os.path.exists(os.path.join(out_dir, "_SUCCESS"))):
+                return out_dir
+        except (OSError, ValueError):
+            pass
+        scan = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", f"*.{ext}")
+            .load(files_dir)
+        )
+        # metadata-only sizing pass: content is pruned from this plan
+        meta = scan.select(
+            F.count(F.lit(1)).alias("n"), F.sum("length").alias("bytes")
+        ).first()
+        n_shards = max(1, int(-(-int(meta.bytes) // PACK_TARGET_SHARD_BYTES)))
+        (
+            scan.select(
+                F.regexp_extract(F.col("path"), rf"(\d+)\.{ext}$", 1)
+                .cast("bigint").alias("doc_id"),
+                F.col("content").alias("payload"),
+            )
+            .repartition(n_shards)
+            .write.mode("overwrite").parquet(out_dir)
+        )
+        packed_n = spark.read.parquet(out_dir).count()
+        if packed_n != int(meta.n):
+            raise RuntimeError(
+                f"pack hop landed {packed_n} of {meta.n} payloads")
+        with open(marker, "w") as fh:
+            fh.write(f"{token}\n{packed_n}")  # commit AFTER the shards landed
+    return out_dir
+
+
+def multimodal_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode the audio corpus FROM the packed shards the pack hop landed:
+    ``binaryFile`` small-files dir → parquet binary-column shards (once) →
+    the same chunk-walking PCM-16 decoder over the packed bytes. The oracle
+    twin is ``MULTIMODAL_AUDIO`` — packed decode must be row-identical to
+    both the file-backed and synthesized variants (pinned in
+    tests/test_llm_ops.py). At 100 TB this pair of operators IS the
+    recommended media ingest: ``multimodal_audio_files`` for the one-time
+    landing hop, this packed re-scan for every pass after it."""
+    packed_dir = _ensure_packed_payloads(spark, sf_dir, "wav",
+                                         _make_wav_payload_batches)
+    payloads = spark.read.parquet(packed_dir).select("doc_id", "payload")
+    return payloads.mapInPandas(_make_audio_decode_batches(),
+                                schema=AUDIO_SCHEMA)
+
+
 RESIZED_SCHEMA = "doc_id bigint, in_width int, in_height int, out_width int, out_height int"
 
 

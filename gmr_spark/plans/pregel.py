@@ -135,12 +135,23 @@ def _drop_checkpoint_blocks(df: DataFrame) -> None:
     blocks the moment its successor is materialized. Callers must never
     drop a state still referenced: a localCheckpointed RDD has no lineage
     to rebuild from.
+
+    Reaches JVM internals (``queryExecution().analyzed().rdd()``); on a
+    PySpark upgrade that breaks the API the fallback is a no-op that
+    silently reinstates the retention pathology this exists to fix (a
+    50 GB heap at 110M edges, algorithms/mst.py), so it WARNS once per
+    process instead of passing silently (round-7 verdict item 3).
     """
     try:
         plan = df._jdf.queryExecution().analyzed()
+        # non-checkpointed frames (e.g. an initial empty LocalRelation
+        # threaded through a loop's state variable) are a legitimate no-op,
+        # not an API failure — only LogicalRDD leaves hold persisted blocks
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return
         plan.rdd().unpersist(False)
     except Exception:
-        pass  # best-effort: leaked blocks cost time, not correctness
+        _warn_internal_api_fallback("_drop_checkpoint_blocks")
 
 
 def reset_plan_stats(df: DataFrame) -> DataFrame:
@@ -165,9 +176,19 @@ def reset_plan_stats(df: DataFrame) -> DataFrame:
     persisted ``InternalRow`` blocks; ``internalCreateDataFrame`` wraps
     that same RDD in a fresh leaf whose stats fall back to
     ``spark.sql.defaultSizeInBytes``. Falls back to the input unchanged if
-    the internal API is unavailable (cost: driver CPU, not correctness).
-    Use on big graphs only — the default (huge) size estimate disables
-    compile-time broadcast choices that small graphs legitimately want.
+    the internal API is unavailable (cost: driver CPU, not correctness) —
+    WARNING once per process, because a silent fallback would reinstate
+    the 20-minute BigInteger stall at the next G2-class run with no signal
+    (round-7 verdict item 3); ``tests/test_plans.py`` asserts the re-leafed
+    plan actually IS a fresh LogicalRDD on this Spark version.
+
+    CAVEAT (partitioning): ``localCheckpoint`` preserves the origin plan's
+    ``outputPartitioning``/``ordering``; the re-leafed ``LogicalRDD`` built
+    here does NOT — a join downstream of a re-leafed frame re-shuffles a
+    side the checkpoint had co-located. Keep this helper off any path that
+    relies on checkpoint-preserved partitioning (the current callers —
+    big-graph iterative fixpoints — pin shuffle_hash on those joins anyway,
+    so both sides shuffle by key regardless).
     """
     try:
         jdf = df._jdf
@@ -177,7 +198,30 @@ def reset_plan_stats(df: DataFrame) -> DataFrame:
         new_jdf = jspark.internalCreateDataFrame(jrdd, plan.schema(), False)
         return DataFrame(new_jdf, df.sparkSession)
     except Exception:
+        _warn_internal_api_fallback("reset_plan_stats")
         return df
+
+
+# one warning per (process, helper): these fire inside per-superstep loops,
+# so unbounded warnings would drown the log exactly when they matter most
+_WARNED_FALLBACKS: set[str] = set()
+
+
+def _warn_internal_api_fallback(helper: str) -> None:
+    if helper in _WARNED_FALLBACKS:
+        return
+    _WARNED_FALLBACKS.add(helper)
+    import warnings
+
+    warnings.warn(
+        f"gmr_spark.plans.pregel.{helper}: private Spark JVM API unavailable "
+        "on this PySpark version; falling back to a no-op. Iterative loops "
+        "on big graphs lose checkpoint-block release / stats re-leafing — "
+        "expect retained-block memory growth and driver-side BigInteger "
+        "stats stalls at 100M-edge scale (see the helper docstrings).",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 def apply_small_loop_conf(spark, n_rows: int) -> dict[str, str]:

@@ -647,6 +647,10 @@ LLM_QUERIES: dict[str, QueryFn] = {
     # round 6: same decode entering through the binaryFile landing zone
     # (on-disk .wav scan), the audio sibling of multimodal_decode's .ppm scan
     "multimodal_audio_files": M.multimodal_audio_files,
+    # round 8: the declared PACK HOP (binaryFile dir -> parquet binary-column
+    # shards -> decode from packed) — the r7 small-files row's mitigation as
+    # a first-class operator (verdict item 5)
+    "multimodal_pack": M.multimodal_pack,
     "dup_clusters": D.dup_clusters,
     "stratified_sample": SAMP.stratified_sample,
     "doc_chunking": TA.doc_chunking,
@@ -754,6 +758,9 @@ LLM_ORACLES: dict[str, str] = {
     "multimodal_audio": LSQL.MULTIMODAL_AUDIO,
     # same closed-form twin: the files variant must decode to identical rows
     "multimodal_audio_files": LSQL.MULTIMODAL_AUDIO,
+    # same twin again: decoded fields of PACKED == decoded fields of
+    # file-backed == the synthesis closed forms (round-8 pack hop)
+    "multimodal_pack": LSQL.MULTIMODAL_AUDIO,
     "dup_clusters": LSQL.DUP_CLUSTERS,
     "stratified_sample": LSQL.STRATIFIED_SAMPLE,
     "doc_chunking": LSQL.DOC_CHUNKING,
@@ -782,41 +789,25 @@ LLM_ORACLES: dict[str, str] = {
 # query measures MUST bump ``round`` to the current round and list the
 # query here (measuring gates are auto-added via _MEASURED_BY below).
 _CHANGED_THIS_ROUND = {
-    "round": 7,
+    "round": 8,
     "names": (
-        # sssp()/bfs() cadence resolution moved INTO run_pregel (round-6
-        # ADVICE item 1: the old _auto_ci paid a full unmaterialized-lineage
-        # edge count before run_pregel counted again). Declared graphs are
-        # all below BIG_GRAPH_ROWS so the chosen cadence (ci=2) and the
-        # physical plans are identical — fronted per the discipline note.
-        "sssp_cs",
-        "sssp_cs_weighted",
-        "bfs_geo",
-        "graph_file_bfs",
-        # semdedup_frame expr path: the kmeans-assign + clustered checkpoint
-        # now builds inside _frame_memo (release discipline, round-6 verdict
-        # item 3) — same plan and values, but the checkpoint lifecycle the
-        # declared query executes changed.
+        # NEW this round: the declared pack-hop operator (no prior row)
+        "multimodal_pack",
+        # frame-memo staleness fix (file fingerprint in the memo key) and
+        # reference-drop-only eviction: the declared semdedup path builds
+        # through _frame_memo, so its checkpoint lifecycle changed
         "semdedup_embeddings",
-        # dedup_survivors: retired-count now memoized alongside the frame
-        # (round-6 ADVICE item 5) — broadcast gating decision unchanged.
-        "dedup_survivors",
-        # payload-cache validation now requires non-empty files (round-6
-        # ADVICE item 2) — the binaryFile corpus these two scan is
-        # revalidated under a stricter rule.
-        "multimodal_decode",
-        "multimodal_audio_files",
-        # Borůvka/k-core big-graph hardening: |V|-scaling join sides pinned
-        # shuffle_hash above BIG_GRAPH_ROWS and superseded checkpoints
-        # released per phase. Declared graphs sit BELOW the gate (plans
-        # unchanged there), but the loop implementation changed — fronted
-        # per the discipline note.
+        # Borůvka phase loop: exception-path checkpoint release via an
+        # owned list (clean-path plans and values unchanged)
         "mst_nation_mesh",
+        # k-core: loop-invariant hoist only (plans unchanged) — fronted per
+        # the discipline note
         "kcore_cs",
-        # kmeans._update centroid retrieval moved from pickled collect() to
-        # Arrow toPandas (values identical — rounding is Spark-side) for
-        # the SemDeDup k-sweep; fronted per the discipline note.
-        "kmeans_embeddings",
+        # SCC: coloring key scrambled (splitmix-style (mix, id) struct min)
+        # + trim pre-phase for acyclic fringe — output labels identical by
+        # contract, but the phase structure the declared query executes
+        # changed (round-8 many-SCC work, verdict item 2)
+        "scc_nation_ring",
     ),
 }
 

@@ -130,6 +130,42 @@ def test_multimodal_audio_files_scans_binary_and_matches_synth(spark):
     assert got == want and len(got) == 500
 
 
+def test_multimodal_pack_decodes_identically_from_parquet_shards(spark):
+    """The round-8 pack hop: binaryFile dir -> parquet binary-column shards
+    -> decode. The packed plan must scan PARQUET (no binaryFile node — that
+    per-object cost is paid once in the build, not per pass) and its rows
+    must be identical to the file-backed and synthesized variants. A second
+    call must serve the committed shards (marker short-circuit)."""
+    import os
+
+    from gmr_spark.operators.multimodal import (
+        _ensure_packed_payloads,
+        _make_wav_payload_batches,
+        multimodal_audio,
+        multimodal_pack,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = multimodal_pack(spark, sf)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "binaryFile" not in plan, plan.splitlines()[:20]
+    assert "parquet" in plan.lower()
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, multimodal_audio(spark, sf).collect()))
+    assert got == want and len(got) == 500
+
+    packed_dir = _ensure_packed_payloads(spark, sf, "wav",
+                                         _make_wav_payload_batches)
+    marker = os.path.join(packed_dir, "_FINGERPRINT")
+    mtime = os.stat(marker).st_mtime_ns
+    again = _ensure_packed_payloads(spark, sf, "wav",
+                                    _make_wav_payload_batches)
+    assert again == packed_dir
+    assert os.stat(marker).st_mtime_ns == mtime, "pack hop rebuilt needlessly"
+
+
 def test_multimodal_ppm_files_rebuild_on_fingerprint_change(tmp_path, spark):
     """A rewritten corpus must rebuild the on-disk payloads (marker records
     the fingerprint), and a matching marker short-circuits the write."""
@@ -675,3 +711,65 @@ def test_frame_path_checkpoints_release_when_looped(spark):
     clear_dedup_memo()
     assert _n_persistent_rdds(spark) < before_clear, \
         "clear_dedup_memo released nothing"
+
+
+def test_frame_memo_sees_file_rewrites(spark, tmp_path):
+    """Round-7 ADVICE: Catalyst plan semantics cannot see a rewrite of the
+    files BEHIND a plan — spark.read.parquet(p) is the same plan before and
+    after p's files change — so the frame memo must fold a data fingerprint
+    (file list + size/mtime) into its key. Rewriting the parquet at the same
+    path and re-calling the frame op must serve fresh results, not the
+    memoized generation."""
+    import os
+    import time
+
+    from gmr_spark.operators.dedup import clear_dedup_memo, dedup_substring_frame
+
+    p = str(tmp_path / "docs")
+    dup = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    spark.createDataFrame(
+        [(1, dup), (2, dup)], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    try:
+        first = dedup_substring_frame(spark.read.parquet(p), window=8).collect()
+        assert {r.doc_id for r in first} == {1, 2}
+        assert all(r.n_dup_windows > 0 for r in first)
+
+        # rewrite IN PLACE with different content; bump mtimes defensively
+        # (same-second rewrites on coarse-mtime filesystems)
+        spark.createDataFrame(
+            [(7, "one two three four five six seven eight nine ten")],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        now = time.time() + 2
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (now, now))
+
+        again = dedup_substring_frame(spark.read.parquet(p), window=8).collect()
+        assert {r.doc_id for r in again} == {7}, \
+            "frame memo served a stale generation after the file rewrite"
+        assert again[0].n_dup_windows == 0
+    finally:
+        clear_dedup_memo()
+
+
+def test_frame_memo_fingerprint_classifier(spark, tmp_path, monkeypatch):
+    """_file_fingerprint's three-way contract: None for in-memory plans
+    (safe to memoize unconditionally), a stable token for local file plans
+    (changes when bytes change), and the skip sentinel when the listing is
+    too large to stat per call."""
+    from gmr_spark.operators import dedup as D
+
+    mem = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    assert D._file_fingerprint(mem) is None
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame([(1, "x")], "doc_id long, text string") \
+        .coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    tok = D._file_fingerprint(df)
+    assert isinstance(tok, str) and D._file_fingerprint(df) == tok
+
+    monkeypatch.setattr(D, "_FINGERPRINT_MAX_FILES", 0)
+    assert D._file_fingerprint(df) is D._UNFINGERPRINTABLE

@@ -552,6 +552,12 @@ def test_reset_plan_stats_releafs_checkpoints_zero_copy(spark):
     assert reset.schema == joined.schema
     assert reset.count() == 500
     assert size_of(reset) == 2 ** 63 - 1  # spark.sql.defaultSizeInBytes
+    # the result must actually BE a fresh LogicalRDD leaf over the same
+    # blocks — not the silent-fallback input (round-7 verdict item 3: on a
+    # PySpark upgrade that breaks the private API this line fails loudly)
+    assert reset._jdf.queryExecution().analyzed() \
+        .getClass().getSimpleName() == "LogicalRDD"
+    assert reset is not joined
 
     cur, owned = base, [base, joined]
     t0 = time.perf_counter()
@@ -570,3 +576,41 @@ def test_reset_plan_stats_releafs_checkpoints_zero_copy(spark):
     assert size_of(cur) == 2 ** 63 - 1
     for df in owned:
         _drop_checkpoint_blocks(df)
+
+
+def test_private_api_fallback_warns_loudly(spark, monkeypatch):
+    """When the private JVM API behind reset_plan_stats is unavailable, the
+    fallback must WARN (once per process), never pass silently — a silent
+    fallback reinstates the exact G2-scale pathologies (BigInteger stats
+    stall, retained checkpoint blocks) with no signal (round-7 verdict
+    item 3). Simulated by feeding a non-checkpointed frame, whose analyzed
+    plan has no ``rdd()`` — the same failure shape as a broken API."""
+    import warnings
+
+    import gmr_spark.plans.pregel as P
+
+    monkeypatch.setattr(P, "_WARNED_FALLBACKS", set())
+    plain = spark.range(10)  # Range leaf, not LogicalRDD: rdd() raises
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = P.reset_plan_stats(plain)
+    assert out is plain  # documented fallback: input unchanged
+    msgs = [str(w.message) for w in caught
+            if issubclass(w.category, RuntimeWarning)]
+    assert any("reset_plan_stats" in m and "private Spark JVM API" in m
+               for m in msgs), msgs
+    # and exactly once per process per helper — loops must not drown logs
+    with warnings.catch_warnings(record=True) as again:
+        warnings.simplefilter("always")
+        P.reset_plan_stats(plain)
+    assert not [w for w in again if issubclass(w.category, RuntimeWarning)]
+
+    # _drop_checkpoint_blocks on a non-LogicalRDD frame is a LEGITIMATE
+    # no-op (loop state variables start as LocalRelations) — never a warn
+    monkeypatch.setattr(P, "_WARNED_FALLBACKS", set())
+    with warnings.catch_warnings(record=True) as quiet:
+        warnings.simplefilter("always")
+        P._drop_checkpoint_blocks(spark.range(5))
+        P._drop_checkpoint_blocks(
+            spark.createDataFrame([], "id bigint"))
+    assert not [w for w in quiet if issubclass(w.category, RuntimeWarning)]
