@@ -41,6 +41,7 @@ def k_core(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
     from gmr_spark.plans.pregel import (
         BIG_GRAPH_ROWS,
         _drop_checkpoint_blocks,
+        disown,
         reset_plan_stats,
     )
 
@@ -78,7 +79,7 @@ def k_core(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
     try:
         for _ in range(max_iter):
             if n_alive == 0:
-                owned.remove(alive)
+                disown(owned, alive)
                 return alive
             induced = (
                 sym.join(_pin(alive.select(F.col("id").alias("a"))),
@@ -104,10 +105,10 @@ def k_core(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
             # instead of waiting for ContextCleaner (same hygiene as
             # run_pregel's per-superstep truncation)
             _drop_checkpoint_blocks(alive)
-            owned.remove(alive)
+            disown(owned, alive)
             if n_nxt == n_alive:
                 # fixpoint: induced degrees are all >= k -> this IS the core
-                owned.remove(nxt)
+                disown(owned, nxt)
                 return nxt
             alive, n_alive = nxt, n_nxt
     finally:

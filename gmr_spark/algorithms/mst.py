@@ -165,7 +165,7 @@ def _boruvka_phases(canon: DataFrame, comp: DataFrame, mst: DataFrame,
     def _pin(df: DataFrame) -> DataFrame:
         return df.hint("shuffle_hash") if big else df
 
-    from gmr_spark.plans.pregel import _drop_checkpoint_blocks
+    from gmr_spark.plans.pregel import _drop_checkpoint_blocks, disown
 
     # every live checkpoint this loop owns (round-7 ADVICE: a mid-phase
     # failure used to leak the current lab/sel/lbl/comp blocks until
@@ -176,8 +176,7 @@ def _boruvka_phases(canon: DataFrame, comp: DataFrame, mst: DataFrame,
 
     def _drop(df: DataFrame) -> None:
         _drop_checkpoint_blocks(df)
-        if any(df is o for o in owned):
-            owned.remove(df)
+        disown(owned, df)
 
     try:
         for _ in range(max_phases):  # noqa: B007 (break-on-fixpoint loop)
@@ -237,8 +236,7 @@ def _boruvka_phases(canon: DataFrame, comp: DataFrame, mst: DataFrame,
         # the returned forest's checkpoints have no lineage into it) AND the
         # current phase's partial state on the exception path. The forest
         # itself is removed from the list before return.
-        if any(mst is o for o in owned):
-            owned.remove(mst)
+        disown(owned, mst)
         for df in owned:
             _drop_checkpoint_blocks(df)
     return mst

@@ -6,65 +6,155 @@ distributed coloring algorithm (Orzan; also GraphX's strategy) expressed in
 DataFrames:
 
 repeat until every vertex is assigned:
-  1. *color* phase — propagate ``min id that reaches v`` forward along edges
-     over the unassigned subgraph (min-label Pregel loop);
-  2. vertices with ``color == id`` are SCC roots;
+  0. *trim* — iteratively peel vertices with zero in- or out-degree in the
+     remaining graph: they cannot sit on a cycle, so each is its own
+     singleton SCC (standard FW-BW/Multistep pre-step; Slota et al. 2014,
+     Hong et al. 2013 — public formulations). Bounded iterations per phase;
+     the coloring loop below is complete without it.
+  1. *color* phase — propagate ``min over vertices that reach v`` forward
+     along edges over the unassigned subgraph (min-label Pregel loop). The
+     ordering key is a SCRAMBLED (mix(id), id) struct, not the raw id: with
+     raw min-id coloring an adversarial layout (ids increasing along the
+     condensation order) makes every phase elect ONE root — the chain worst
+     case peels one SCC per phase. Scrambling the key (Orzan's random-color
+     idea) makes the per-phase root set the *prefix minima of a random
+     order*, so an adversarial K-SCC chain peels in O(log K) expected
+     phases instead of K (pinned by tests/test_fixtures_graph.py). The id
+     tiebreak keeps the order total, so a mix collision costs nothing.
+  2. vertices whose color equals their own key are SCC roots;
   3. *membership* phase — from each root, propagate backward along reversed
      edges, but only across vertices of the same color; every vertex reached
      is in the root's SCC (mutual reachability: forward via the color,
      backward via the walk);
-  4. assign those vertices ``scc = color``, remove them, repeat.
+  4. relabel each membership group by its minimum vertex id, assign, remove,
+     repeat.
 
-Output label = min vertex id of the SCC (deterministic).
+Output label = min vertex id of the SCC (deterministic, independent of the
+scramble — only the PHASE STRUCTURE depends on it).
 
-Scale: each phase is two frontier Pregel loops; worst case (one long path)
-degenerates, but on real graphs a few phases peel everything. Per-phase
-localCheckpoint bounds lineage.
+Scale: each phase is two frontier Pregel loops plus the trim's semi-joins.
+The superstep count of one coloring pass is bounded by the remaining graph's
+directed diameter — a condensation CHAIN of depth D forces ≥D supersteps in
+phase 1 regardless of scrambling (label propagation is latency-bound on
+deep condensations; that bound is intrinsic to the algorithm class, not this
+plan). Phase-local checkpoints are tracked in an owned list and released on
+every exit (the r7 2-phase runs never held more than a few; a many-SCC run
+holds O(phases) superseded remainders without this). Per-superstep
+localCheckpoint bounds lineage; big graphs re-leaf stats per superstep
+(plans/pregel.reset_plan_stats — the digit-doubling guard).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation, functions as F
+from pyspark.sql import Column, DataFrame, Observation, functions as F
 
 from gmr_spark.graph import PropertyGraph
-from gmr_spark.plans.pregel import _drop_checkpoint_blocks
+from gmr_spark.plans.pregel import (
+    BIG_GRAPH_ROWS,
+    _drop_checkpoint_blocks,
+    disown,
+    reset_plan_stats,
+)
 
 
-def _min_forward_colors(vertices: DataFrame, edges: DataFrame, max_iter: int) -> DataFrame:
-    """(id, color): min id that reaches id along ``edges`` (incl. itself).
+def _scramble(c: Column) -> Column:
+    """Deterministic 64-bit scramble of a vertex id: Spark's builtin
+    ``xxhash64`` (JVM-side, fixed seed — stable across sessions). A plain
+    xorshift is NOT enough here: on small consecutive ids its left-shifts
+    never interact (no carries), so it is order-PRESERVING exactly where the
+    adversarial layouts live — measured, a 16-SCC increasing-id chain still
+    peeled 16 phases under xorshift, 5 under xxhash64. Hash collisions cost
+    nothing: the coloring key is the (mix, id) STRUCT, so the order stays
+    total and the root stays unique."""
+    return F.xxhash64(c)
 
-    This is exactly directed min-label propagation, so it reuses the CC
-    Pregel program under the shared driver (one place owns lineage /
-    convergence mechanics)."""
-    from gmr_spark.algorithms.cc import _CCProgram
+
+class _ColorProgram:
+    """Directed min-propagation of the (mix, id) struct key: value converges
+    to the minimum key over all vertices that reach v (including itself).
+    ``scramble=False`` degrades to raw min-id coloring (kept for the
+    adversarial-layout phase-count test)."""
+
+    def __init__(self, scramble: bool = True):
+        self.scramble = scramble
+
+    def _key(self, idc: Column) -> Column:
+        mix = _scramble(idc) if self.scramble else idc
+        return F.struct(mix.alias("m"), idc.alias("rid"))
+
+    def init(self, vertices: DataFrame) -> DataFrame:
+        return vertices.select(
+            "id", self._key(F.col("id")).alias("value"),
+            F.lit(True).alias("active"),
+        )
+
+    def messages(self, frontier: DataFrame, edges: DataFrame) -> DataFrame:
+        f = frontier.select(F.col("id").alias("fid"), F.col("value").alias("fkey"))
+        return edges.join(f, F.col("src") == F.col("fid")).select(
+            F.col("dst").alias("id"), F.col("fkey").alias("msg")
+        )
+
+    def aggregate(self, msgs: DataFrame) -> DataFrame:
+        return msgs.groupBy("id").agg(F.min("msg").alias("agg"))
+
+    def update(self, vertices: DataFrame, agg: DataFrame) -> DataFrame:
+        improved = F.col("agg").isNotNull() & (F.col("agg") < F.col("value"))
+        return vertices.join(agg, "id", "left").select(
+            "id",
+            F.when(improved, F.col("agg")).otherwise(F.col("value")).alias("value"),
+            improved.alias("active"),
+        )
+
+
+def _min_forward_colors(vertices: DataFrame, edges: DataFrame, max_iter: int,
+                        *, scramble: bool = True
+                        ) -> tuple[DataFrame, DataFrame, int]:
+    """(id, color): the vertex id whose (mix, id) key is minimal among all
+    vertices that reach id along ``edges`` (incl. itself) — i.e. the elected
+    root of id's color region. Returns (colors view, the underlying
+    checkpoint for the caller to release, supersteps)."""
     from gmr_spark.plans.pregel import run_pregel
 
     result = run_pregel(
         PropertyGraph(vertices=vertices.select("id"), edges=edges),
-        _CCProgram(), max_iter=max_iter,
+        _ColorProgram(scramble), max_iter=max_iter,
     )
-    return result.vertices.select("id", F.col("value").alias("color"))
+    colors = result.vertices.select("id", F.col("value.rid").alias("color"))
+    return colors, result.vertices, result.iterations
 
 
-def _backward_members(colors: DataFrame, edges: DataFrame, max_iter: int) -> DataFrame:
-    """(id, color) of vertices that reach their color's root backward through
-    same-colored vertices — i.e. the members of each root's SCC.
+def _backward_members(colors: DataFrame, edges: DataFrame, max_iter: int,
+                      *, big: bool = False) -> tuple[DataFrame, DataFrame]:
+    """(members view, final state checkpoint — caller releases the latter
+    once the members are materialized elsewhere): vertices that reach their
+    color's root backward through same-colored vertices — i.e. the members
+    of each root's SCC.
 
     ONE job per superstep: the convergence census rides the eager
     localCheckpoint's materializing job as an ``Observation`` metric (same
     pattern as ``run_pregel``) instead of a second ``limit(1).count()``
-    action — halves driver round-trips in the peel loop."""
+    action — halves driver round-trips in the peel loop. ``big`` re-leafs
+    the per-superstep checkpoint's stats (each superstep joins state with an
+    aggregate derived FROM state, so the propagated size estimate doubles
+    its digit count per round — the Borůvka digit-doubling shape) and pins
+    shuffle_hash on the |V|-scaling state sides (the AQE broadcast trap)."""
+
+    def _pin(df: DataFrame) -> DataFrame:
+        return df.hint("shuffle_hash") if big else df
+
     state = colors.select(
         "id", "color", (F.col("color") == F.col("id")).alias("member"),
         (F.col("color") == F.col("id")).alias("active"),
     ).localCheckpoint(eager=True)
+    if big:
+        state = reset_plan_stats(state)
     prev_state = state
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     for _ in range(max_iter):
         frontier = state.filter("active").select(
             F.col("id").alias("fid"), F.col("color").alias("fcolor")
         )
-        msgs = rev.join(frontier, F.col("src") == F.col("fid")).select(
+        msgs = rev.join(_pin(frontier), F.col("src") == F.col("fid")).select(
             F.col("dst").alias("id"), F.col("fcolor").alias("msg")
         )
         agg = msgs.groupBy("id").agg(F.collect_set("msg").alias("msg_colors"))
@@ -75,7 +165,7 @@ def _backward_members(colors: DataFrame, edges: DataFrame, max_iter: int) -> Dat
         )
         obs = Observation()
         state = (
-            state.join(agg, "id", "left")
+            _pin(state).join(agg, "id", "left")
             .select(
                 "id", "color",
                 (F.col("member") | newly).alias("member"),
@@ -84,50 +174,155 @@ def _backward_members(colors: DataFrame, edges: DataFrame, max_iter: int) -> Dat
             .observe(obs, F.sum(F.col("active").cast("long")).alias("n_active"))
             .localCheckpoint(eager=True)
         )
+        if big:
+            state = reset_plan_stats(state)
         _drop_checkpoint_blocks(prev_state)
         prev_state = state
         if (obs.get["n_active"] or 0) == 0:
             break
-    return state.filter("member").select("id", "color")
+    return state.filter("member").select("id", "color"), state
+
+
+def _trim_pass(remaining_v: DataFrame, remaining_e: DataFrame,
+               max_trim_iter: int, owned: list[DataFrame],
+               *, big: bool = False):
+    """Peel vertices with zero in- or out-degree in the remaining graph —
+    each is a singleton SCC labeled by itself. Returns
+    (remaining_v, remaining_e, trimmed_parts, n_iters, n_trimmed); the new
+    remainders are eager checkpoints registered in ``owned``, the trimmed
+    parts are eager checkpoints NOT registered (they are returned output).
+    A no-op pass costs two distinct+semi-join jobs and exits immediately."""
+
+    def _pin(df: DataFrame) -> DataFrame:
+        return df.hint("shuffle_hash") if big else df
+
+    trimmed_parts: list[DataFrame] = []
+    n_trimmed = 0
+    for it in range(max_trim_iter):
+        has_out = remaining_e.select(F.col("src").alias("id")).distinct()
+        has_in = remaining_e.select(F.col("dst").alias("id")).distinct()
+        keep = (
+            remaining_v
+            .join(_pin(has_out), "id", "left_semi")
+            .join(_pin(has_in), "id", "left_semi")
+        ).localCheckpoint(eager=True)
+        owned.append(keep)
+        dropped = remaining_v.join(keep, "id", "left_anti").select(
+            "id", F.col("id").alias("scc")
+        ).localCheckpoint(eager=True)
+        n_dropped = dropped.count()
+        if n_dropped == 0:
+            _drop_checkpoint_blocks(dropped)
+            _drop_checkpoint_blocks(keep)
+            disown(owned, keep)
+            return remaining_v, remaining_e, trimmed_parts, it, n_trimmed
+        trimmed_parts.append(dropped)
+        n_trimmed += n_dropped
+        _drop_checkpoint_blocks(remaining_v)
+        disown(owned, remaining_v)
+        remaining_v = keep
+        new_e = (
+            remaining_e
+            .join(_pin(keep.select(F.col("id").alias("src"))), "src", "left_semi")
+            .join(_pin(keep.select(F.col("id").alias("dst"))), "dst", "left_semi")
+            .select("src", "dst")
+        ).localCheckpoint(eager=True)
+        owned.append(new_e)
+        _drop_checkpoint_blocks(remaining_e)
+        disown(owned, remaining_e)
+        remaining_e = new_e
+    return remaining_v, remaining_e, trimmed_parts, max_trim_iter, n_trimmed
 
 
 def strongly_connected_components(graph: PropertyGraph, *, max_iter: int = 120,
-                                  max_phases: int = 50) -> DataFrame:
+                                  max_phases: int = 50, trim_iters: int = 4,
+                                  scramble: bool = True,
+                                  metrics_out: dict | None = None) -> DataFrame:
     """-> (id BIGINT, scc BIGINT) with scc = min vertex id in the SCC.
 
-    Raises RuntimeError if vertices remain unassigned after ``max_phases``
-    (each phase peels ≥1 SCC, so this only triggers on adversarial long
-    chains of singleton SCCs — raise the cap rather than return a silently
-    partial labeling).
+    ``trim_iters`` bounds the per-phase trim loop (0 disables);
+    ``scramble=False`` reverts to raw min-id coloring (adversarial id
+    layouts then peel one SCC per phase — exposed for the phase-count
+    test, never for production use). ``metrics_out``, if given, receives
+    ``phases``, ``color_supersteps`` (total), ``trim_iters_run`` and
+    ``trimmed`` counters. Raises RuntimeError if vertices remain unassigned
+    after ``max_phases`` — raise the cap rather than return a silently
+    partial labeling.
     """
     remaining_v = graph.vertices.select("id").localCheckpoint(eager=True)
     remaining_e = graph.edges.select("src", "dst").localCheckpoint(eager=True)
     empty = remaining_v.sparkSession.createDataFrame([], "id bigint, scc bigint")
     assigned_parts: list[DataFrame] = [empty]
+    stats = {"phases": 0, "color_supersteps": 0, "trim_iters_run": 0,
+             "trimmed": 0}
+    # |V|-scaling sides get the big-graph treatment (shuffle_hash pins +
+    # per-superstep stats re-leaf) while the remainder is genuinely big;
+    # re-counted per phase as the peel shrinks it
+    n_remaining = remaining_v.count()
 
+    owned: list[DataFrame] = [remaining_v, remaining_e]
     done = False
-    for _ in range(max_phases):
-        if remaining_v.limit(1).count() == 0:
-            done = True
-            break
-        colors = _min_forward_colors(remaining_v, remaining_e, max_iter)
-        members = _backward_members(colors, remaining_e, max_iter)
-        assigned_parts.append(
-            members.select("id", F.col("color").alias("scc")).localCheckpoint(eager=True)
-        )
-        member_ids = members.select("id")
-        remaining_v = remaining_v.join(member_ids, "id", "left_anti").localCheckpoint(eager=True)
-        remaining_e = (
-            remaining_e.join(member_ids.withColumnRenamed("id", "src"), "src", "left_anti")
-            .join(member_ids.withColumnRenamed("id", "dst"), "dst", "left_anti")
-            .select("src", "dst")
-            .localCheckpoint(eager=True)
-        )
-    if not done and remaining_v.limit(1).count() > 0:
-        raise RuntimeError(
-            f"SCC did not assign every vertex within max_phases={max_phases}; "
-            "raise max_phases for graphs with very long singleton-SCC chains"
-        )
+    try:
+        for _ in range(max_phases):
+            big = n_remaining > BIG_GRAPH_ROWS
+            if trim_iters > 0 and n_remaining > 0:
+                remaining_v, remaining_e, trimmed, t_it, t_n = _trim_pass(
+                    remaining_v, remaining_e, trim_iters, owned, big=big)
+                assigned_parts.extend(trimmed)
+                stats["trim_iters_run"] += t_it
+                stats["trimmed"] += t_n
+                if t_n:
+                    n_remaining = remaining_v.count()
+            if n_remaining == 0:
+                done = True
+                break
+            colors, colors_ckpt, steps = _min_forward_colors(
+                remaining_v, remaining_e, max_iter, scramble=scramble)
+            stats["color_supersteps"] += steps
+            members, member_state = _backward_members(
+                colors, remaining_e, max_iter, big=big)
+            # relabel each membership group by its min vertex id — the
+            # declared output contract, independent of the scramble
+            scc_min = members.groupBy("color").agg(F.min("id").alias("scc"))
+            part = members.join(scc_min, "color").select("id", "scc") \
+                .localCheckpoint(eager=True)
+            assigned_parts.append(part)
+            stats["phases"] += 1
+            member_ids = part.select("id")
+            new_v = remaining_v.join(member_ids, "id", "left_anti") \
+                .localCheckpoint(eager=True)
+            owned.append(new_v)
+            _drop_checkpoint_blocks(remaining_v)
+            disown(owned, remaining_v)
+            remaining_v = new_v
+            new_e = (
+                remaining_e.join(member_ids.withColumnRenamed("id", "src"),
+                                 "src", "left_anti")
+                .join(member_ids.withColumnRenamed("id", "dst"),
+                      "dst", "left_anti")
+                .select("src", "dst")
+                .localCheckpoint(eager=True)
+            )
+            owned.append(new_e)
+            _drop_checkpoint_blocks(remaining_e)
+            disown(owned, remaining_e)
+            remaining_e = new_e
+            # the coloring result and the membership state are dead once
+            # part landed (part is a fresh checkpoint) — release both now
+            _drop_checkpoint_blocks(colors_ckpt)
+            _drop_checkpoint_blocks(member_state)
+            n_remaining = remaining_v.count()
+        if not done and n_remaining > 0:
+            raise RuntimeError(
+                f"SCC did not assign every vertex within max_phases="
+                f"{max_phases}; raise the cap for extremely deep "
+                "condensations"
+            )
+    finally:
+        for df in owned:
+            _drop_checkpoint_blocks(df)
+        if metrics_out is not None:
+            metrics_out.update(stats)
 
     out = assigned_parts[0]
     for part in assigned_parts[1:]:

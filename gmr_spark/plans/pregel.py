@@ -202,6 +202,19 @@ def reset_plan_stats(df: DataFrame) -> DataFrame:
         return df
 
 
+def disown(owned: list[DataFrame], df: DataFrame) -> None:
+    """Remove ``df`` from an owned-checkpoint list by IDENTITY.
+    ``list.remove`` compares with ``==``, and ``DataFrame.__eq__`` returns a
+    Column whose bool coercion raises — safe only when the target happens to
+    be the first element scanned. Identity is also the correct semantic: two
+    distinct checkpoints can be semantically equal yet own different blocks.
+    """
+    for i, o in enumerate(owned):
+        if o is df:
+            del owned[i]
+            return
+
+
 # one warning per (process, helper): these fire inside per-superstep loops,
 # so unbounded warnings would drown the log exactly when they matter most
 _WARNED_FALLBACKS: set[str] = set()

@@ -115,6 +115,59 @@ def test_scc_cycle_and_dag(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4, 7: 7}
 
 
+def _scc_chain(spark, n_sccs: int, size: int):
+    """Condensation CHAIN of ``n_sccs`` directed ``size``-cycles with the
+    ADVERSARIAL id layout (ids increase along the chain): SCC i holds ids
+    [i*size, (i+1)*size) and bridges forward to SCC i+1. Raw min-id coloring
+    floods color 0 over everything, elects ONE root per phase, and peels
+    K phases; scrambled coloring peels the prefix minima of a pseudo-random
+    order per phase — O(log K) expected."""
+    edges = []
+    for i in range(n_sccs):
+        base = i * size
+        edges += [(base + j, base + (j + 1) % size) for j in range(size)]
+        if i + 1 < n_sccs:
+            edges.append((base, base + size))
+    return _graph(spark, edges)
+
+
+def test_scc_scrambled_coloring_beats_adversarial_chain(spark):
+    """Round-8 verdict item 2 (the many-small-SCC weak case): on a 16-SCC
+    adversarial chain, raw min-id coloring degenerates to one peel per phase
+    (16 phases) while the scrambled default must finish in at most half —
+    with IDENTICAL labels either way (min vertex id per SCC)."""
+    K, S = 16, 3
+    want = {i * S + j: i * S for i in range(K) for j in range(S)}
+
+    m_raw: dict = {}
+    g = _scc_chain(spark, K, S)
+    got_raw = {r.id: r.scc for r in strongly_connected_components(
+        g, scramble=False, trim_iters=0, metrics_out=m_raw).collect()}
+    assert got_raw == want
+    assert m_raw["phases"] == K  # the degenerate shape, pinned
+
+    m_mix: dict = {}
+    got_mix = {r.id: r.scc for r in strongly_connected_components(
+        g, trim_iters=0, metrics_out=m_mix).collect()}
+    assert got_mix == want
+    assert m_mix["phases"] <= K // 2, m_mix
+
+
+def test_scc_trim_peels_acyclic_fringe_without_coloring(spark):
+    """Trim pre-step: a graph whose only cycle is one 3-cycle, hung with a
+    DAG fringe (in/out tails), must assign every fringe vertex through the
+    trim loop — zero coloring phases for them — and still label the cycle
+    through one coloring phase."""
+    # 3-cycle {0,1,2}; in-tail 10->11->0; out-tail 2->20->21
+    edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 0), (2, 20), (20, 21)]
+    g = _graph(spark, edges)
+    m: dict = {}
+    got = {r.id: r.scc for r in strongly_connected_components(
+        g, metrics_out=m).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 11, 20: 20, 21: 21}
+    assert m["trimmed"] == 4 and m["phases"] == 1, m
+
+
 def test_graphx_operator_surface(spark):
     """reverse/subgraph/mask/groupEdges/triplets/outerJoin/aggregateMessages
     — the GraphX operator list the reference cites as its roadmap

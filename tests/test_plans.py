@@ -172,7 +172,7 @@ def test_scc_backward_one_job_per_superstep(spark):
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         sc.setJobGroup("scc_census_test", "scc backward job-count pin")
-        members = _backward_members(colors, edges, max_iter=10)
+        members, _state = _backward_members(colors, edges, max_iter=10)
         sc.setJobGroup(None, None)
         n_jobs = len(sc.statusTracker().getJobIdsForGroup("scc_census_test"))
         assert n_jobs <= 4, f"expected <=4 jobs (init + 3 supersteps), got {n_jobs}"
