@@ -52,6 +52,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # scale_llm
 
 V = int(os.environ.get("R8_VERTICES", 4_800_000))
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -202,6 +203,11 @@ def run_skew(spark, timings, extra):
           f"{int(np.bincount(hub_dst).max())}) "
           f"({timings['build_graph']}s)", file=sys.stderr)
 
+    only_triplets = os.environ.get("R8_SKEW_ONLY_TRIPLETS", "") == "1"
+    if only_triplets:
+        _skew_triplets(spark, g, vertices, edges, n_edges, timings, extra)
+        return
+
     # --- weighted in-degree (the skewed groupBy(dst), SURVEY §4 risk 2) ---
     t0 = time.perf_counter()
     win = g.aggregate_messages(to_dst=F.col("weight"), agg=F.sum("msg"),
@@ -247,21 +253,36 @@ def run_skew(spark, timings, extra):
         print(f"triangles: {cnt} == V*T2 ({timings['triangle_count']}s)",
               file=sys.stderr)
 
-    # --- the dst-keyed join surface: does AQE skew-split fire? --------
-    # triplets joins edges⋈vertices on src then dst: dst=hub0 holds ~1M of
-    # 110M rows. Run default-conf, then with tuned skew thresholds (what a
-    # 100 TB deployment would set for a known-skewed enrichment join).
+    _skew_triplets(spark, g, vertices, edges, n_edges, timings, extra)
+
+
+def _skew_triplets(spark, g, vertices, edges, n_edges, timings, extra):
+    """The dst-keyed join surface: does AQE skew-split fire?
+
+    triplets joins edges⋈vertices on src then dst: dst=hub0 holds ~1M of
+    110M rows. Two runs: (a) session defaults — local-mode's 32 shuffle
+    partitions pack ~150k distinct dst keys per partition, so even a 1M-row
+    hot key is diluted below AQE's 5x-median skew bar (the honest local
+    finding); (b) cluster-realistic partitioning (2048 shuffle partitions —
+    what a 1000-executor job would run) + tuned skew thresholds: the hot
+    key then dominates its partition ~19x over median and AQE must split
+    it. Row counts asserted identical both ways."""
+    from pyspark.sql import functions as F
+
+    from gmr_spark.graph import PropertyGraph
+
     attrs = vertices.select("id", (F.col("id") % 1000).alias("grp"))
     ag = PropertyGraph(vertices=attrs, edges=edges)
     t0 = time.perf_counter()
     extra["triplets_default"] = _grep_skew(ag.triplets())
     timings["triplets_default"] = round(time.perf_counter() - t0, 1)
     saved = {}
-    tuned = {"spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    tuned = {"spark.sql.shuffle.partitions": "2048",
+             "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
              "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
-                 "16m",
-             "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
-             # forced SMJ: the 4.8M-row attr side must not broadcast, or
+                 "8m",
+             "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+             # forced SMJ: the |V|-row attr side must not broadcast, or
              # there is no shuffled dst partition to split
              "spark.sql.autoBroadcastJoinThreshold": "-1",
              "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1"}
@@ -270,8 +291,8 @@ def run_skew(spark, timings, extra):
         spark.conf.set(k_, v_)
     try:
         t0 = time.perf_counter()
-        extra["triplets_tuned_skew"] = _grep_skew(ag.triplets())
-        timings["triplets_tuned_skew"] = round(time.perf_counter() - t0, 1)
+        extra["triplets_cluster_parts"] = _grep_skew(ag.triplets())
+        timings["triplets_cluster_parts"] = round(time.perf_counter() - t0, 1)
     finally:
         for k_, v_ in saved.items():
             if v_ is None:
@@ -279,10 +300,11 @@ def run_skew(spark, timings, extra):
             else:
                 spark.conf.set(k_, v_)
     assert extra["triplets_default"]["rows"] == n_edges
-    assert extra["triplets_tuned_skew"]["rows"] == n_edges
+    assert extra["triplets_cluster_parts"]["rows"] == n_edges
     print(f"triplets: default skew_split="
-          f"{extra['triplets_default']['skew_split']}, tuned skew_split="
-          f"{extra['triplets_tuned_skew']['skew_split']}", file=sys.stderr)
+          f"{extra['triplets_default']['skew_split']}, cluster-parts "
+          f"skew_split={extra['triplets_cluster_parts']['skew_split']}",
+          file=sys.stderr)
 
 
 def run_manyscc(spark, timings, extra):
@@ -360,6 +382,77 @@ def run_manyscc(spark, timings, extra):
           file=sys.stderr)
 
 
+def run_pack(spark, timings, extra, n_files: int):
+    """R8_RUN_PACK=<n>: the pack hop's rate story on a real n-file corpus
+    (round-7 verdict item 5's Done criterion). Measures all three legs on
+    the same host in one session: the per-object-bound file-backed decode
+    (the r7 4.6k files/s finding), the ONE-TIME pack hop (binaryFile scan →
+    parquet binary shards), and the packed re-scan decode — which must run
+    at the in-stream decode-bound rate (~100x the file-backed rate), since
+    that is the whole point of paying the pack once."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    import scale_llm
+    from gmr_spark.operators.multimodal import (
+        _ensure_packed_payloads,
+        _ensure_payload_files,
+        _make_wav_payload_batches,
+        multimodal_audio_files,
+        multimodal_pack,
+    )
+
+    scratch = f"/tmp/r8_pack_{n_files}"
+    asf = scale_llm.build_corpus(spark, n=n_files, scratch=scratch)
+    t0 = time.perf_counter()
+    files_dir = _ensure_payload_files(spark, asf, "wav",
+                                      _make_wav_payload_batches)
+    timings["pack_write_files"] = round(time.perf_counter() - t0, 1)
+
+    # leg A: file-backed scan+decode (per-object bound — the r7 baseline)
+    t0 = time.perf_counter()
+    agg_a = multimodal_audio_files(spark, asf).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_frames").alias("frames")
+    ).first()
+    file_s = time.perf_counter() - t0
+    timings["pack_filebacked_decode"] = round(file_s, 1)
+    assert agg_a.n == n_files
+
+    # leg B: the one-time pack hop (includes its own binaryFile pass)
+    t0 = time.perf_counter()
+    packed_dir = _ensure_packed_payloads(spark, asf, "wav",
+                                         _make_wav_payload_batches)
+    pack_s = time.perf_counter() - t0
+    timings["pack_hop"] = round(pack_s, 1)
+
+    # leg C: packed re-scan decode — every pass after the first pays this
+    t0 = time.perf_counter()
+    agg_c = multimodal_pack(spark, asf).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_frames").alias("frames")
+    ).first()
+    packed_s = time.perf_counter() - t0
+    timings["pack_packed_decode"] = round(packed_s, 1)
+    assert agg_c.n == n_files and agg_c.frames == agg_a.frames
+
+    extra["pack"] = {
+        "files": n_files,
+        "frames": int(agg_c.frames),
+        "filebacked_files_per_sec": round(n_files / file_s),
+        "pack_hop_files_per_sec": round(n_files / pack_s),
+        "packed_files_per_sec": round(n_files / packed_s),
+        "packed_speedup_per_pass": round(file_s / packed_s, 1),
+    }
+    print(f"pack: file-backed {extra['pack']['filebacked_files_per_sec']}/s, "
+          f"hop {extra['pack']['pack_hop_files_per_sec']}/s, packed re-scan "
+          f"{extra['pack']['packed_files_per_sec']}/s "
+          f"({extra['pack']['packed_speedup_per_pass']}x per pass)",
+          file=sys.stderr)
+    shutil.rmtree(files_dir, ignore_errors=True)
+    shutil.rmtree(packed_dir, ignore_errors=True)
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
 def main() -> None:
     from gmr_spark.session import calibration_probe, get_session
 
@@ -375,6 +468,9 @@ def main() -> None:
         run_skew(spark, timings, extra)
     if os.environ.get("R8_RUN_MANYSCC", ""):
         run_manyscc(spark, timings, extra)
+    n_pack = int(os.environ.get("R8_RUN_PACK", 0) or 0)
+    if n_pack:
+        run_pack(spark, timings, extra, n_pack)
 
     extra["calibration_post_sec"] = calibration_probe(spark)
     print(json.dumps({
