@@ -271,39 +271,70 @@ def _skew_triplets(spark, g, vertices, edges, n_edges, timings, extra):
 
     from gmr_spark.graph import PropertyGraph
 
-    attrs = vertices.select("id", (F.col("id") % 1000).alias("grp"))
+    # the vertex attribute carries 8 B/row of entropy (xxhash64), like a
+    # real payload column would — a derived low-entropy attr (id % 1000 +
+    # constant weight) lets lz4 crush the hot partition's 40 B rows to a
+    # few bytes each and the compressed-size skew detector (see tuned{}
+    # note) never trips: measured, the SAME join fires with an entropy
+    # attr and stays silent with a constant one
+    # the vertex attribute carries 8 B/row of entropy (xxhash64), like a
+    # real payload column would — a derived low-entropy attr (id % 1000 +
+    # constant weight) lets lz4 crush the hot partition's 40 B rows to a
+    # few bytes each and the compressed-size skew detector (thresholds act
+    # on compressed map-output bytes) never trips: measured, the SAME join
+    # fires with an entropy attr and stays silent with a constant one
+    attrs = vertices.select("id", F.xxhash64("id").alias("grp"))
     ag = PropertyGraph(vertices=attrs, edges=edges)
     t0 = time.perf_counter()
     extra["triplets_default"] = _grep_skew(ag.triplets())
     timings["triplets_default"] = round(time.perf_counter() - t0, 1)
-    saved = {}
-    tuned = {"spark.sql.shuffle.partitions": "2048",
-             "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
-             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
-                 "8m",
-             "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
-             # forced SMJ: the |V|-row attr side must not broadcast, or
-             # there is no shuffled dst partition to split
-             "spark.sql.autoBroadcastJoinThreshold": "-1",
-             "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1"}
-    for k_, v_ in tuned.items():
-        saved[k_] = spark.conf.get(k_, None)
-        spark.conf.set(k_, v_)
-    try:
-        t0 = time.perf_counter()
-        extra["triplets_cluster_parts"] = _grep_skew(ag.triplets())
-        timings["triplets_cluster_parts"] = round(time.perf_counter() - t0, 1)
-    finally:
-        for k_, v_ in saved.items():
-            if v_ is None:
-                spark.conf.unset(k_)
-            else:
-                spark.conf.set(k_, v_)
+
+    # two cluster-realistic partition counts bracketing Spark's
+    # spark.shuffle.minNumPartitionsToHighlyCompress cutoff (2000): at 1024
+    # reduce partitions map statuses carry EXACT per-block sizes and the
+    # skew rule must fire; at 2048 they switch to HighlyCompressedMapStatus,
+    # which averages every block below spark.shuffle.accurateBlockThreshold
+    # (100 MB default) — the detector goes BLIND to this hub (its per-map
+    # blocks are ~100 KB-1 MB) and skew_split=false is the EXPECTED, and
+    # important, result. Verified root cause (same join, fresh sessions):
+    # raising minNumPartitionsToHighlyCompress or lowering
+    # accurateBlockThreshold to 16k — both static core confs — restores
+    # detection at 2048. See SCALE.md round 8 for the 100 TB guidance.
+    tuned_common = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512k",
+        # forced SMJ: the |V|-row attr side must not broadcast, or there
+        # is no shuffled dst partition to split
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1"}
+    for parts, key in ((1024, "triplets_parts_1024"),
+                       (2048, "triplets_parts_2048")):
+        saved = {}
+        tuned = dict(tuned_common,
+                     **{"spark.sql.shuffle.partitions": str(parts)})
+        for k_, v_ in tuned.items():
+            saved[k_] = spark.conf.get(k_, None)
+            spark.conf.set(k_, v_)
+        try:
+            t0 = time.perf_counter()
+            extra[key] = _grep_skew(ag.triplets())
+            timings[key] = round(time.perf_counter() - t0, 1)
+        finally:
+            for k_, v_ in saved.items():
+                if v_ is None:
+                    spark.conf.unset(k_)
+                else:
+                    spark.conf.set(k_, v_)
+        assert extra[key]["rows"] == n_edges
     assert extra["triplets_default"]["rows"] == n_edges
-    assert extra["triplets_cluster_parts"]["rows"] == n_edges
-    print(f"triplets: default skew_split="
-          f"{extra['triplets_default']['skew_split']}, cluster-parts "
-          f"skew_split={extra['triplets_cluster_parts']['skew_split']}",
+    assert extra["triplets_parts_1024"]["skew_split"], \
+        "skew rule must fire below the HighlyCompressed cutoff"
+    assert not extra["triplets_parts_2048"]["skew_split"], \
+        "expected HighlyCompressedMapStatus blindness at 2048 partitions"
+    print(f"triplets: default={extra['triplets_default']['skew_split']}, "
+          f"parts1024={extra['triplets_parts_1024']['skew_split']}, "
+          f"parts2048={extra['triplets_parts_2048']['skew_split']}",
           file=sys.stderr)
 
 
