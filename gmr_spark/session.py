@@ -45,6 +45,18 @@ def get_session(app_name: str = "gmr_spark", cpus: str | int | None = None) -> S
         # driver's owner sets this alongside driver.memory.
         .config("spark.driver.maxResultSize", "8g")
     )
+    # NOT set here, deliberately — spark.shuffle.accurateBlockThreshold
+    # (static core conf). At >= spark.shuffle.minNumPartitionsToHighlyCompress
+    # (2000) reduce partitions, map statuses AVERAGE every block below that
+    # threshold (100 MB default), so AQE skew-join goes blind to hot keys
+    # whose per-map blocks are smaller — measured at 110M rows: the same
+    # join splits at 1024 partitions and pays 6.9x the wall unsplit at 2048
+    # (SCALE.md round 8). The fix is workload-sized, not a constant: the
+    # threshold must sit below hot_key_total_bytes / n_map_tasks, but every
+    # block ABOVE it costs 8 exact bytes per map status, and a blanket low
+    # value at 10k-maps x 10k-partitions scale rebuilds the driver-memory
+    # problem the 2000-partition cutoff exists to avoid. Deployments relying
+    # on AQE skew-join at >2000 partitions set it per job.
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
