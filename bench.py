@@ -115,6 +115,10 @@ HEADLINE = [
     "multimodal_audio",
     "unigram_lm_score",
     "dsir_select",
+    # round 8 addition: the pack hop (binaryFile dir -> parquet binary
+    # shards -> decode) — its first bench call pays the one-time pack
+    # build, which IS the operator's cost model (SCALE.md round 8)
+    "multimodal_pack",
 ]
 
 
