@@ -318,6 +318,14 @@ def strongly_connected_components(graph: PropertyGraph, *, max_iter: int = 120,
                 f"{max_phases}; raise the cap for extremely deep "
                 "condensations"
             )
+    except BaseException:
+        # the already-materialized OUTPUT parts (trimmed singletons + peeled
+        # phases) are never returned on this path — release their blocks
+        # instead of leaving them to ContextCleaner (same hygiene as the
+        # owned list, which only tracks internal state)
+        for p in assigned_parts[1:]:
+            _drop_checkpoint_blocks(p)
+        raise
     finally:
         for df in owned:
             _drop_checkpoint_blocks(df)

@@ -153,6 +153,31 @@ def test_scc_scrambled_coloring_beats_adversarial_chain(spark):
     assert m_mix["phases"] <= K // 2, m_mix
 
 
+def test_scc_self_loops_and_exception_release(spark):
+    """Self-loop vertices survive trim (they have in+out degree) and come
+    out as singleton SCCs labeled by themselves; a mid-run failure (forced
+    via max_phases=0 exhaustion) must raise AND release every checkpoint it
+    materialized — no persistent-RDD growth across the failed call."""
+    import pytest as _pt
+
+    # 7 -> self-loop; 3-cycle {0,1,2}; tail 2 -> 9
+    edges = [(0, 1), (1, 2), (2, 0), (7, 7), (2, 9)]
+    g = _graph(spark, edges)
+    got = {r.id: r.scc for r in strongly_connected_components(g).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 7: 7, 9: 9}
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    before = n_persistent()
+    with _pt.raises(RuntimeError, match="max_phases"):
+        # trim clears 9, the self-loop and cycle need a coloring phase that
+        # max_phases=0 never grants -> the declared loud-failure path
+        strongly_connected_components(g, max_phases=0)
+    assert n_persistent() <= before, \
+        "failed SCC run leaked checkpoint blocks"
+
+
 def test_scc_trim_peels_acyclic_fringe_without_coloring(spark):
     """Trim pre-step: a graph whose only cycle is one 3-cycle, hung with a
     DAG fringe (in/out tails), must assign every fringe vertex through the
