@@ -227,6 +227,81 @@ def test_tpch_scale_corpus_matches_driver_contract(spark, tmp_path):
     assert R.q21_waiting_suppliers(spark, sf).count() > 0
 
 
+def _import_r8(monkeypatch, vertices: int):
+    """scale_r8 reads R8_VERTICES at import — load a fresh copy per size."""
+    import importlib.util
+
+    monkeypatch.setenv("R8_VERTICES", str(vertices))
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "scale_r8.py")
+    spec = importlib.util.spec_from_file_location(f"r8_{vertices}", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_r8_skew_construction_invariants(spark, monkeypatch):
+    """The heavy-tail generator's committed SCALE.md claims, pinned at toy
+    size: (a) the D2 exclusion really forecloses every hub triangle — the
+    Spark triangle count equals the background closed form V*T2 exactly on
+    the FULL graph including 100 hubs; (b) the independent numpy PageRank
+    oracle matches the engine's ranks; (c) hub in-degrees come out as
+    designed."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gmr_spark.algorithms import pagerank
+    from gmr_spark.algorithms.triangles import triangle_count
+    from gmr_spark.graph import PropertyGraph
+
+    r8 = _import_r8(monkeypatch, 150_000)  # > 3*max(S): wrap-triple guard
+    V = r8.V
+    t2 = r8._check_s()
+    assert t2 >= 6  # the three planted sums make the check non-vacuous
+    hub_src, hub_dst = r8._build_hub_edges()
+
+    offsets = F.array(*[F.lit(int(s)) for s in r8.S_OFFSETS])
+    bg = (
+        spark.range(V)
+        .select(F.col("id"), F.explode(offsets).alias("off"))
+        .select(F.col("id").alias("src"),
+                F.pmod(F.col("id") + F.col("off"), F.lit(V)).alias("dst"),
+                F.lit(1.0).alias("weight"))
+    )
+    hub = spark.createDataFrame(
+        list(zip(hub_src.tolist(), hub_dst.tolist())),
+        "src long, dst long").select("src", "dst",
+                                     F.lit(2.0).alias("weight"))
+    edges = bg.unionByName(hub).localCheckpoint(eager=True)
+    g = PropertyGraph(vertices=spark.range(V).select("id"), edges=edges)
+
+    # (a) triangle exactness with all hub edges present
+    assert triangle_count(g).first().tri_cnt == V * t2
+
+    # (b) engine ranks == independent numpy oracle
+    got = pagerank(g, k=10, damping=0.5).toPandas().sort_values("id")
+    want = r8._numpy_pagerank(hub_src, hub_dst)
+    rel = np.abs(got["rank"].to_numpy() - want) / want
+    assert float(rel.max()) < 1e-9, float(rel.max())
+
+    # (c) designed hub in-degrees
+    indeg = np.bincount(hub_dst, minlength=100)
+    assert indeg[0] > indeg[10] > 0 and len(hub_src) == indeg.sum()
+
+
+def test_r8_manyscc_row_at_toy_size(spark, monkeypatch):
+    """run_manyscc end-to-end at toy size: its internal asserts (exact SCC
+    count/sizes/labels) plus the recorded metrics must reflect the DAG
+    design — phases == condensation depth, nothing trimmed."""
+    monkeypatch.setenv("R8_SCC_COUNT", "10")
+    monkeypatch.setenv("R8_SCC_LEVELS", "2")
+    r8 = _import_r8(monkeypatch, 48_000)
+    timings, extra = {}, {}
+    r8.run_manyscc(spark, timings, extra)
+    m = extra["manyscc"]
+    assert m["sccs"] == 10 and m["phases"] == 2 and m["trimmed"] == 0
+
+
 def test_ingest_scale_roundtrip_and_checksum(spark, tmp_path):
     """The ingest probe's round-trip contract at toy size: the sharded
     write → read cycle preserves vertex/edge counts AND the order-invariant
