@@ -119,6 +119,15 @@ def _min_forward_colors(vertices: DataFrame, edges: DataFrame, max_iter: int,
         PropertyGraph(vertices=vertices.select("id"), edges=edges),
         _ColorProgram(scramble), max_iter=max_iter,
     )
+    if not result.converged:
+        # a non-fixpoint coloring is not merely slow, it is WRONG: a vertex
+        # whose true min-reaching key has not arrived yet can elect itself
+        # root and peel a strict subset of its SCC — a silent split. Same
+        # loud-failure contract as k_core / pregel_census_bfs.
+        raise RuntimeError(
+            f"SCC color propagation did not converge within max_iter="
+            f"{max_iter} supersteps — raise max_iter (deep condensations "
+            "need >= their directed diameter)")
     colors = result.vertices.select("id", F.col("value.rid").alias("color"))
     return colors, result.vertices, result.iterations
 
@@ -150,6 +159,7 @@ def _backward_members(colors: DataFrame, edges: DataFrame, max_iter: int,
         state = reset_plan_stats(state)
     prev_state = state
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    converged = False
     for _ in range(max_iter):
         frontier = state.filter("active").select(
             F.col("id").alias("fid"), F.col("color").alias("fcolor")
@@ -179,7 +189,15 @@ def _backward_members(colors: DataFrame, edges: DataFrame, max_iter: int,
         _drop_checkpoint_blocks(prev_state)
         prev_state = state
         if (obs.get["n_active"] or 0) == 0:
+            converged = True
             break
+    if not converged:
+        # incomplete membership silently splits the root's SCC (the
+        # unreached members peel under their own colors next phase)
+        _drop_checkpoint_blocks(state)
+        raise RuntimeError(
+            f"SCC backward membership did not converge within max_iter="
+            f"{max_iter} supersteps — raise max_iter")
     return state.filter("member").select("id", "color"), state
 
 

@@ -291,7 +291,7 @@ def k_truss(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
     query convergence contract, same as k_core)."""
     if k < 2:
         raise ValueError(f"k_truss requires k >= 2, got {k}")
-    from gmr_spark.plans.pregel import _drop_checkpoint_blocks
+    from gmr_spark.plans.pregel import _drop_checkpoint_blocks, disown
 
     min_support = k - 2
     # `ckpt` is the ONE eager checkpoint per round (round-4 ADVICE: a second
@@ -324,7 +324,7 @@ def k_truss(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
         for _ in range(max_iter):
             if n_edges == 0:
                 # the (empty) result still reads through the live checkpoint
-                owned.remove(ckpt)
+                disown(owned, ckpt)
                 return edges.select(
                     "a", "b", F.lit(0).cast("bigint").alias("support"))
             tri = closed_triangles(edges, stats=(n_edges, id_lo, id_hi))
@@ -346,10 +346,10 @@ def k_truss(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
             owned.append(nxt)
             n_nxt = nxt.count()
             _drop_checkpoint_blocks(ckpt)
-            owned.remove(ckpt)
+            disown(owned, ckpt)
             if n_nxt == n_edges:
                 # no edge dropped -> supports are final in-truss values
-                owned.remove(nxt)
+                disown(owned, nxt)
                 return nxt
             ckpt = nxt
             edges = nxt.select("a", "b")  # lazy over the round's checkpoint

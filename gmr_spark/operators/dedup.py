@@ -141,6 +141,18 @@ def _frame_memo(df_src: DataFrame, kind: str, params: tuple, build) -> DataFrame
     if fp is _UNFINGERPRINTABLE:
         return build()  # external source we cannot validate: no memoization
     full_key = (spark.sparkContext.applicationId, kind, h, fp, *params)
+    # a rewritten corpus mints a fresh fingerprint: drop the superseded
+    # GENERATION's dict references (same key except fp) so it stops pinning
+    # its checkpoint blocks — reference-drop only, ContextCleaner reclaims
+    # once outstanding caller frames die (the _memo eviction analog under
+    # the round-7-ADVICE no-explicit-unpersist rule)
+    stale = [k for k in _CKPT_MEMO
+             if len(k) == len(full_key) and k[:3] == full_key[:3]
+             and k[4:] == full_key[4:] and k != full_key]
+    for k in stale:
+        _CKPT_MEMO.pop(k, None)
+        _FRAME_MEMO_SRC.pop(k, None)
+        _COUNT_MEMO.pop(k, None)
     hit = _CKPT_MEMO.get(full_key)
     if hit is not None:
         src_prev = _FRAME_MEMO_SRC.get(full_key)

@@ -178,6 +178,16 @@ def test_scc_self_loops_and_exception_release(spark):
         "failed SCC run leaked checkpoint blocks"
 
 
+def test_scc_raises_on_insufficient_max_iter(spark):
+    """A non-fixpoint coloring is silent corruption (a vertex can elect
+    itself root before its true min-reaching key arrives and peel a strict
+    subset of its SCC) — the loop must raise, not return."""
+    edges = [(i, i + 1) for i in range(6)] + [(6, 0)]  # 7-cycle, diam 6
+    g = _graph(spark, edges)
+    with pytest.raises(RuntimeError, match="color propagation"):
+        strongly_connected_components(g, max_iter=2, trim_iters=0)
+
+
 def test_scc_trim_peels_acyclic_fringe_without_coloring(spark):
     """Trim pre-step: a graph whose only cycle is one 3-cycle, hung with a
     DAG fringe (in/out tails), must assign every fringe vertex through the

@@ -750,6 +750,11 @@ def test_frame_memo_sees_file_rewrites(spark, tmp_path):
         assert {r.doc_id for r in again} == {7}, \
             "frame memo served a stale generation after the file rewrite"
         assert again[0].n_dup_windows == 0
+        # and the superseded generation's dict references were dropped
+        # (reference-drop eviction: one live generation per (kind, plan))
+        from gmr_spark.operators.dedup import _CKPT_MEMO
+        gens = [k for k in _CKPT_MEMO if "substr_wins_frame" in str(k)]
+        assert len(gens) == 1, gens
     finally:
         clear_dedup_memo()
 
