@@ -115,9 +115,12 @@ HEADLINE = [
     "multimodal_audio",
     "unigram_lm_score",
     "dsir_select",
-    # round 8 addition: the pack hop (binaryFile dir -> parquet binary
-    # shards -> decode) — its first bench call pays the one-time pack
-    # build, which IS the operator's cost model (SCALE.md round 8)
+    # round 8 addition: the pack hop, attribution-split like the dedup
+    # chain — the one-time landing-zone + pack build is billed to its own
+    # row (the cost a corpus pays ONCE, SCALE.md round 8), so the
+    # multimodal_pack row measures what every later pass pays: the packed
+    # re-scan + decode
+    "multimodal_pack_build",
     "multimodal_pack",
 ]
 
@@ -153,6 +156,18 @@ def main() -> None:
     # once, on its own clock (see the HEADLINE comment)
     queries["dedup_pair_chain"] = (
         lambda s, sf: _verified_jaccard_pairs(s, sf).select("doc_a", "doc_b"))
+
+    # synthetic attribution row: the pack hop's one-time build (see the
+    # HEADLINE comment). Returns the shard listing so the row has a frame.
+    def _pack_build(s, sf):
+        from gmr_spark.operators.multimodal import (
+            _ensure_packed_payloads, _make_wav_payload_batches)
+
+        packed = _ensure_packed_payloads(s, sf, "wav",
+                                         _make_wav_payload_batches)
+        return s.read.parquet(packed).select("doc_id")
+
+    queries["multimodal_pack_build"] = _pack_build
 
     # synthetic attribution row for the memoized graph derivations (the
     # counts run on just-checkpointed blocks — metadata-cheap)
