@@ -202,14 +202,17 @@ def _backward_members(colors: DataFrame, edges: DataFrame, max_iter: int,
 
 
 def _trim_pass(remaining_v: DataFrame, remaining_e: DataFrame,
-               max_trim_iter: int, owned: list[DataFrame],
-               *, big: bool = False):
+               n_remaining: int, max_trim_iter: int,
+               owned: list[DataFrame], *, big: bool = False):
     """Peel vertices with zero in- or out-degree in the remaining graph —
     each is a singleton SCC labeled by itself. Returns
-    (remaining_v, remaining_e, trimmed_parts, n_iters, n_trimmed); the new
-    remainders are eager checkpoints registered in ``owned``, the trimmed
-    parts are eager checkpoints NOT registered (they are returned output).
-    A no-op pass costs two distinct+semi-join jobs and exits immediately."""
+    (remaining_v, remaining_e, n_remaining, trimmed_parts, n_iters,
+    n_trimmed); the new remainders are eager checkpoints registered in
+    ``owned``, the trimmed parts are eager checkpoints NOT registered (they
+    are returned output). The no-op pass — every phase of an all-cyclic
+    graph pays it — costs ONE job (the keep checkpoint; its count reads the
+    just-landed blocks and the dropped count is derived from the caller's
+    census, so the anti-join materializes only when something trimmed)."""
 
     def _pin(df: DataFrame) -> DataFrame:
         return df.hint("shuffle_hash") if big else df
@@ -225,17 +228,19 @@ def _trim_pass(remaining_v: DataFrame, remaining_e: DataFrame,
             .join(_pin(has_in), "id", "left_semi")
         ).localCheckpoint(eager=True)
         owned.append(keep)
+        n_keep = keep.count()
+        n_dropped = n_remaining - n_keep
+        if n_dropped == 0:
+            _drop_checkpoint_blocks(keep)
+            disown(owned, keep)
+            return (remaining_v, remaining_e, n_remaining, trimmed_parts,
+                    it, n_trimmed)
         dropped = remaining_v.join(keep, "id", "left_anti").select(
             "id", F.col("id").alias("scc")
         ).localCheckpoint(eager=True)
-        n_dropped = dropped.count()
-        if n_dropped == 0:
-            _drop_checkpoint_blocks(dropped)
-            _drop_checkpoint_blocks(keep)
-            disown(owned, keep)
-            return remaining_v, remaining_e, trimmed_parts, it, n_trimmed
         trimmed_parts.append(dropped)
         n_trimmed += n_dropped
+        n_remaining = n_keep
         _drop_checkpoint_blocks(remaining_v)
         disown(owned, remaining_v)
         remaining_v = keep
@@ -249,7 +254,8 @@ def _trim_pass(remaining_v: DataFrame, remaining_e: DataFrame,
         _drop_checkpoint_blocks(remaining_e)
         disown(owned, remaining_e)
         remaining_e = new_e
-    return remaining_v, remaining_e, trimmed_parts, max_trim_iter, n_trimmed
+    return (remaining_v, remaining_e, n_remaining, trimmed_parts,
+            max_trim_iter, n_trimmed)
 
 
 def strongly_connected_components(graph: PropertyGraph, *, max_iter: int = 120,
@@ -284,13 +290,12 @@ def strongly_connected_components(graph: PropertyGraph, *, max_iter: int = 120,
         for _ in range(max_phases):
             big = n_remaining > BIG_GRAPH_ROWS
             if trim_iters > 0 and n_remaining > 0:
-                remaining_v, remaining_e, trimmed, t_it, t_n = _trim_pass(
-                    remaining_v, remaining_e, trim_iters, owned, big=big)
+                (remaining_v, remaining_e, n_remaining, trimmed, t_it,
+                 t_n) = _trim_pass(remaining_v, remaining_e, n_remaining,
+                                   trim_iters, owned, big=big)
                 assigned_parts.extend(trimmed)
                 stats["trim_iters_run"] += t_it
                 stats["trimmed"] += t_n
-                if t_n:
-                    n_remaining = remaining_v.count()
             if n_remaining == 0:
                 done = True
                 break
