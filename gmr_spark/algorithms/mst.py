@@ -178,6 +178,7 @@ def _boruvka_phases(canon: DataFrame, comp: DataFrame, mst: DataFrame,
         _drop_checkpoint_blocks(df)
         disown(owned, df)
 
+    returning = False
     try:
         for _ in range(max_phases):  # noqa: B007 (break-on-fixpoint loop)
             lab = (
@@ -231,12 +232,17 @@ def _boruvka_phases(canon: DataFrame, comp: DataFrame, mst: DataFrame,
             owned.append(comp)
             for dead in (prev_comp, lbl, sel):
                 _drop(dead)
+        returning = True
     finally:
         # releases the final comp on clean exits (label state is internal —
         # the returned forest's checkpoints have no lineage into it) AND the
         # current phase's partial state on the exception path. The forest
-        # itself is removed from the list before return.
-        disown(owned, mst)
+        # leaves the owned list ONLY when it is actually returned: on an
+        # exception it is just another partial checkpoint and must be
+        # released like the rest (round-8 ADVICE item 2 — the old
+        # unconditional disown leaked it on mid-phase failures).
+        if returning:
+            disown(owned, mst)
         for df in owned:
             _drop_checkpoint_blocks(df)
     return mst

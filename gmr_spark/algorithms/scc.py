@@ -118,12 +118,19 @@ def _min_forward_colors(vertices: DataFrame, edges: DataFrame, max_iter: int,
     result = run_pregel(
         PropertyGraph(vertices=vertices.select("id"), edges=edges),
         _ColorProgram(scramble), max_iter=max_iter,
+        # the peel loop only ever passes its own eager localCheckpoints as
+        # edges — run_pregel must not land (and retain) a superseded O(|E|)
+        # edge snapshot per phase (round-8 ADVICE item 3)
+        edges_checkpointed=True,
     )
     if not result.converged:
         # a non-fixpoint coloring is not merely slow, it is WRONG: a vertex
         # whose true min-reaching key has not arrived yet can elect itself
         # root and peel a strict subset of its SCC — a silent split. Same
         # loud-failure contract as k_core / pregel_census_bfs.
+        # the final state is a materialized checkpoint nobody will consume
+        # on this path — release it before raising (round-8 ADVICE item 1)
+        _drop_checkpoint_blocks(result.vertices)
         raise RuntimeError(
             f"SCC color propagation did not converge within max_iter="
             f"{max_iter} supersteps — raise max_iter (deep condensations "
@@ -160,37 +167,47 @@ def _backward_members(colors: DataFrame, edges: DataFrame, max_iter: int,
     prev_state = state
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     converged = False
-    for _ in range(max_iter):
-        frontier = state.filter("active").select(
-            F.col("id").alias("fid"), F.col("color").alias("fcolor")
-        )
-        msgs = rev.join(_pin(frontier), F.col("src") == F.col("fid")).select(
-            F.col("dst").alias("id"), F.col("fcolor").alias("msg")
-        )
-        agg = msgs.groupBy("id").agg(F.collect_set("msg").alias("msg_colors"))
-        newly = (
-            ~F.col("member")
-            & F.col("msg_colors").isNotNull()
-            & F.array_contains(F.coalesce(F.col("msg_colors"), F.array()), F.col("color"))
-        )
-        obs = Observation()
-        state = (
-            _pin(state).join(agg, "id", "left")
-            .select(
-                "id", "color",
-                (F.col("member") | newly).alias("member"),
-                newly.alias("active"),
+    try:
+        for _ in range(max_iter):
+            frontier = state.filter("active").select(
+                F.col("id").alias("fid"), F.col("color").alias("fcolor")
             )
-            .observe(obs, F.sum(F.col("active").cast("long")).alias("n_active"))
-            .localCheckpoint(eager=True)
-        )
-        if big:
-            state = reset_plan_stats(state)
-        _drop_checkpoint_blocks(prev_state)
-        prev_state = state
-        if (obs.get["n_active"] or 0) == 0:
-            converged = True
-            break
+            msgs = rev.join(_pin(frontier), F.col("src") == F.col("fid")).select(
+                F.col("dst").alias("id"), F.col("fcolor").alias("msg")
+            )
+            agg = msgs.groupBy("id").agg(F.collect_set("msg").alias("msg_colors"))
+            newly = (
+                ~F.col("member")
+                & F.col("msg_colors").isNotNull()
+                & F.array_contains(F.coalesce(F.col("msg_colors"), F.array()), F.col("color"))
+            )
+            obs = Observation()
+            state = (
+                _pin(state).join(agg, "id", "left")
+                .select(
+                    "id", "color",
+                    (F.col("member") | newly).alias("member"),
+                    newly.alias("active"),
+                )
+                .observe(obs, F.sum(F.col("active").cast("long")).alias("n_active"))
+                .localCheckpoint(eager=True)
+            )
+            if big:
+                state = reset_plan_stats(state)
+            _drop_checkpoint_blocks(prev_state)
+            prev_state = state
+            if (obs.get["n_active"] or 0) == 0:
+                converged = True
+                break
+    except BaseException:
+        # a mid-superstep Spark failure strands the current (and, in the
+        # window between a new checkpoint landing and the prev drop, the
+        # previous) state checkpoint — release both; unpersist on an
+        # already-released RDD is a no-op (round-8 ADVICE item 1)
+        _drop_checkpoint_blocks(state)
+        if prev_state is not state:
+            _drop_checkpoint_blocks(prev_state)
+        raise
     if not converged:
         # incomplete membership silently splits the root's SCC (the
         # unreached members peel under their own colors next phase)

@@ -583,6 +583,12 @@ def _ensure_packed_payloads(spark: SparkSession, sf_dir: str, ext: str,
         meta = scan.select(
             F.count(F.lit(1)).alias("n"), F.sum("length").alias("bytes")
         ).first()
+        if not meta.n:
+            # F.sum over an empty scan is null; without this guard the
+            # shard sizing below raises an opaque TypeError on int(None)
+            # when the landing dir was emptied/corrupted out from under us
+            raise RuntimeError(
+                f"pack hop found no *.{ext} files under {files_dir}")
         n_shards = max(1, int(-(-int(meta.bytes) // PACK_TARGET_SHARD_BYTES)))
         (
             scan.select(

@@ -288,6 +288,7 @@ def run_pregel(
     early_stop: bool = True,
     collect_metrics: bool = False,
     checkpoint_interval: int | None = 2,
+    edges_checkpointed: bool = False,
 ) -> PregelResult:
     """Run ``program`` to convergence (no active vertices) or ``max_iter``.
 
@@ -336,8 +337,15 @@ def run_pregel(
     # still co-locates with the message join) while giving every superstep an
     # O(1)-size plan — persist() instead would drag the whole derivation
     # subtree into each superstep's analysis (measured 10x slowdown on small
-    # graphs).
-    edges = graph.edges.localCheckpoint(eager=True)
+    # graphs). ``edges_checkpointed=True`` is the phase-loop contract
+    # (SCC peel, round-8 ADVICE item 3): the caller guarantees
+    # ``graph.edges`` is ALREADY an eagerly-materialized localCheckpoint it
+    # owns and releases — this function then neither copies an O(|E|)
+    # snapshot per call (1000-phase peels used to land 1000 superseded edge
+    # snapshots for the async ContextCleaner, the measured 3-5x backlog
+    # shape) nor releases the caller's blocks on exit.
+    owns_edges = not edges_checkpointed
+    edges = graph.edges.localCheckpoint(eager=True) if owns_edges else graph.edges
     # per-superstep state: localCheckpoint — the state subtree feeds both the
     # message path and the update join, so anything short of a full lineage
     # cut makes the logical plan DOUBLE every superstep (exponential Catalyst
@@ -377,15 +385,24 @@ def run_pregel(
     state_cols = max(1, len(vertices.columns))
     max_broadcast_rows = ADAPTIVE_BROADCAST_CELLS // state_cols
 
-    with small_loop_conf(edges.sparkSession, n_edges):
-        return _pregel_loop(
-            program, edges, vertices, max_iter=max_iter,
-            early_stop=early_stop, collect_metrics=collect_metrics,
-            checkpoint_interval=checkpoint_interval,
-            big_edges=big_edges, big_vertices=big_vertices,
-            last_n_active=last_n_active,
-            max_broadcast_rows=max_broadcast_rows,
-            prev_state=prev_state, metrics=metrics)
+    try:
+        with small_loop_conf(edges.sparkSession, n_edges):
+            return _pregel_loop(
+                program, edges, vertices, max_iter=max_iter,
+                early_stop=early_stop, collect_metrics=collect_metrics,
+                checkpoint_interval=checkpoint_interval,
+                big_edges=big_edges, big_vertices=big_vertices,
+                last_n_active=last_n_active,
+                max_broadcast_rows=max_broadcast_rows,
+                prev_state=prev_state, metrics=metrics)
+    finally:
+        # the internal edge snapshot is dead the moment the loop exits —
+        # the loop only exits at a checkpointed superstep, so the returned
+        # state has no lineage into it. Release the blocks here instead of
+        # leaving one O(|E|) snapshot per call to the async ContextCleaner
+        # (round-8 ADVICE item 3: the SCC peel calls this per phase).
+        if owns_edges:
+            _drop_checkpoint_blocks(edges)
 
 
 def _pregel_loop(program, edges, vertices, *, max_iter, early_stop,
@@ -396,61 +413,71 @@ def _pregel_loop(program, edges, vertices, *, max_iter, early_stop,
     loop-scoped conf override (``small_loop_conf``) wraps it in one scope."""
     iterations = 0
     converged = False
-    for i in range(max_iter):
-        t0 = time.perf_counter()
-        frontier = vertices.filter(F.col("active")) if early_stop else vertices
-        if big_edges:
-            if last_n_active is not None and last_n_active <= max_broadcast_rows:
-                # small-frontier supersteps (the long head and tail of a
-                # BFS/SSSP on a high-diameter graph): broadcast the frontier
-                # — the O(E) edge side streams in place with NO exchange and
-                # no per-partition hash build of the state side. Safe only
-                # because the census is exact (ci=1): the hinted broadcast
-                # has no size fallback.
-                frontier = frontier.hint("broadcast")
-            else:
-                # forbid broadcasting either side of the O(E) message join:
-                # the hinted (frontier) side becomes the per-partition build
-                # side of a ShuffledHashJoin — O(V)/n_partitions rows per
-                # hash table — and the pre-partitioned edge side streams
-                # without an exchange.
-                frontier = frontier.hint("shuffle_hash")
-        msgs = program.messages(frontier, edges)
-        agg = program.aggregate(msgs)
-        if big_vertices:
-            # same for the O(V) update join: agg (≤ frontier-reachable ids)
-            # is the build side; the state side streams.
-            agg = agg.hint("shuffle_hash")
-        new_vertices = program.update(vertices, agg)
+    try:
+        for i in range(max_iter):
+            t0 = time.perf_counter()
+            frontier = vertices.filter(F.col("active")) if early_stop else vertices
+            if big_edges:
+                if last_n_active is not None and last_n_active <= max_broadcast_rows:
+                    # small-frontier supersteps (the long head and tail of a
+                    # BFS/SSSP on a high-diameter graph): broadcast the frontier
+                    # — the O(E) edge side streams in place with NO exchange and
+                    # no per-partition hash build of the state side. Safe only
+                    # because the census is exact (ci=1): the hinted broadcast
+                    # has no size fallback.
+                    frontier = frontier.hint("broadcast")
+                else:
+                    # forbid broadcasting either side of the O(E) message join:
+                    # the hinted (frontier) side becomes the per-partition build
+                    # side of a ShuffledHashJoin — O(V)/n_partitions rows per
+                    # hash table — and the pre-partitioned edge side streams
+                    # without an exchange.
+                    frontier = frontier.hint("shuffle_hash")
+            msgs = program.messages(frontier, edges)
+            agg = program.aggregate(msgs)
+            if big_vertices:
+                # same for the O(V) update join: agg (≤ frontier-reachable ids)
+                # is the build side; the state side streams.
+                agg = agg.hint("shuffle_hash")
+            new_vertices = program.update(vertices, agg)
 
-        iterations = i + 1
-        at_checkpoint = (iterations % checkpoint_interval == 0) or iterations == max_iter
-        n_active: int | None = None
-        if at_checkpoint:
-            obs: Observation | None = None
-            if early_stop:
-                obs = Observation()
-                new_vertices = new_vertices.observe(
-                    obs, F.sum(F.col("active").cast("long")).alias("n_active")
-                )
-            new_vertices = new_vertices.localCheckpoint(eager=True)
-            _drop_checkpoint_blocks(prev_state)
-            prev_state = new_vertices
-            if obs is not None:
-                # deterministic census (the reference's Allgather payload,
-                # igmr.cpp:139-152) — free: it rode the checkpoint job
-                n_active = int(obs.get["n_active"] or 0)
-                if checkpoint_interval == 1:
-                    last_n_active = n_active  # exact next-frontier size
-                if n_active == 0:
-                    converged = True
-        vertices = new_vertices
-        if collect_metrics:
-            metrics.append({"superstep": iterations,
-                            "wall_s": time.perf_counter() - t0,
-                            "n_active": n_active})
-        if converged:
-            break
+            iterations = i + 1
+            at_checkpoint = (iterations % checkpoint_interval == 0) or iterations == max_iter
+            n_active: int | None = None
+            if at_checkpoint:
+                obs: Observation | None = None
+                if early_stop:
+                    obs = Observation()
+                    new_vertices = new_vertices.observe(
+                        obs, F.sum(F.col("active").cast("long")).alias("n_active")
+                    )
+                new_vertices = new_vertices.localCheckpoint(eager=True)
+                _drop_checkpoint_blocks(prev_state)
+                prev_state = new_vertices
+                if obs is not None:
+                    # deterministic census (the reference's Allgather payload,
+                    # igmr.cpp:139-152) — free: it rode the checkpoint job
+                    n_active = int(obs.get["n_active"] or 0)
+                    if checkpoint_interval == 1:
+                        last_n_active = n_active  # exact next-frontier size
+                    if n_active == 0:
+                        converged = True
+            vertices = new_vertices
+            if collect_metrics:
+                metrics.append({"superstep": iterations,
+                                "wall_s": time.perf_counter() - t0,
+                                "n_active": n_active})
+            if converged:
+                break
+    except BaseException:
+        # a mid-superstep Spark failure leaves the last materialized state
+        # (a lineage-free localCheckpoint nobody will return) resident —
+        # release it rather than strand it on the async ContextCleaner
+        # (round-8 ADVICE item 1: the _backward_members contract, applied
+        # to the generic loop). prev_state is the live binding: the loop
+        # rebinds it at every checkpointed superstep.
+        _drop_checkpoint_blocks(prev_state)
+        raise
 
     return PregelResult(vertices=vertices, iterations=iterations,
                         converged=converged, metrics=metrics)

@@ -803,7 +803,7 @@ _CHANGED_THIS_ROUND = {
         # k-core: loop-invariant hoist only (plans unchanged) — fronted per
         # the discipline note
         "kcore_cs",
-        # SCC: coloring key scrambled (splitmix-style (mix, id) struct min)
+        # SCC: coloring key scrambled (xxhash64 (mix, id) struct min)
         # + trim pre-phase for acyclic fringe — output labels identical by
         # contract, but the phase structure the declared query executes
         # changed (round-8 many-SCC work, verdict item 2)

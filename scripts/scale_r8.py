@@ -274,12 +274,6 @@ def _skew_triplets(spark, g, vertices, edges, n_edges, timings, extra):
     # the vertex attribute carries 8 B/row of entropy (xxhash64), like a
     # real payload column would — a derived low-entropy attr (id % 1000 +
     # constant weight) lets lz4 crush the hot partition's 40 B rows to a
-    # few bytes each and the compressed-size skew detector (see tuned{}
-    # note) never trips: measured, the SAME join fires with an entropy
-    # attr and stays silent with a constant one
-    # the vertex attribute carries 8 B/row of entropy (xxhash64), like a
-    # real payload column would — a derived low-entropy attr (id % 1000 +
-    # constant weight) lets lz4 crush the hot partition's 40 B rows to a
     # few bytes each and the compressed-size skew detector (thresholds act
     # on compressed map-output bytes) never trips: measured, the SAME join
     # fires with an entropy attr and stays silent with a constant one

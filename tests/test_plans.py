@@ -614,3 +614,69 @@ def test_private_api_fallback_warns_loudly(spark, monkeypatch):
         P._drop_checkpoint_blocks(
             spark.createDataFrame([], "id bigint"))
     assert not [w for w in quiet if issubclass(w.category, RuntimeWarning)]
+
+
+def test_run_pregel_edge_checkpoint_ownership(spark):
+    """Round-8 ADVICE item 3, pinned three ways.
+
+    (a) default path: run_pregel's internal O(|E|) edge snapshot is
+        released before return — the only persistent RDD a clean call may
+        add is the returned state checkpoint;
+    (b) ``edges_checkpointed=True``: no second edge snapshot is landed AND
+        the caller's blocks survive the call (the peel-loop contract);
+    (c) a mid-loop driver failure releases the in-flight state too
+        (the _pregel_loop except path)."""
+    from gmr_spark.algorithms.sssp import _SSSPProgram
+    from gmr_spark.graph import PropertyGraph
+    from gmr_spark.plans.pregel import _drop_checkpoint_blocks, run_pregel
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "src bigint, dst bigint")
+    vertices = spark.createDataFrame(
+        [(i,) for i in range(65)], "id bigint")
+
+    def persistent_ids() -> set:
+        # id SET, not size: the async ContextCleaner may reclaim OTHER
+        # tests' stale entries mid-test, so counts drift — new ids don't
+        return {int(i) for i in
+                spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()}
+
+    # (a) owned edges: exactly the returned state outlives the call
+    before = persistent_ids()
+    res = run_pregel(PropertyGraph(vertices=vertices, edges=edges),
+                     _SSSPProgram(0, weighted=False), max_iter=4)
+    assert len(persistent_ids() - before) == 1, \
+        "clean run_pregel must only leave its returned state resident"
+    _drop_checkpoint_blocks(res.vertices)
+    assert not (persistent_ids() - before)
+
+    # (b) caller-owned edges: not copied, not released
+    edges_ckpt = edges.localCheckpoint(eager=True)
+    before = persistent_ids()
+    res = run_pregel(PropertyGraph(vertices=vertices, edges=edges_ckpt),
+                     _SSSPProgram(0, weighted=False), max_iter=4,
+                     edges_checkpointed=True)
+    assert len(persistent_ids() - before) == 1, \
+        "edges_checkpointed call must not land a second edge snapshot"
+    assert edges_ckpt.count() == 64  # caller's blocks untouched
+    _drop_checkpoint_blocks(res.vertices)
+    _drop_checkpoint_blocks(edges_ckpt)
+
+    # (c) mid-loop failure: internal edges AND the last state both released
+    class _Boom(_SSSPProgram):
+        def __init__(self):
+            super().__init__(0, weighted=False)
+            self.calls = 0
+
+        def aggregate(self, msgs):
+            self.calls += 1
+            if self.calls >= 3:
+                raise ValueError("forced mid-loop failure")
+            return super().aggregate(msgs)
+
+    before = persistent_ids()
+    with pytest.raises(ValueError, match="forced mid-loop"):
+        run_pregel(PropertyGraph(vertices=vertices, edges=edges),
+                   _Boom(), max_iter=8, checkpoint_interval=1)
+    assert not (persistent_ids() - before), \
+        "failed run_pregel leaked checkpoint blocks"
