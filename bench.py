@@ -122,6 +122,8 @@ HEADLINE = [
     # re-scan + decode
     "multimodal_pack_build",
     "multimodal_pack",
+    # round 9 addition: IVF-PQ — the compressed-index (4 B/vector) ANN path
+    "ann_ivf_pq",
 ]
 
 

@@ -65,21 +65,16 @@ def cosine_topk(spark: SparkSession, sf_dir: str, *, n_queries: int = 5,
     )
 
 
-def ann_ivf(spark: SparkSession, sf_dir: str, *, k_cells: int = 8,
-            nprobe: int = 2, topk: int = 3) -> DataFrame:
-    """(query_id, neighbor_id, sim, rnk): IVF-style ANN — the second scale
-    path next to sign-LSH. Coarse quantizer = the ``k_cells`` lowest-id
-    vectors (seed centroids, no Lloyd iterations — keeps the oracle twin
-    compact); every vector is *indexed* into its nearest cell, every query
-    *probes* its ``nprobe`` nearest cells, exact cosine re-ranks inside the
-    probed cells. Replaces the O(n²) similarity cross-product with a
-    cell-key equi-join; at 100 TB, cells are the partitioning key.
+def _ivf_index_probes(df: DataFrame, *, k_cells: int,
+                      nprobe: int) -> tuple[DataFrame, DataFrame]:
+    """Shared coarse quantizer of the IVF family (``ann_ivf``,
+    ``ann_ivf_pq``). Seed centroids = the ``k_cells`` lowest-id vectors (no
+    Lloyd iterations — keeps the oracle twin compact); returns
 
-    Determinism: cell distances and cosines ROUND(·,6); ties to the lower
-    cell/neighbor id.
-    """
-    emb = load_tables(spark, sf_dir)["embeddings"]
-    df = emb.select(F.col("vec_id").alias("id"), _vec().alias("v"))
+    - ``indexed``: (neighbor_id, nv, cell) — every vector in its nearest cell
+    - ``probes``:  (query_id, q, cell) — every query × its ``nprobe`` cells
+
+    Determinism: cell distances ROUND(·,6), ties to the lower cell id."""
     seeds = [
         (i, list(r.v))
         for i, r in enumerate(df.orderBy("id").limit(k_cells).collect())
@@ -107,6 +102,25 @@ def ann_ivf(spark: SparkSession, sf_dir: str, *, k_cells: int = 8,
         F.col("id").alias("query_id"), F.col("v").alias("q"),
         F.explode(F.slice("cells", 1, nprobe)).alias("probe"),
     ).select("query_id", "q", F.col("probe")["cell"].alias("cell"))
+    return indexed, probes
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str, *, k_cells: int = 8,
+            nprobe: int = 2, topk: int = 3) -> DataFrame:
+    """(query_id, neighbor_id, sim, rnk): IVF-style ANN — the second scale
+    path next to sign-LSH. Coarse quantizer = seed centroids
+    (``_ivf_index_probes``); every vector is *indexed* into its nearest
+    cell, every query *probes* its ``nprobe`` nearest cells, exact cosine
+    re-ranks inside the probed cells. Replaces the O(n²) similarity
+    cross-product with a cell-key equi-join; at 100 TB, cells are the
+    partitioning key.
+
+    Determinism: cell distances and cosines ROUND(·,6); ties to the lower
+    cell/neighbor id.
+    """
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    df = emb.select(F.col("vec_id").alias("id"), _vec().alias("v"))
+    indexed, probes = _ivf_index_probes(df, k_cells=k_cells, nprobe=nprobe)
 
     sims = (
         probes.join(indexed, "cell")
@@ -127,10 +141,150 @@ def ann_ivf(spark: SparkSession, sf_dir: str, *, k_cells: int = 8,
     )
 
 
+# Product quantization (IVF-PQ): the memory-compression scale path of the
+# ANN family. A 64-dim float vector (256 B) is stored as PQ_M 4-bit codes
+# (4 B, 64× smaller): split the vector into PQ_M subspaces of PQ_DSUB dims,
+# quantize each sub-vector to its nearest of PQ_KS codebook entries (Jégou,
+# Douze, Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI
+# 2011 — public). Queries score candidates with ADC (asymmetric distance
+# computation): one (PQ_M × PQ_KS)-entry lookup table per query, then each
+# candidate costs PQ_M table lookups instead of a 64-dim dot — at 100 TB the
+# index side never materializes vectors past the encode pass.
+PQ_M = 8       # subspaces
+PQ_DSUB = 8    # dims per subspace (PQ_M * PQ_DSUB = 64 = RH_DIM)
+PQ_KS = 16     # codes per subspace -> 4-bit codes
+PQ_SHORTLIST = 12  # ADC shortlist re-ranked exactly
+
+
+def _pq_subdists(codebook: list[list[list[float]]]):
+    """Closure: (batch, 64) float matrix → (batch, PQ_M, PQ_KS) squared
+    sub-distances, ROUND(·,6) half-away-from-zero (nonneg, so floor(x·1e6
+    + 0.5) matches Spark/DuckDB ROUND) — the shared kernel of the encode
+    argmin and the query LUT, so the two sides can never disagree."""
+
+    def _d2(vs: pd.Series):
+        import numpy as np
+
+        cb = np.asarray(codebook, dtype=np.float64)      # (M, KS, DSUB)
+        mat = np.vstack(vs.to_numpy())                   # (batch, 64)
+        sub = mat.reshape(len(mat), PQ_M, 1, PQ_DSUB)
+        d2 = ((sub - cb[None]) ** 2).sum(axis=3)         # (batch, M, KS)
+        return np.floor(d2 * 1e6 + 0.5) / 1e6
+
+    return _d2
+
+
+def make_pq_codes_udf(codebook: list[list[list[float]]]):
+    """Arrow-vectorized PQ encoder: vector → ARRAY<INT> of PQ_M codes
+    (argmin sub-distance; numpy argmin takes the FIRST minimum = lowest
+    code, matching the oracle's ORDER BY d2, code tiebreak)."""
+    d2 = _pq_subdists(codebook)
+
+    def _codes(vs: pd.Series) -> pd.Series:
+        return pd.Series(list(d2(vs).argmin(axis=2).astype("int32")))
+
+    return F.pandas_udf("array<int>")(_codes)
+
+
+def make_pq_lut_udf(codebook: list[list[list[float]]]):
+    """Arrow-vectorized ADC lookup table: query vector → ARRAY<DOUBLE> of
+    PQ_M * PQ_KS sub-distances (row-major: entry j*PQ_KS + c is subspace
+    j's distance to code c)."""
+    d2 = _pq_subdists(codebook)
+
+    def _lut(vs: pd.Series) -> pd.Series:
+        flat = d2(vs)
+        return pd.Series(list(flat.reshape(len(flat), PQ_M * PQ_KS)))
+
+    return F.pandas_udf("array<double>")(_lut)
+
+
+def ann_ivf_pq(spark: SparkSession, sf_dir: str, *, k_cells: int = 8,
+               nprobe: int = 2, shortlist: int = PQ_SHORTLIST,
+               topk: int = 3) -> DataFrame:
+    """(query_id, neighbor_id, sim, rnk): IVF-PQ ANN — the compressed-index
+    scale path. Same coarse quantizer as ``ann_ivf`` (cell equi-join bounds
+    candidates), but the index side is PQ codes (4 B/vector instead of
+    256 B): candidates are scored by ADC (per-query LUT + PQ_M array
+    lookups, pure JVM expressions), the best ``shortlist`` per query are
+    re-ranked with exact cosine, top-``topk`` returned.
+
+    Codebook = sub-vectors of the PQ_KS lowest-id vectors (seeded, no Lloyd
+    — keeps the DuckDB twin derivable from the same table; a production
+    build would train per-subspace k-means with ``kmeans.py``'s Arrow path).
+    At 100 TB: encode is one Arrow pass, the candidate join carries
+    (cell, codes) only — vectors are re-joined for the shortlist·topk rows
+    alone. Determinism: sub-distances / ADC sums / cosines ROUND(·,6), ties
+    to the lower code / neighbor id."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    df = emb.select(F.col("vec_id").alias("id"), _vec().alias("v"))
+    # k-bounded driver collect (PQ_KS rows), same pattern as the IVF seeds
+    seed_rows = df.orderBy("id").limit(PQ_KS).collect()
+    codebook = [
+        [[float(r.v[j * PQ_DSUB + d]) for d in range(PQ_DSUB)]
+         for r in seed_rows]
+        for j in range(PQ_M)
+    ]
+    indexed, probes = _ivf_index_probes(df, k_cells=k_cells, nprobe=nprobe)
+    enc = indexed.select(
+        "neighbor_id", "cell",
+        make_pq_codes_udf(codebook)(F.col("nv")).alias("codes"),
+    )
+    luts = df.select(F.col("id").alias("query_id"),
+                     make_pq_lut_udf(codebook)(F.col("v")).alias("lut"))
+    cand = (
+        probes.select("query_id", "cell")
+        .join(enc, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    # ADC: PQ_M lookups per candidate — element_at is 1-based, codes are
+    # 0-based row-major offsets into the flattened (PQ_M × PQ_KS) LUT
+    adc_expr = F.round(
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda j: F.element_at(
+                    F.col("lut"),
+                    (j * PQ_KS + F.element_at(F.col("codes"), j + 1) + 1)
+                    .cast("int")),
+            ),
+            F.lit(0.0), lambda a, x: a + x,
+        ), 6)
+    scored = (
+        cand.join(luts, "query_id")
+        .select("query_id", "neighbor_id", adc_expr.alias("adc"))
+    )
+    from pyspark.sql import Window as W
+
+    w_short = W.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id"))
+    short = (
+        scored.withColumn("srn", F.row_number().over(w_short))
+        .filter(F.col("srn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    qv = df.select(F.col("id").alias("query_id"), F.col("v").alias("q"))
+    nv = df.select(F.col("id").alias("neighbor_id"), F.col("v").alias("nv"))
+    sims = (
+        short.join(qv, "query_id").join(nv, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(_dot(F.col("q"), F.col("nv"))
+                    / (_norm(F.col("q")) * _norm(F.col("nv"))), 6).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )
+
+
 def ann_recall_at_k(spark: SparkSession, sf_dir: str, *, n_queries: int = 5,
                     k: int = 3) -> DataFrame:
     """(method, hits, recall): measured recall@k of every ANN path
-    (``ann_ivf``, ``ann_sign_lsh``, ``ann_rh_lsh``) against the exact
+    (``ann_ivf``, ``ann_ivf_pq``, ``ann_sign_lsh``, ``ann_rh_lsh``) against the exact
     brute-force top-k (``cosine_topk``) on the same query set — turns the
     "standard recall tradeoff" claims in the bucket-cap docstrings into a
     declared, regression-guarded number. Tiny output (one row per method);
@@ -145,6 +299,7 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str, *, n_queries: int = 5,
     parts = []
     for method, approx in (
         ("ivf", ann_ivf(spark, sf_dir)),
+        ("ivf_pq", ann_ivf_pq(spark, sf_dir)),
         ("rh_lsh", ann_rh_lsh(spark, sf_dir)),
         ("sign_lsh", ann_sign_lsh(spark, sf_dir)),
     ):

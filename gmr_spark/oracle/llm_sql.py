@@ -357,6 +357,102 @@ FROM (
 ) t WHERE rnk <= 3
 """
 
+# IVF-PQ twin (similarity.ann_ivf_pq): same seed-cell coarse quantizer as
+# ANN_IVF; the PQ codebook is DERIVED FROM THE TABLE (sub-vector j of the 16
+# lowest-id vectors = code c of subspace j), so both engines share it without
+# a literal matrix. `subd` is the shared kernel: per-(vector, subspace, code)
+# squared distance ROUND(·,6) — the encode argmin reads it per INDEXED vector
+# and the ADC lookup reads it per QUERY, mirroring _pq_subdists feeding both
+# make_pq_codes_udf and make_pq_lut_udf. Shortlist 12 by (adc, neighbor_id),
+# exact-cosine re-rank, top 3.
+ANN_IVF_PQ = f"""
+WITH {_EMB.strip()},
+seeds AS MATERIALIZED (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cell, vec
+    FROM emb ORDER BY id LIMIT 8
+),
+cexpl AS MATERIALIZED (
+    SELECT cell, generate_subscripts(vec, 1) AS pos, unnest(vec) AS val FROM seeds
+),
+cdist AS MATERIALIZED (
+    SELECT x.id, c.cell, ROUND(SUM((x.val - c.val) * (x.val - c.val)), 6) AS d2
+    FROM expl x JOIN cexpl c ON x.pos = c.pos
+    GROUP BY x.id, c.cell
+),
+ranked AS MATERIALIZED (
+    SELECT id, cell, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cell) AS rn
+    FROM cdist
+),
+indexed AS MATERIALIZED (SELECT id AS neighbor_id, cell FROM ranked WHERE rn = 1),
+probes AS MATERIALIZED (SELECT id AS query_id, cell FROM ranked WHERE rn <= 2),
+cbseed AS MATERIALIZED (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS code, vec
+    FROM emb ORDER BY id LIMIT 16
+),
+cb AS MATERIALIZED (
+    SELECT code, CAST((pos - 1) // 8 AS INTEGER) AS sub,
+           CAST((pos - 1) % 8 AS INTEGER) AS dim, val
+    FROM (SELECT code, generate_subscripts(vec, 1) AS pos, unnest(vec) AS val
+          FROM cbseed) t
+),
+vsub AS MATERIALIZED (
+    SELECT id, CAST((pos - 1) // 8 AS INTEGER) AS sub,
+           CAST((pos - 1) % 8 AS INTEGER) AS dim, val
+    FROM expl
+),
+subd AS MATERIALIZED (
+    SELECT x.id, x.sub, c.code,
+           ROUND(SUM((x.val - c.val) * (x.val - c.val)), 6) AS d2
+    FROM vsub x JOIN cb c ON c.sub = x.sub AND c.dim = x.dim
+    GROUP BY x.id, x.sub, c.code
+),
+codes AS MATERIALIZED (
+    SELECT id, sub, code FROM (
+        SELECT id, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY id, sub ORDER BY d2, code) AS rn
+        FROM subd
+    ) t WHERE rn = 1
+),
+cand AS MATERIALIZED (
+    SELECT p.query_id, i.neighbor_id
+    FROM probes p JOIN indexed i ON i.cell = p.cell AND i.neighbor_id <> p.query_id
+),
+adc AS MATERIALIZED (
+    SELECT c.query_id, c.neighbor_id, ROUND(SUM(l.d2), 6) AS adc
+    FROM cand c
+    JOIN codes k ON k.id = c.neighbor_id
+    JOIN subd l ON l.id = c.query_id AND l.sub = k.sub AND l.code = k.code
+    GROUP BY c.query_id, c.neighbor_id
+),
+short AS MATERIALIZED (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc, neighbor_id) AS srn
+        FROM adc
+    ) t WHERE srn <= 12
+),
+dots AS MATERIALIZED (
+    SELECT s.query_id, s.neighbor_id, SUM(q.val * v.val) AS dot
+    FROM short s
+    JOIN expl q ON q.id = s.query_id
+    JOIN expl v ON v.id = s.neighbor_id AND v.pos = q.pos
+    GROUP BY s.query_id, s.neighbor_id
+),
+sims AS MATERIALIZED (
+    SELECT d.query_id, d.neighbor_id,
+           ROUND(d.dot / (nq.nrm * nv.nrm), 6) AS sim
+    FROM dots d
+    JOIN norms nq ON nq.id = d.query_id
+    JOIN norms nv ON nv.id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, sim, CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS rnk
+    FROM sims
+) t WHERE rnk <= 3
+"""
+
 # Recall@3 of every ANN path vs the exact top-3 on the 5-query set: the
 # component queries are reused verbatim as subqueries (a DuckDB subquery may
 # carry its own WITH), so this oracle can never drift from the per-method
@@ -373,11 +469,17 @@ rh AS MATERIALIZED (
 ),
 ivf AS MATERIALIZED (
     SELECT query_id, neighbor_id FROM ({ANN_IVF}) t WHERE query_id < 5
+),
+ivf_pq AS MATERIALIZED (
+    SELECT query_id, neighbor_id FROM ({ANN_IVF_PQ}) t WHERE query_id < 5
 )
 SELECT method, hits, ROUND(hits / 15.0, 6) AS recall
 FROM (
     SELECT 'ivf' AS method, CAST(COUNT(*) AS BIGINT) AS hits
     FROM truth JOIN ivf USING (query_id, neighbor_id)
+    UNION ALL
+    SELECT 'ivf_pq' AS method, CAST(COUNT(*) AS BIGINT) AS hits
+    FROM truth JOIN ivf_pq USING (query_id, neighbor_id)
     UNION ALL
     SELECT 'rh_lsh' AS method, CAST(COUNT(*) AS BIGINT) AS hits
     FROM truth JOIN rh USING (query_id, neighbor_id)

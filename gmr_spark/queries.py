@@ -626,6 +626,7 @@ LLM_QUERIES: dict[str, QueryFn] = {
     "ann_sign_lsh": S.ann_sign_lsh,
     "ann_rh_lsh": S.ann_rh_lsh,
     "ann_ivf": S.ann_ivf,
+    "ann_ivf_pq": S.ann_ivf_pq,
     "ann_recall_at_k": S.ann_recall_at_k,
     "lang_id": TA.lang_id,
     "lang_id_multilingual": TA.lang_id_multilingual,
@@ -741,6 +742,7 @@ LLM_ORACLES: dict[str, str] = {
     "ann_sign_lsh": LSQL.ANN_SIGN_LSH,
     "ann_rh_lsh": LSQL.ANN_RH_LSH,
     "ann_ivf": LSQL.ANN_IVF,
+    "ann_ivf_pq": LSQL.ANN_IVF_PQ,
     "ann_recall_at_k": LSQL.ANN_RECALL_AT_K,
     "lang_id": LSQL.LANG_ID,
     "lang_id_multilingual": LSQL.LANG_ID_MULTILINGUAL,

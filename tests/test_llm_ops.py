@@ -467,9 +467,60 @@ def test_rh_lsh_recall_beats_axis_aligned(spark):
     from tests.conftest import SF_ORACLE
 
     rows = {r.method: r.recall for r in ann_recall_at_k(spark, SF_ORACLE).collect()}
-    assert set(rows) == {"ivf", "rh_lsh", "sign_lsh"}
+    assert set(rows) == {"ivf", "ivf_pq", "rh_lsh", "sign_lsh"}
     assert rows["rh_lsh"] >= rows["sign_lsh"]
     assert rows["rh_lsh"] >= 0.2
+    # PQ shortlists within the SAME probed-cell candidate set ivf re-ranks
+    # exactly, so its recall is structurally bounded by ivf's — and the
+    # seeded 16-code codebook must still rank enough true neighbors into
+    # the shortlist to beat the degenerate axis-aligned LSH
+    assert rows["ivf_pq"] <= rows["ivf"]
+    assert rows["ivf_pq"] >= 0.2
+
+
+def test_pq_encode_seed_identity():
+    """PQ kernel invariants (no Spark needed): every codebook seed encodes
+    to its own code (self sub-distance is exactly 0 in every subspace), so
+    ADC(seed, seed) == 0 — the argmin/LUT kernel is shared, this pins both."""
+    import numpy as np
+    import pandas as pd
+
+    from gmr_spark.operators.similarity import (
+        PQ_DSUB, PQ_KS, PQ_M, _pq_subdists)
+
+    rng = np.random.RandomState(7)
+    seeds = rng.rand(PQ_KS, PQ_M * PQ_DSUB) * 2 - 1
+    codebook = [
+        [[float(seeds[c, j * PQ_DSUB + d]) for d in range(PQ_DSUB)]
+         for c in range(PQ_KS)]
+        for j in range(PQ_M)
+    ]
+    d2 = _pq_subdists(codebook)(pd.Series(list(seeds)))
+    assert d2.shape == (PQ_KS, PQ_M, PQ_KS)
+    codes = d2.argmin(axis=2)
+    assert (codes == np.arange(PQ_KS)[:, None]).all()
+    self_d = d2[np.arange(PQ_KS), :, np.arange(PQ_KS)]
+    assert (self_d == 0.0).all()
+
+
+def test_ann_ivf_pq_plan_is_bucketed_and_arrow(spark):
+    """Plan pins for the compressed-index path: candidates come from the
+    cell equi-join (no cartesian / nested-loop anywhere), the only Python
+    in the plan is Arrow-vectorized (encode + LUT), never row-at-a-time,
+    and the per-candidate ADC scoring is a JVM expression (the plan's
+    Python nodes sit on the vector tables, upstream of the candidate
+    join)."""
+    from gmr_spark.operators.similarity import ann_ivf_pq
+
+    from tests.conftest import SF_ORACLE
+
+    df = ann_ivf_pq(spark, SF_ORACLE)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "ArrowEvalPython" in plan          # encode + LUT are Arrow
+    assert "BatchEvalPython" not in plan      # no row-at-a-time Python
 
 
 def test_lang_id_multilingual_predicts_every_language(spark):
