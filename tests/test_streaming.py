@@ -228,3 +228,85 @@ def test_session_window_stream_append_duality(spark):
     must_emit = {r for r in batch if r[2] < max_s}  # end < final watermark
     assert must_emit <= got, f"closed sessions not emitted: {must_emit - got}"
     assert len(got) > 0
+
+
+def test_stream_recovers_from_checkpoint_exactly_once(spark, tmp_path):
+    """Crash-recovery contract — the operational half of the 100 TB
+    streaming story that duality tests don't touch. A streaming aggregation
+    is killed mid-run by an injected sink failure (after a PARTIAL output
+    write, like a real task death); restarted from the SAME checkpoint it
+    must (1) resume at the failed epoch rather than batch 0, (2) replay that
+    epoch with the SAME epoch_id so the idempotent per-epoch sink erases the
+    partial write, and (3) recover the state store so the reconstructed
+    final state equals the batch twin exactly."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from gmr_spark.sources.tables import load_tables
+    from gmr_spark.streaming.windowed import (
+        _windowed_agg,
+        events_hourly_batch,
+        read_events_stream,
+    )
+
+    # 6-part NTZ corpus (multiple files -> multiple micro-batches),
+    # range-partitioned by ts; the scale_stream.py layout at test size
+    src = str(tmp_path / "src")
+    ev = load_tables(spark, SF)["events"].withColumn(
+        "ts", F.expr("CAST(ts AS TIMESTAMP_NTZ)"))
+    (ev.select("event_id", "ts", "user_id", "event_type", "value", "props")
+       .repartitionByRange(6, "ts").write.parquet(src))
+
+    # generous watermark: recovery semantics must not depend on drop timing
+    # (file arrival order is mtime-based and all 6 parts share one mtime)
+    opts = {"pathGlobFilter": "*.parquet", "maxFilesPerTrigger": "1"}
+    ckpt = str(tmp_path / "ckpt")
+    out_root = str(tmp_path / "out")
+    CRASH_EPOCH = 3
+    crashed = {"flag": False}
+
+    def make_sink(fail_once: bool):
+        def sink(batch_df, epoch_id):
+            if fail_once and epoch_id == CRASH_EPOCH and not crashed["flag"]:
+                batch_df.limit(1).write.mode("overwrite").parquet(
+                    f"{out_root}/epoch={epoch_id}")
+                crashed["flag"] = True
+                raise RuntimeError("injected sink failure")
+            batch_df.write.mode("overwrite").parquet(
+                f"{out_root}/epoch={epoch_id}")
+        return sink
+
+    def start(fail_once: bool):
+        events = read_events_stream(spark, src, options=opts).withWatermark(
+            "ts", "30 days")
+        return (_windowed_agg(events).writeStream.outputMode("update")
+                .foreachBatch(make_sink(fail_once))
+                .option("checkpointLocation", ckpt).start())
+
+    q = start(fail_once=True)
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+    assert crashed["flag"], "fault injector never fired"
+
+    q2 = start(fail_once=False)
+    try:
+        q2.processAllAvailable()
+        replayed = [int(p["batchId"]) for p in q2.recentProgress]
+    finally:
+        q2.stop()
+    # (1) resumed from the offset log: nothing before the failed epoch reran
+    assert replayed and min(replayed) == CRASH_EPOCH, replayed
+
+    # (2)+(3): final state per key = the row from its LAST update epoch;
+    # across crash + replay it must equal the batch twin bit for bit
+    got_df = spark.read.option("basePath", out_root).parquet(out_root)
+    w = W.partitionBy("hour_epoch", "event_type").orderBy(F.col("epoch").desc())
+    latest = got_df.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    got = {(r.hour_epoch, r.event_type): (r.n, r.total_value)
+           for r in latest.collect()}
+    want = {(r.hour_epoch, r.event_type): (r.n, r.total_value)
+            for r in events_hourly_batch(spark, SF).collect()}
+    assert got == want
+    assert len(want) > 0
