@@ -224,25 +224,21 @@ def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id").join(matched, "event_id", "left")
 
 
-def global_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global total-order rank over events — the engine expression of the
-    reference's MPI sample sort (samplesort.cpp:21-191, O18).
-
-    Distributed rank assignment (no single-partition window): range-shuffle
-    on the sort key (RangePartitioning = the sample-sort splitter exchange),
-    tag each row with its range-partition id, rank within each partition in
-    parallel, then add per-partition cumulative offsets. The offset table is
-    one row per partition, so its window and the broadcast join are O(#parts)
-    — every full-data operation stays parallel at any scale.
-    (event_id is unique, so (value, event_id) is a strict total order and the
-    rank is deterministic regardless of where the range boundaries fall.)
-    """
-    ev = load_tables(spark, sf_dir)["events"].select("event_id", "value")
-    n_parts = spark.sparkContext.defaultParallelism
-    tagged = ev.repartitionByRange(n_parts, "value", "event_id").withColumn(
+def global_rank(df: DataFrame, n_parts: int, *order_cols: str) -> DataFrame:
+    """Distributed total-order rank — the sample-sort core shared by
+    ``global_sort_rank`` (sf-dir query) and the G2-class scale probe
+    (scripts/scale_r9.py). Range-shuffle on ``order_cols``
+    (RangePartitioning = the sample-sort splitter exchange), tag each row
+    with its range-partition id, rank within each partition in parallel,
+    then add per-partition cumulative offsets. The offset table is one row
+    per partition, so its window and the broadcast join are O(#parts) —
+    every full-data operation stays parallel at any scale. ``order_cols``
+    must form a strict total order for the rank to be deterministic.
+    Returns the input columns + ``rnk`` (BIGINT, 1-based)."""
+    tagged = df.repartitionByRange(n_parts, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
-    w_local = W.partitionBy("_pid").orderBy("value", "event_id")
+    w_local = W.partitionBy("_pid").orderBy(*order_cols)
     local = tagged.withColumn("_rn", F.row_number().over(w_local))
     # offsets: #parts rows — the tiny-side window is bounded by cluster size
     offsets = (
@@ -258,8 +254,23 @@ def global_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("_pid", "_offset")
     )
-    return local.join(F.broadcast(offsets), "_pid").select(
-        "event_id", (F.col("_rn") + F.col("_offset")).cast("int").alias("rnk")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("rnk", F.col("_rn") + F.col("_offset"))
+        .drop("_pid", "_rn", "_offset")
+    )
+
+
+def global_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global total-order rank over events — the engine expression of the
+    reference's MPI sample sort (samplesort.cpp:21-191, O18); the rank core
+    lives in ``global_rank``. (event_id is unique, so (value, event_id) is
+    a strict total order and the rank is deterministic regardless of where
+    the range boundaries fall.)"""
+    ev = load_tables(spark, sf_dir)["events"].select("event_id", "value")
+    n_parts = ev.sparkSession.sparkContext.defaultParallelism
+    return global_rank(ev, n_parts, "value", "event_id").select(
+        "event_id", F.col("rnk").cast("int").alias("rnk")
     )
 
 

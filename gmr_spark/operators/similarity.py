@@ -199,6 +199,23 @@ def make_pq_lut_udf(codebook: list[list[list[float]]]):
     return F.pandas_udf("array<double>")(_lut)
 
 
+def pq_adc_expr(lut: F.Column, codes: F.Column) -> F.Column:
+    """ADC score as a pure JVM expression: PQ_M array lookups per candidate
+    (element_at is 1-based; codes are 0-based row-major offsets into the
+    flattened PQ_M × PQ_KS LUT), summed and ROUND(·,6). Shared by
+    ``ann_ivf_pq`` and the 2M-vector scale probe (scripts/scale_r9.py)."""
+    return F.round(
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda j: F.element_at(
+                    lut,
+                    (j * PQ_KS + F.element_at(codes, j + 1) + 1).cast("int")),
+            ),
+            F.lit(0.0), lambda a, x: a + x,
+        ), 6)
+
+
 def ann_ivf_pq(spark: SparkSession, sf_dir: str, *, k_cells: int = 8,
                nprobe: int = 2, shortlist: int = PQ_SHORTLIST,
                topk: int = 3) -> DataFrame:
@@ -237,22 +254,10 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str, *, k_cells: int = 8,
         .join(enc, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
-    # ADC: PQ_M lookups per candidate — element_at is 1-based, codes are
-    # 0-based row-major offsets into the flattened (PQ_M × PQ_KS) LUT
-    adc_expr = F.round(
-        F.aggregate(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-                lambda j: F.element_at(
-                    F.col("lut"),
-                    (j * PQ_KS + F.element_at(F.col("codes"), j + 1) + 1)
-                    .cast("int")),
-            ),
-            F.lit(0.0), lambda a, x: a + x,
-        ), 6)
     scored = (
         cand.join(luts, "query_id")
-        .select("query_id", "neighbor_id", adc_expr.alias("adc"))
+        .select("query_id", "neighbor_id",
+                pq_adc_expr(F.col("lut"), F.col("codes")).alias("adc"))
     )
     from pyspark.sql import Window as W
 

@@ -322,3 +322,31 @@ def test_ingest_scale_roundtrip_and_checksum(spark, tmp_path):
     assert g2.vertices.count() == n and g2.edges.count() == ne
     assert edge_checksum(g2.edges) == cs
     assert edge_checksum(g2.edges.limit(ne - 1)) != cs
+
+
+def test_r9_sort_and_pq_rows_at_toy_size(spark, monkeypatch, tmp_path):
+    """scale_r9 probes end-to-end at toy size. run_sort's internal asserts
+    hold (closed-form rank invariants checked over EVERY row: rank sum,
+    min/max, zero rank != value+1 mismatches); the PQ probe finds nearly all
+    planted partners through the full ADC → shortlist → exact-re-rank stack
+    (the partner is the true top-1 by construction, cosine ≈ 0.9999)."""
+    import importlib.util
+
+    monkeypatch.setenv("R9_SORT_ROWS", "120000")
+    monkeypatch.setenv("R9_SORT_PARTS", "8")
+    monkeypatch.setenv("R9_PQ_VECS", "50000")
+    monkeypatch.setenv("R9_PQ_SCRATCH", str(tmp_path / "pq"))
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "scale_r9.py")
+    spec = importlib.util.spec_from_file_location("r9_toy", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    timings, extra = {}, {}
+    mod.run_sort(spark, timings, extra)
+    assert extra["sort"]["mismatches"] == 0
+    assert extra["sort"]["rank_sum_exact"] is True
+
+    mod.run_pq(spark, timings, extra)
+    assert extra["pq"]["queries"] == 100
+    assert extra["pq"]["top1_partner_recall"] >= 0.9
