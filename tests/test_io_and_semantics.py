@@ -130,11 +130,20 @@ def test_format_round_trips(spark, tmp_path):
     got_orc = read_table(spark, orc, fmt="orc").select(*orders.columns)
     assert sorted(tuple(r) for r in got_orc.collect()) == want
 
-    for fmt in ("csv", "json"):
+    for fmt in ("csv", "json", "xml"):
         p = str(tmp_path / f"orders_{fmt}")
         write_table(orders, p, fmt=fmt)
         got = read_table(spark, p, fmt=fmt, schema=orders.schema).select(*orders.columns)
         assert sorted(tuple(r) for r in got.collect()) == want
+
+    # avro is gated on the external spark-avro module jar (not shipped in
+    # this container, no network): the declared contract is Spark's own
+    # deploy-the-module error, not a silent fallback
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException, match="(?i)avro"):
+        write_table(orders, str(tmp_path / "orders_avro"), fmt="avro")
 
 
 def test_cli_entry_point_matches_goldens(spark, capsys, tmp_path):
