@@ -216,6 +216,41 @@ def pq_adc_expr(lut: F.Column, codes: F.Column) -> F.Column:
         ), 6)
 
 
+def pq_adc_cogrouped(cand: DataFrame, luts: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id, adc): ADC scored per query GROUP — the
+    large-fanout transport shape. The JVM ``pq_adc_expr`` path joins the
+    per-query LUT to the candidate set, which materializes the ~1 KB LUT
+    array into EVERY joined pair row (measured: the dominant cost of the
+    2M-vector probe at ~7.8k candidates/query — scripts/scale_r9.py);
+    cogrouping ships each query's LUT once per group and scores the whole
+    candidate block with one numpy gather. Inputs: ``cand``
+    (query_id, neighbor_id, codes) and ``luts`` (query_id, lut). Rounding
+    contract identical to ``pq_adc_expr`` (LUT entries are pre-rounded
+    multiples of 1e-6; the 8-term sum is ROUND(·,6) half-away-from-zero) —
+    exact agreement with the expression path is pinned in tests."""
+    import numpy as np
+
+    def score(cands_pdf: pd.DataFrame, lut_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cands_pdf.empty or lut_pdf.empty:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 "neighbor_id": pd.Series([], dtype="int64"),
+                 "adc": pd.Series([], dtype="float64")})
+        lut = np.asarray(lut_pdf["lut"].iloc[0],
+                         dtype=np.float64).reshape(PQ_M, PQ_KS)
+        codes = np.vstack(cands_pdf["codes"].to_numpy())  # (n, PQ_M)
+        adc = lut[np.arange(PQ_M)[None, :], codes].sum(axis=1)
+        adc = np.floor(adc * 1e6 + 0.5) / 1e6  # sums are nonnegative
+        return pd.DataFrame({"query_id": cands_pdf["query_id"],
+                             "neighbor_id": cands_pdf["neighbor_id"],
+                             "adc": adc})
+
+    return (
+        cand.groupBy("query_id").cogroup(luts.groupBy("query_id"))
+        .applyInPandas(score, "query_id bigint, neighbor_id bigint, adc double")
+    )
+
+
 def ann_ivf_pq(spark: SparkSession, sf_dir: str, *, k_cells: int = 8,
                nprobe: int = 2, shortlist: int = PQ_SHORTLIST,
                topk: int = 3) -> DataFrame:

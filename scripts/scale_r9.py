@@ -103,7 +103,7 @@ def run_pq(spark, timings: dict, extra: dict) -> None:
     from gmr_spark.algorithms.kmeans import _assign_arrow
     from gmr_spark.operators.similarity import (
         PQ_DSUB, PQ_KS, PQ_M, _dot, _norm, _vec, make_pq_codes_udf,
-        make_pq_lut_udf, pq_adc_expr)
+        make_pq_lut_udf, pq_adc_cogrouped, pq_adc_expr)
     from scale_llm import build_corpus
 
     scratch = os.environ.get("R9_PQ_SCRATCH", "/tmp/r9_pq_scale")
@@ -154,13 +154,21 @@ def run_pq(spark, timings: dict, extra: dict) -> None:
                           make_pq_lut_udf(codebook)(F.col("v")).alias("lut"))
     probes = q_cells.select(F.col("id").alias("query_id"),
                             F.col("cluster").alias("cell"))
-    scored = (
+    cand = (
         probes.join(enc, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .join(luts, "query_id")
-        .select("query_id", "neighbor_id",
-                pq_adc_expr(F.col("lut"), F.col("codes")).alias("adc"))
+        .select("query_id", "neighbor_id", "codes")
     )
+    if os.environ.get("R9_PQ_ADC", "cogroup") == "expr":
+        # A/B leg: the JVM expression path copies the 1 KB LUT into every
+        # candidate row at the join — measured 116.3 s for this probe
+        scored = cand.join(luts, "query_id").select(
+            "query_id", "neighbor_id",
+            pq_adc_expr(F.col("lut"), F.col("codes")).alias("adc"))
+    else:
+        # default: cogrouped transport — LUT ships once per query group
+        # (agreement with the expr path pinned in tests/test_llm_ops.py)
+        scored = pq_adc_cogrouped(cand, luts)
     w_short = W.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id"))
     short = (

@@ -829,3 +829,45 @@ def test_frame_memo_fingerprint_classifier(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(D, "_FINGERPRINT_MAX_FILES", 0)
     assert D._file_fingerprint(df) is D._UNFINGERPRINTABLE
+
+
+def test_pq_adc_cogrouped_matches_expr_path(spark):
+    """The cogrouped ADC transport (LUT shipped once per query group) must
+    produce exactly the scores of the JVM expression path (LUT joined per
+    pair) — same pre-rounded LUT entries, same half-away-from-zero sum
+    rounding — on the full sf0.001 candidate set."""
+    from pyspark.sql import functions as F
+
+    from gmr_spark.operators.similarity import (
+        PQ_DSUB, PQ_KS, PQ_M, _ivf_index_probes, _vec, make_pq_codes_udf,
+        make_pq_lut_udf, pq_adc_cogrouped, pq_adc_expr)
+    from gmr_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    base = emb.select(F.col("vec_id").alias("id"), _vec().alias("v"))
+    seed_rows = base.orderBy("id").limit(PQ_KS).collect()
+    codebook = [
+        [[float(r.v[j * PQ_DSUB + d]) for d in range(PQ_DSUB)]
+         for r in seed_rows]
+        for j in range(PQ_M)
+    ]
+    indexed, probes = _ivf_index_probes(base, k_cells=8, nprobe=2)
+    enc = indexed.select(
+        "neighbor_id", "cell",
+        make_pq_codes_udf(codebook)(F.col("nv")).alias("codes"))
+    luts = base.select(F.col("id").alias("query_id"),
+                       make_pq_lut_udf(codebook)(F.col("v")).alias("lut"))
+    cand = (probes.select("query_id", "cell").join(enc, "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id")))
+
+    expr_scores = (cand.join(luts, "query_id")
+                   .select("query_id", "neighbor_id",
+                           pq_adc_expr(F.col("lut"), F.col("codes"))
+                           .alias("adc")))
+    cog_scores = pq_adc_cogrouped(
+        cand.select("query_id", "neighbor_id", "codes"), luts)
+
+    got = sorted(map(tuple, cog_scores.collect()))
+    want = sorted(map(tuple, expr_scores.collect()))
+    assert len(got) > 1000
+    assert got == want
