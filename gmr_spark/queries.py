@@ -791,25 +791,16 @@ LLM_ORACLES: dict[str, str] = {
 # query measures MUST bump ``round`` to the current round and list the
 # query here (measuring gates are auto-added via _MEASURED_BY below).
 _CHANGED_THIS_ROUND = {
-    "round": 8,
+    "round": 9,
     "names": (
-        # NEW this round: the declared pack-hop operator (no prior row)
-        "multimodal_pack",
-        # frame-memo staleness fix (file fingerprint in the memo key) and
-        # reference-drop-only eviction: the declared semdedup path builds
-        # through _frame_memo, so its checkpoint lifecycle changed
-        "semdedup_embeddings",
-        # Borůvka phase loop: exception-path checkpoint release via an
-        # owned list (clean-path plans and values unchanged)
-        "mst_nation_mesh",
-        # k-core: loop-invariant hoist only (plans unchanged) — fronted per
-        # the discipline note
-        "kcore_cs",
-        # SCC: coloring key scrambled (xxhash64 (mix, id) struct min)
-        # + trim pre-phase for acyclic fringe — output labels identical by
-        # contract, but the phase structure the declared query executes
-        # changed (round-8 many-SCC work, verdict item 2)
-        "scc_nation_ring",
+        # NEW this round: the compressed-index ANN path (no prior row)
+        "ann_ivf_pq",
+        # shares the refactored _ivf_index_probes coarse quantizer
+        # (plans and values unchanged by contract — fronted per discipline)
+        "ann_ivf",
+        # rank core extracted into global_rank (BIGINT internally, declared
+        # schema unchanged via the int cast)
+        "global_sort_rank",
     ),
 }
 
@@ -821,6 +812,7 @@ _MEASURED_BY: dict[str, tuple[str, ...]] = {
     "ann_rh_lsh": ("ann_recall_at_k",),
     "ann_sign_lsh": ("ann_recall_at_k",),
     "ann_ivf": ("ann_recall_at_k",),
+    "ann_ivf_pq": ("ann_recall_at_k",),
 }
 
 
