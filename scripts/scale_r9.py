@@ -33,6 +33,9 @@ partner-recall through the full ADC→shortlist→re-rank stack.
 Usage: R9_RUN_SORT=1 python scripts/scale_r9.py
        R9_RUN_PQ=1 python scripts/scale_r9.py
        R9_SORT_ROWS=1200000 / R9_PQ_VECS=100000 ... (dry runs)
+       R9_PQ_ADC=expr (ADC transport A/B) / R9_PQ_NPROBE=2 (probe 2 cells
+       per query — recovers the coarse-quantizer misses at 2x candidate
+       volume)
 """
 
 from __future__ import annotations
@@ -94,6 +97,38 @@ def run_sort(spark, timings: dict, extra: dict) -> None:
           file=sys.stderr)
 
 
+def _assign_topn(df, centroids, n: int):
+    """Top-n cell assignment — the nprobe query-side twin of
+    ``kmeans._assign_arrow`` (same GEMM + 9 dp rounding; stable argsort so
+    ties break to the lower cell id, like argmin). Output: (id, cluster)
+    with ``n`` rows per input id."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray([vec for _, vec in centroids], dtype=np.float64)
+    ids = np.asarray([c for c, _ in centroids], dtype=np.int64)
+    c2 = (C * C).sum(axis=1)
+    row_chunk = max(16, 8_000_000 // max(1, len(ids)))
+
+    def fn(batches):
+        for pdf in batches:
+            V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            v2 = (V * V).sum(axis=1)
+            out_ids, out_cells = [], []
+            for lo in range(0, len(V), row_chunk):
+                hi = min(lo + row_chunk, len(V))
+                d2 = v2[lo:hi, None] + c2[None, :] - 2.0 * (V[lo:hi] @ C.T)
+                top = np.argsort(np.round(d2, 9), axis=1,
+                                 kind="stable")[:, :n]
+                out_ids.append(np.repeat(pdf["id"].to_numpy()[lo:hi], n))
+                out_cells.append(ids[top].reshape(-1))
+            yield pd.DataFrame({
+                "id": np.concatenate(out_ids),
+                "cluster": np.concatenate(out_cells).astype(np.int32)})
+
+    return df.mapInPandas(fn, "id bigint, cluster int")
+
+
 def run_pq(spark, timings: dict, extra: dict) -> None:
     import shutil
 
@@ -145,9 +180,14 @@ def run_pq(spark, timings: dict, extra: dict) -> None:
     queries = base.filter(
         ((F.col("id") % 2) == 1) & ((F.col("id") / 2).cast("long")
                                     % PQ_QUERY_STRIDE == 0))
-    q_cells = _assign_arrow(queries.select("id", F.col("v").alias("vec")),
-                            centroids)
-    n_queries = q_cells.count()
+    nprobe = int(os.environ.get("R9_PQ_NPROBE", 1))
+    if nprobe == 1:
+        q_cells = _assign_arrow(queries.select("id", F.col("v").alias("vec")),
+                                centroids)
+    else:
+        q_cells = _assign_topn(queries.select("id", F.col("v").alias("vec")),
+                               centroids, nprobe)
+    n_queries = queries.count()
 
     t0 = time.perf_counter()
     luts = queries.select(F.col("id").alias("query_id"),
@@ -196,6 +236,7 @@ def run_pq(spark, timings: dict, extra: dict) -> None:
     extra["pq"] = {
         "vectors": PQ_VECS,
         "cells": PQ_CELLS,
+        "nprobe": nprobe,
         "queries": int(n_queries),
         "encode_vecs_per_sec": round(PQ_VECS / encode_wall)
         if encode_wall else None,
