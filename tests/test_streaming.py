@@ -230,15 +230,11 @@ def test_session_window_stream_append_duality(spark):
     assert len(got) > 0
 
 
-def test_stream_recovers_from_checkpoint_exactly_once(spark, tmp_path):
-    """Crash-recovery contract — the operational half of the 100 TB
-    streaming story that duality tests don't touch. A streaming aggregation
-    is killed mid-run by an injected sink failure (after a PARTIAL output
-    write, like a real task death); restarted from the SAME checkpoint it
-    must (1) resume at the failed epoch rather than batch 0, (2) replay that
-    epoch with the SAME epoch_id so the idempotent per-epoch sink erases the
-    partial write, and (3) recover the state store so the reconstructed
-    final state equals the batch twin exactly."""
+def _recovery_scenario(spark, tmp_path):
+    """Shared crash-recovery drill (see the two tests below for the
+    contract): inject a sink failure after a partial write, restart from
+    the same checkpoint, assert epoch resume + idempotent replay + exact
+    state recovery against the batch twin."""
     import pytest
     from pyspark.errors import StreamingQueryException
     from pyspark.sql import Window as W
@@ -310,3 +306,39 @@ def test_stream_recovers_from_checkpoint_exactly_once(spark, tmp_path):
             for r in events_hourly_batch(spark, SF).collect()}
     assert got == want
     assert len(want) > 0
+
+
+def test_stream_recovers_from_checkpoint_exactly_once(spark, tmp_path):
+    """Crash-recovery contract — the operational half of the 100 TB
+    streaming story that duality tests don't touch. A streaming aggregation
+    is killed mid-run by an injected sink failure (after a PARTIAL output
+    write, like a real task death); restarted from the SAME checkpoint it
+    must (1) resume at the failed epoch rather than batch 0, (2) replay that
+    epoch with the SAME epoch_id so the idempotent per-epoch sink erases the
+    partial write, and (3) recover the state store so the reconstructed
+    final state equals the batch twin exactly."""
+    _recovery_scenario(spark, tmp_path)
+
+
+def test_stream_recovery_under_rocksdb_state_store(spark, tmp_path):
+    """The same crash-recovery contract under the RocksDB state store
+    provider — the 100 TB state path (windowed/session/join state spills to
+    local disk instead of the default HDFS-backed in-memory map, which
+    caps state at executor heap). The provider is read at query start from
+    the session conf; restored after so other tests keep the default."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        _recovery_scenario(spark, tmp_path)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
