@@ -523,3 +523,23 @@ def test_dsir_matches_bruteforce(rows):
         assert got[i].rnk == rnk, (i, got[i], want)
         assert got[i].n_feats == n
         assert abs(got[i].score - score) < 1e-9, (i, got[i].score, score)
+
+
+@given(st.lists(st.integers(-50, 50), min_size=1, max_size=40),
+       st.integers(1, 6))
+@settings(max_examples=8, deadline=None)
+def test_global_rank_matches_bruteforce_total_order(values, n_parts):
+    """global_rank (the sample-sort core) on random value lists with
+    duplicates, across arbitrary partition counts: rank must equal the
+    1-based position in the fully-sorted (value, id) order — including
+    n_parts > n_rows (empty range partitions must not break the offset
+    chain)."""
+    from gmr_spark.operators.relational import global_rank
+
+    spark = _get_spark()
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "id long, value long")
+    got = {r.id: r.rnk for r in global_rank(df, n_parts, "value", "id").collect()}
+    want = {i: pos + 1 for pos, (v, i) in
+            enumerate(sorted((v, i) for i, v in rows))}
+    assert got == want
