@@ -505,11 +505,11 @@ def test_pq_encode_seed_identity():
 
 def test_ann_ivf_pq_plan_is_bucketed_and_arrow(spark):
     """Plan pins for the compressed-index path: candidates come from the
-    cell equi-join (no cartesian / nested-loop anywhere), the only Python
-    in the plan is Arrow-vectorized (encode + LUT), never row-at-a-time,
-    and the per-candidate ADC scoring is a JVM expression (the plan's
-    Python nodes sit on the vector tables, upstream of the candidate
-    join)."""
+    cell equi-join (no cartesian / nested-loop anywhere), all Python in the
+    plan is Arrow-vectorized — encode + LUT as ArrowEvalPython, ADC as the
+    cogrouped FlatMapCoGroupsInPandas transport (measured faster than the
+    LUT-join expression at both scales, SCALE.md r9) — never
+    row-at-a-time."""
     from gmr_spark.operators.similarity import ann_ivf_pq
 
     from tests.conftest import SF_ORACLE
@@ -520,6 +520,7 @@ def test_ann_ivf_pq_plan_is_bucketed_and_arrow(spark):
     plan = df._jdf.queryExecution().explainString(mode)
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert "ArrowEvalPython" in plan          # encode + LUT are Arrow
+    assert "FlatMapCoGroupsInPandas" in plan  # cogrouped ADC transport
     assert "BatchEvalPython" not in plan      # no row-at-a-time Python
 
 
