@@ -872,3 +872,24 @@ def test_pq_adc_cogrouped_matches_expr_path(spark):
     want = sorted(map(tuple, expr_scores.collect()))
     assert len(got) > 1000
     assert got == want
+
+
+def test_pq_adc_cogrouped_handles_candidateless_queries(spark):
+    """A query with a LUT but zero candidates (empty cell after the
+    self-filter) must contribute no rows — the empty-group branch returns a
+    typed empty frame instead of breaking the Arrow schema."""
+    from pyspark.sql import functions as F
+
+    from gmr_spark.operators.similarity import PQ_KS, PQ_M, pq_adc_cogrouped
+
+    lut = [float(i % 7) for i in range(PQ_M * PQ_KS)]
+    luts = spark.createDataFrame(
+        [(1, lut), (2, lut)], "query_id long, lut array<double>")
+    cand = spark.createDataFrame(
+        [(1, 10, [0] * PQ_M)],
+        "query_id long, neighbor_id long, codes array<int>")
+    out = pq_adc_cogrouped(cand, luts).collect()
+    assert len(out) == 1 and out[0].query_id == 1
+    # adc = sum over 8 subspaces of lut[j*16 + 0] = sum of lut[0,16,32,...]
+    want = round(sum(lut[j * PQ_KS] for j in range(PQ_M)), 6)
+    assert out[0].adc == want
