@@ -136,3 +136,19 @@ def test_changed_flag_propagates_to_measuring_gates(monkeypatch):
         {"round": _current_round(), "names": ("ann_rh_lsh",)})
     got = Q._changed_names()
     assert "ann_recall_at_k" in got and "ann_rh_lsh" in got
+
+
+def test_bench_headline_names_resolve():
+    """Every bench HEADLINE name must resolve to a registry query, a
+    bench-only query, or one of the harness's synthetic attribution rows —
+    a typo here would crash the driver's bench run at the KeyError, hours
+    into the round."""
+    import bench
+
+    from gmr_spark.queries import BENCH_ONLY_QUERIES
+
+    synthetic = {"derive_graphs", "dedup_pair_chain", "multimodal_pack_build"}
+    known = set(all_queries()) | set(BENCH_ONLY_QUERIES) | synthetic
+    unknown = set(bench.HEADLINE) - known
+    assert not unknown, f"HEADLINE names with no implementation: {unknown}"
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE)), "duplicate rows"
