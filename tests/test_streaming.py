@@ -342,3 +342,42 @@ def test_stream_recovery_under_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_available_now_trigger_drains_and_stops(spark, tmp_path):
+    """Trigger.AvailableNow — the production batch-drain mode (bounded run
+    over everything available, then self-terminate; the pattern a 100 TB
+    backfill uses instead of a forever-running query). The query must stop
+    on its own, process every micro-batch (maxFilesPerTrigger still caps
+    batch size under AvailableNow), and produce the batch twin's result."""
+    from pyspark.sql import functions as F
+
+    from gmr_spark.sources.tables import load_tables
+    from gmr_spark.streaming.windowed import (
+        _windowed_agg,
+        events_hourly_batch,
+        read_events_stream,
+    )
+
+    src = str(tmp_path / "src")
+    ev = load_tables(spark, SF)["events"].withColumn(
+        "ts", F.expr("CAST(ts AS TIMESTAMP_NTZ)"))
+    (ev.select("event_id", "ts", "user_id", "event_type", "value", "props")
+       .repartitionByRange(4, "ts").write.parquet(src))
+
+    events = read_events_stream(
+        spark, src, options={"pathGlobFilter": "*.parquet",
+                             "maxFilesPerTrigger": "1"}
+    ).withWatermark("ts", "30 days")
+    q = (_windowed_agg(events).writeStream.outputMode("complete")
+         .format("memory").queryName("t_available_now")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120), "availableNow query did not self-stop"
+    n_batches = sum(1 for p in q.recentProgress if int(p["numInputRows"]) > 0)
+    assert n_batches == 4, [p["numInputRows"] for p in q.recentProgress]
+    got = {(r.hour_epoch, r.event_type): (r.n, r.total_value)
+           for r in spark.sql("SELECT * FROM t_available_now").collect()}
+    want = {(r.hour_epoch, r.event_type): (r.n, r.total_value)
+            for r in events_hourly_batch(spark, SF).collect()}
+    assert got == want and len(want) > 0
