@@ -216,3 +216,37 @@ def test_cli_samplesort_reads_reference_shards(spark, capsys, tmp_path):
     got = sorted(int(r.v) for r in
                  spark.read.option("header", "true").csv(out_dir).collect())
     assert got == expected and len(got) > 100
+
+
+def test_interleaved_sf_dirs_share_one_session(spark):
+    """The round driver (and any real user) interleaves scale factors in one
+    session; every per-sf memo (derived graphs in _GRAPH_MEMO, the dedup
+    chain in _CKPT_MEMO) must key on sf_dir so results never bleed across
+    scales. Run a memoized graph query, a memoized dedup query, and a plain
+    relational query at sf0.001 → sf0.01 → sf0.001, checking EVERY run
+    against its own scale factor's DuckDB oracle."""
+    import duckdb
+
+    from gmr_spark.queries import all_oracles, all_queries
+    from tests.oracle_check import compare
+
+    queries = all_queries()
+    oracles = all_oracles()
+    names = ("pagerank_geo", "dedup_minhash", "q1_pricing_summary")
+
+    def check(sf_dir):
+        con = duckdb.connect()
+        try:
+            for t in ("region", "nation", "customer", "supplier", "part",
+                      "orders", "lineitem", "events", "documents",
+                      "embeddings"):
+                con.execute(f"CREATE OR REPLACE VIEW {t} AS "
+                            f"SELECT * FROM '{sf_dir}/{t}.parquet'")
+            for n in names:
+                compare(queries[n](spark, sf_dir), con, oracles[n])
+        finally:
+            con.close()
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                   "/root/testdata/sf0.001"):
+        check(sf_dir)
