@@ -30,8 +30,14 @@ measured scale paths:
 Reported: encode rate (vec/s), ADC query rate (q/s), and top-1
 partner-recall through the full ADC→shortlist→re-rank stack.
 
+R9_RUN_RECOVER=1 — streaming crash-recovery at the 50M-event class: inject
+a sink failure mid-drain, restart from the checkpoint, assert resume AT
+the failed epoch and exactly-once state vs the one-job batch twin; the
+recovery cost measured is the uncommitted work only (SCALE.md).
+
 Usage: R9_RUN_SORT=1 python scripts/scale_r9.py
        R9_RUN_PQ=1 python scripts/scale_r9.py
+       R9_RUN_RECOVER=1 python scripts/scale_r9.py
        R9_SORT_ROWS=1200000 / R9_PQ_VECS=100000 ... (dry runs)
        R9_PQ_ADC=expr (ADC transport A/B) / R9_PQ_NPROBE=2 (probe 2 cells
        per query — recovers the coarse-quantizer misses at 2x candidate
@@ -258,6 +264,122 @@ def run_pq(spark, timings: dict, extra: dict) -> None:
     shutil.rmtree(scratch, ignore_errors=True)
 
 
+def run_recover(spark, timings: dict, extra: dict) -> None:
+    """Crash-recovery at the 50M-event streaming scale class (the unit
+    drill in tests/test_streaming.py proves the semantics; this measures
+    the OPERATIONAL cost): ingest the scale_stream corpus through the
+    watermarked hourly aggregation (update mode, per-epoch idempotent
+    parquet sink — the agg output is bounded at ~#windows × #types rows per
+    epoch, so sink IO is negligible), inject a sink failure at the midpoint
+    epoch after a partial write, restart from the SAME checkpoint, and
+    measure the recovery drain. Invariants: the restart resumes AT the
+    failed epoch (offset log — recovery cost is one micro-batch replay, not
+    a re-scan), and the reconstructed final state equals the one-job batch
+    aggregation of all N events exactly."""
+    import shutil
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from gmr_spark.streaming.windowed import _windowed_agg, read_events_stream
+    from scale_stream import build_events
+
+    n = int(os.environ.get("R9_RECOVER_EVENTS", 50_000_000))
+    scratch = os.environ.get("R9_RECOVER_SCRATCH", "/tmp/r9_recover_scale")
+    t0 = time.perf_counter()
+    sf = build_events(spark, n, scratch)
+    timings["recover_build_corpus"] = round(time.perf_counter() - t0, 1)
+
+    src = f"{sf}/events.parquet"
+    opts = {"pathGlobFilter": "*.parquet", "maxFilesPerTrigger": "8"}
+    ckpt = f"{scratch}/ckpt"
+    out_root = f"{scratch}/out"
+    crash_epoch = 4  # 64 files / 8 per trigger = 8 epochs; fail mid-drain
+    state = {"crashed": False}
+
+    def make_sink(fail_once: bool):
+        def sink(batch_df, epoch_id):
+            if fail_once and epoch_id == crash_epoch and not state["crashed"]:
+                batch_df.limit(1).write.mode("overwrite").parquet(
+                    f"{out_root}/epoch={epoch_id}")
+                state["crashed"] = True
+                raise RuntimeError("injected sink failure")
+            batch_df.write.mode("overwrite").parquet(
+                f"{out_root}/epoch={epoch_id}")
+        return sink
+
+    def start(fail_once: bool):
+        # watermark wider than the 7-day corpus: the file source orders
+        # batches by mtime, and at 50M the 64-file write straggles, so
+        # batch order ≠ event-time order — a tight watermark would drop
+        # whole late windows, which is drop POLICY, not the recovery
+        # contract this drill measures (the throughput probe in
+        # scale_stream.py keeps the tight-watermark configuration)
+        events = read_events_stream(spark, src, options=opts).withWatermark(
+            "ts", "8 days")
+        return (_windowed_agg(events).writeStream.outputMode("update")
+                .foreachBatch(make_sink(fail_once))
+                .option("checkpointLocation", ckpt).start())
+
+    t0 = time.perf_counter()
+    q = start(fail_once=True)
+    try:
+        q.awaitTermination()
+        raise AssertionError("query survived the injected failure")
+    except Exception:
+        pass  # StreamingQueryException — the injected crash
+    phase1 = round(time.perf_counter() - t0, 1)
+    assert state["crashed"], "fault injector never fired"
+
+    t0 = time.perf_counter()
+    q2 = start(fail_once=False)
+    q2.processAllAvailable()
+    replayed = [int(p["batchId"]) for p in q2.recentProgress]
+    recover_rows = sum(int(p["numInputRows"]) for p in q2.recentProgress)
+    q2.stop()
+    phase2 = round(time.perf_counter() - t0, 1)
+    timings["recover_phase1_to_crash"] = phase1
+    timings["recover_phase2_drain"] = phase2
+    assert replayed and min(replayed) == crash_epoch, replayed
+
+    # exactly-once: last-update-per-key across epochs == one-job batch agg
+    t0 = time.perf_counter()
+    got_df = spark.read.option("basePath", out_root).parquet(out_root)
+    w = W.partitionBy("hour_epoch", "event_type").orderBy(F.col("epoch").desc())
+    latest = (got_df.withColumn("rn", F.row_number().over(w))
+              .filter("rn = 1").select("hour_epoch", "event_type", "n",
+                                       "total_value"))
+    # batch twin: same source files through the batch reader, same NTZ →
+    # timestamp normalization read_events_stream applies
+    batch_ev = (
+        spark.read.schema(
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string, value double, props string")
+        .option("pathGlobFilter", "*.parquet").parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            " ts)"))))
+    batch = _windowed_agg(batch_ev)
+    # decimal-summed totals are exact, so set equality is the right test
+    diff = latest.exceptAll(batch).count() + batch.exceptAll(latest).count()
+    n_keys = latest.count()
+    verify_wall = round(time.perf_counter() - t0, 1)
+    timings["recover_verify"] = verify_wall
+    assert diff == 0, f"{diff} state keys differ from the batch twin"
+    extra["recover"] = {
+        "events": n,
+        "crash_epoch": crash_epoch,
+        "resumed_at": int(min(replayed)),
+        "replay_rows": recover_rows,
+        "state_keys": int(n_keys),
+        "exactly_once": True,
+    }
+    print(f"recover: crash@{crash_epoch} after {phase1}s, drained rest in "
+          f"{phase2}s ({recover_rows} rows), {n_keys} state keys exact",
+          file=sys.stderr)
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
 def main() -> None:
     from gmr_spark.session import calibration_probe, get_session
 
@@ -273,6 +395,8 @@ def main() -> None:
         run_sort(spark, timings, extra)
     if os.environ.get("R9_RUN_PQ", ""):
         run_pq(spark, timings, extra)
+    if os.environ.get("R9_RUN_RECOVER", ""):
+        run_recover(spark, timings, extra)
 
     extra["calibration_post_sec"] = calibration_probe(spark)
     print(json.dumps({

@@ -350,3 +350,24 @@ def test_r9_sort_and_pq_rows_at_toy_size(spark, monkeypatch, tmp_path):
     mod.run_pq(spark, timings, extra)
     assert extra["pq"]["queries"] == 100
     assert extra["pq"]["top1_partner_recall"] >= 0.9
+
+
+def test_r9_recover_row_at_toy_size(spark, monkeypatch, tmp_path):
+    """run_recover end-to-end at toy size: its internal asserts must hold —
+    resume AT the crash epoch, exactly-once state vs the batch twin
+    (exceptAll both directions)."""
+    import importlib.util
+
+    monkeypatch.setenv("R9_RECOVER_EVENTS", "200000")
+    monkeypatch.setenv("R9_RECOVER_SCRATCH", str(tmp_path / "rec"))
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "scale_r9.py")
+    spec = importlib.util.spec_from_file_location("r9_rec_toy", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    timings, extra = {}, {}
+    mod.run_recover(spark, timings, extra)
+    r = extra["recover"]
+    assert r["resumed_at"] == r["crash_epoch"] == 4
+    assert r["exactly_once"] is True and r["state_keys"] > 0
