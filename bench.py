@@ -23,6 +23,33 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# interleave a ~0.2 s calibration probe every N queries (round-9 verdict
+# item 3: three rounds of forensics re-adjudicated mid-run host throttling
+# that the single pre/post probe pair could not localize — per-query
+# brackets let the artifact flag its own noisy rows). ~10 probes on the
+# full 74-query set ≈ 2 s against a ~200 s run.
+CAL_EVERY = int(os.environ.get("SPARK_GRAFT_BENCH_CAL_EVERY", "8"))
+# a query whose surrounding probes disagree by >1.25x ran on a host whose
+# speed CHANGED during its segment — its timing is an upper bound, not a
+# measurement (the r6/r7/r9 adjudication threshold)
+NOISY_DRIFT = 1.25
+
+
+def compute_brackets(seg_index: dict[str, int], probes: list[float],
+                     threshold: float = NOISY_DRIFT):
+    """(brackets, noisy): per-query calibration bracket pairs and the names
+    whose bracket drifted past ``threshold``. ``seg_index[name]`` is the
+    index of the probe taken BEFORE name's segment; the probe at index+1
+    closes the segment (the post-run probe closes the last one). Pure so
+    tests can pin the schema and the flagging rule without a Spark run."""
+    brackets = {
+        name: [probes[j], probes[j + 1]] for name, j in seg_index.items()
+    }
+    noisy = sorted(
+        name for name, (a, b) in brackets.items()
+        if min(a, b) > 0 and max(a, b) / min(a, b) > threshold
+    )
+    return brackets, noisy
 
 HEADLINE = [
     # all derived graphs the bench's graph queries share, materialized once
@@ -265,7 +292,12 @@ def main() -> None:
     # memo in O(1) and erase the row's attribution
     NO_RETRY = chain_consumers | {"derive_graphs"}
     timings: dict[str, float] = {}
-    for name in headline:
+    probes: list[float] = [calibration]
+    seg_index: dict[str, int] = {}
+    for i, name in enumerate(headline):
+        if i and i % CAL_EVERY == 0:
+            probes.append(_calibrate())
+        seg_index[name] = len(probes) - 1
         t = _run_once(name)
         if t > RETRY_FLOOR and name not in NO_RETRY:
             t2 = _run_once(name)
@@ -278,6 +310,15 @@ def main() -> None:
             hook()
 
     calibration_post = _calibrate()
+    probes.append(calibration_post)
+    brackets, noisy = compute_brackets(seg_index, probes)
+    if noisy:
+        print(
+            f"  WARNING: {len(noisy)} queries ran inside a >"
+            f"{NOISY_DRIFT}x calibration drift segment (host throttled): "
+            f"{', '.join(noisy)} — treat those timings as upper bounds",
+            file=sys.stderr,
+        )
     drift = calibration_post / calibration if calibration else 1.0
     if drift > 1.2:
         print(
@@ -310,6 +351,13 @@ def main() -> None:
         "n_queries": len(timings),
         "calibration_sec": calibration,
         "calibration_post_sec": calibration_post,
+        # per-query host-speed brackets: [probe before the query's segment,
+        # probe after]. A stable host reads ~[0.2, 0.2] everywhere; a row
+        # whose bracket disagrees >1.25x is listed in "noisy" — its timing
+        # is an upper bound, not a measurement (self-adjudication instead
+        # of next-round forensics; round-9 verdict item 3)
+        "calibration_brackets": brackets,
+        "noisy": noisy,
     }
     print(json.dumps(result))
 

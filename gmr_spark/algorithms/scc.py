@@ -52,6 +52,7 @@ from gmr_spark.graph import PropertyGraph
 from gmr_spark.plans.pregel import (
     BIG_GRAPH_ROWS,
     _drop_checkpoint_blocks,
+    checkpoint_eager,
     disown,
     reset_plan_stats,
 )
@@ -182,7 +183,7 @@ def _backward_members(colors: DataFrame, edges: DataFrame, max_iter: int,
                 & F.array_contains(F.coalesce(F.col("msg_colors"), F.array()), F.col("color"))
             )
             obs = Observation()
-            state = (
+            state = checkpoint_eager(
                 _pin(state).join(agg, "id", "left")
                 .select(
                     "id", "color",
@@ -190,7 +191,6 @@ def _backward_members(colors: DataFrame, edges: DataFrame, max_iter: int,
                     newly.alias("active"),
                 )
                 .observe(obs, F.sum(F.col("active").cast("long")).alias("n_active"))
-                .localCheckpoint(eager=True)
             )
             if big:
                 state = reset_plan_stats(state)

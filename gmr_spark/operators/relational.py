@@ -234,7 +234,18 @@ def global_rank(df: DataFrame, n_parts: int, *order_cols: str) -> DataFrame:
     per partition, so its window and the broadcast join are O(#parts) —
     every full-data operation stays parallel at any scale. ``order_cols``
     must form a strict total order for the rank to be deterministic.
-    Returns the input columns + ``rnk`` (BIGINT, 1-based)."""
+    Returns the input columns + ``rnk`` (BIGINT, 1-based).
+
+    RESERVED NAMES: the helper adds-then-drops ``_pid``/``_rn``/``_offset``
+    and writes ``rnk`` — an input already carrying any of them would be
+    silently corrupted, so it is rejected up front (round-9 ADVICE item 4;
+    the helper is a shared public entry point since the r9 extraction)."""
+    clash = {"_pid", "_rn", "_offset", "rnk"}.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"global_rank: input columns {sorted(clash)} collide with the "
+            "helper's reserved names (_pid, _rn, _offset, rnk) — rename "
+            "them before ranking")
     tagged = df.repartitionByRange(n_parts, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )

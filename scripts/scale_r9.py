@@ -321,13 +321,21 @@ def run_recover(spark, timings: dict, extra: dict) -> None:
                 .foreachBatch(make_sink(fail_once))
                 .option("checkpointLocation", ckpt).start())
 
+    from pyspark.errors.exceptions.base import StreamingQueryException
+
     t0 = time.perf_counter()
     q = start(fail_once=True)
+    crashed = False
     try:
         q.awaitTermination()
+    except StreamingQueryException:
+        # ONLY the injected sink crash surfacing through the query — any
+        # other failure (Py4J, session death) propagates instead of being
+        # mistaken for the drill's phase 1 (round-9 ADVICE item 1; the old
+        # blanket except also swallowed the survived-query assertion below)
+        crashed = True
+    if not crashed:
         raise AssertionError("query survived the injected failure")
-    except Exception:
-        pass  # StreamingQueryException — the injected crash
     phase1 = round(time.perf_counter() - t0, 1)
     assert state["crashed"], "fault injector never fired"
 

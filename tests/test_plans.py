@@ -680,3 +680,54 @@ def test_run_pregel_edge_checkpoint_ownership(spark):
                    _Boom(), max_iter=8, checkpoint_interval=1)
     assert not (persistent_ids() - before), \
         "failed run_pregel leaked checkpoint blocks"
+
+
+def test_run_pregel_failure_inside_checkpoint_releases_inflight(
+        spark, monkeypatch):
+    """Round-9 verdict item 3: the loop's except path releases the states
+    it holds BINDINGS to, but a failure landing inside the eager
+    localCheckpoint call itself happens before the binding exists — the
+    partially-persisted RDD used to be stranded on the async
+    ContextCleaner. checkpoint_eager must unpersist whatever the failed
+    materialization persisted: a run_pregel whose superstep checkpoint
+    persists blocks and THEN fails must leave zero new persistent RDDs."""
+    from gmr_spark.algorithms.sssp import _SSSPProgram
+    from gmr_spark.graph import PropertyGraph
+    from gmr_spark.plans.pregel import run_pregel
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "src bigint, dst bigint")
+    vertices = spark.createDataFrame(
+        [(i,) for i in range(65)], "id bigint")
+    # patch the CONCRETE class (pyspark.sql.classic.dataframe.DataFrame on
+    # Spark 4) — the pyspark.sql.DataFrame parent's method is overridden
+    DataFrame = type(edges)
+
+    def persistent_ids() -> set:
+        return {int(i) for i in
+                spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()}
+
+    real = DataFrame.localCheckpoint
+    calls = {"n": 0}
+
+    def persist_then_fail(self, eager=True):
+        # the worst version of the window: the checkpoint's materializing
+        # job fully persisted its blocks, then the call raised — callers
+        # never receive the DataFrame, so only checkpoint_eager's id-set
+        # diff can release the blocks
+        out = real(self, eager=eager)
+        calls["n"] += 1
+        if calls["n"] >= 3:  # 1=edges snapshot, 2=init state, 3=superstep 1
+            raise RuntimeError("injected failure inside localCheckpoint")
+        return out
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", persist_then_fail)
+    before = persistent_ids()
+    with pytest.raises(RuntimeError, match="inside localCheckpoint"):
+        run_pregel(PropertyGraph(vertices=vertices, edges=edges),
+                   _SSSPProgram(0, weighted=False), max_iter=8,
+                   checkpoint_interval=1)
+    monkeypatch.setattr(DataFrame, "localCheckpoint", real)
+    leaked = persistent_ids() - before
+    assert not leaked, \
+        f"failure inside the eager checkpoint stranded RDDs {leaked}"

@@ -543,3 +543,18 @@ def test_global_rank_matches_bruteforce_total_order(values, n_parts):
     want = {i: pos + 1 for pos, (v, i) in
             enumerate(sorted((v, i) for i, v in rows))}
     assert got == want
+
+
+def test_global_rank_rejects_reserved_column_names():
+    """Round-9 ADVICE item 4: global_rank adds-then-drops _pid/_rn/_offset
+    and writes rnk, so an input already carrying any of those names would
+    be silently corrupted — the shared public helper must reject it."""
+    import pytest
+
+    from gmr_spark.operators.relational import global_rank
+
+    spark = _get_spark()
+    for bad in ("_pid", "_rn", "_offset", "rnk"):
+        df = spark.createDataFrame([(1, 2)], f"value long, {bad} long")
+        with pytest.raises(ValueError, match="reserved"):
+            global_rank(df, 2, "value")

@@ -152,3 +152,51 @@ def test_bench_headline_names_resolve():
     unknown = set(bench.HEADLINE) - known
     assert not unknown, f"HEADLINE names with no implementation: {unknown}"
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE)), "duplicate rows"
+
+
+def test_bench_bracket_flagging_rule():
+    """compute_brackets (round-9 verdict item 3): every query gets the
+    probe pair surrounding its segment, and exactly the queries whose pair
+    disagrees >1.25x are flagged noisy — the self-adjudication rule the
+    r6/r7/r9 throttling forensics applied by hand."""
+    import bench
+
+    # three segments: probes 0.2 -> 0.2 (stable), 0.2 -> 0.3 (1.5x,
+    # throttle lands mid-run), 0.3 -> 0.28 (stays slow but stable)
+    seg_index = {"a": 0, "b": 0, "c": 1, "d": 2}
+    probes = [0.2, 0.2, 0.3, 0.28]
+    brackets, noisy = bench.compute_brackets(seg_index, probes)
+    assert brackets == {"a": [0.2, 0.2], "b": [0.2, 0.2],
+                        "c": [0.2, 0.3], "d": [0.3, 0.28]}
+    assert noisy == ["c"]
+    # drift in either direction flags; a zero probe never divides
+    assert bench.compute_brackets({"x": 0}, [0.3, 0.2])[1] == ["x"]
+    assert bench.compute_brackets({"x": 0}, [0.0, 0.2])[1] == []
+
+
+def test_bench_artifact_schema(spark, monkeypatch, capsys):
+    """BENCH_r{N} artifact contract (round-9 verdict item 3): the JSON line
+    must carry per-query calibration_brackets and a noisy list so the judge
+    reads host-noise adjudication OFF the artifact instead of re-running
+    forensics. Pinned by an in-process bench run over three cheap rows at
+    sf0.001."""
+    import json
+
+    import bench
+
+    subset = ["q6_forecast_revenue", "token_stats", "doc_fingerprints"]
+    monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setattr(bench, "CAL_EVERY", 1)
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ONLY", ",".join(subset))
+    bench.main()
+    line = [ln for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("{")][-1]
+    got = json.loads(line)
+    assert set(subset) == set(got["queries"])
+    assert set(got["calibration_brackets"]) == set(got["queries"])
+    for name, pair in got["calibration_brackets"].items():
+        assert len(pair) == 2 and all(
+            isinstance(p, float) and p > 0 for p in pair), (name, pair)
+    assert isinstance(got["noisy"], list)
+    assert set(got["noisy"]) <= set(got["queries"])
+    assert got["calibration_sec"] > 0 and got["calibration_post_sec"] > 0
