@@ -151,6 +151,10 @@ HEADLINE = [
     "multimodal_pack",
     # round 9 addition: IVF-PQ — the compressed-index (4 B/vector) ANN path
     "ann_ivf_pq",
+    # round 10 addition: the trained-codebook (per-subspace Lloyd) IVF-PQ —
+    # the production path; its incremental cost over ann_ivf_pq is the
+    # training passes (bench-only query, see queries.BENCH_ONLY_QUERIES)
+    "ann_ivf_pq_trained",
 ]
 
 

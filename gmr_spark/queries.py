@@ -541,6 +541,15 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
 # stays exercised through bench.py and tests.
 BENCH_ONLY_QUERIES: dict[str, QueryFn] = {
     "approx_sketch_stats": R.approx_sketch_stats,
+    # trained-codebook IVF-PQ (round-10): the production path of the
+    # declared ann_ivf_pq. Bench-only because the trained codebook is the
+    # fixpoint of a distributed per-subspace Lloyd — no compact DuckDB
+    # derivation exists (the declared query keeps the seeded codebook the
+    # twin CAN derive); correctness of the training kernel is pinned
+    # against a driver-side numpy Lloyd in tests/test_llm_ops.py and the
+    # 2M-vector seeded-vs-trained row lives in SCALE.md.
+    "ann_ivf_pq_trained": lambda spark, sf_dir: S.ann_ivf_pq(
+        spark, sf_dir, train_iters=2),
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -791,16 +800,19 @@ LLM_ORACLES: dict[str, str] = {
 # query measures MUST bump ``round`` to the current round and list the
 # query here (measuring gates are auto-added via _MEASURED_BY below).
 _CHANGED_THIS_ROUND = {
-    "round": 9,
+    "round": 10,
     "names": (
-        # NEW this round: the compressed-index ANN path (no prior row)
+        # pq_adc_cogrouped gained the loud missing/duplicate-LUT guard and
+        # ann_ivf_pq the train_iters parameter (default 0 — declared values
+        # unchanged by contract; fronted per discipline)
         "ann_ivf_pq",
-        # shares the refactored _ivf_index_probes coarse quantizer
-        # (plans and values unchanged by contract — fronted per discipline)
-        "ann_ivf",
-        # rank core extracted into global_rank (BIGINT internally, declared
-        # schema unchanged via the int cast)
+        # global_rank gained the reserved-column-name guard (values
+        # unchanged; fronted per discipline)
         "global_sort_rank",
+        # the peel loop's per-superstep checkpoint now goes through
+        # checkpoint_eager (failure-window block release — values
+        # unchanged; fronted per discipline)
+        "scc_nation_ring",
     ),
 }
 

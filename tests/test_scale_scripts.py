@@ -352,6 +352,72 @@ def test_r9_sort_and_pq_rows_at_toy_size(spark, monkeypatch, tmp_path):
     assert extra["pq"]["top1_partner_recall"] >= 0.9
 
 
+def test_r10_pqtrain_row_at_toy_size(spark, monkeypatch, tmp_path):
+    """scale_r10's trained-codebook probe end-to-end at toy size (round-9
+    verdict item 2). Invariants the committed SCALE.md row relies on:
+    (a) both legs share the coarse quantizer exactly — identical cell_hits
+        and identical gt_reachable (the reachable-recall comparison is
+        well-defined only because the reachable set is shared);
+    (b) per-subspace Lloyd training on the 1-in-10 sample cuts the FULL
+        corpus quantization MSE substantially (generalization, not fit);
+    (c) trained reachable-recall ≥ seeded (ADC ordering is what the
+        codebook improves — the planted-partner metric cannot move, the
+        partner shares the query's codes);
+    (d) exact ground truth has exactly gt_k rows per query."""
+    import importlib.util
+
+    monkeypatch.setenv("R10_PQ_VECS", "50000")
+    monkeypatch.setenv("R10_PQ_CELLS", "64")
+    monkeypatch.setenv("R10_PQ_NOISE_MILLI", "50")
+    monkeypatch.setenv("R10_PQ_SCRATCH", str(tmp_path / "pqtrain"))
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "scale_r10.py")
+    spec = importlib.util.spec_from_file_location("r10_toy", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    timings, extra = {}, {}
+    mod.run_pqtrain(spark, timings, extra)
+    p = extra["pqtrain"]
+    seeded, trained = p["legs"]["seeded"], p["legs"]["trained"]
+    assert seeded["cell_hits"] == trained["cell_hits"]          # (a)
+    assert seeded["gt_reachable"] == trained["gt_reachable"]
+    assert trained["mse"] <= seeded["mse"] * 0.8                # (b)
+    assert trained["recall_reachable"] >= seeded["recall_reachable"]  # (c)
+    assert p["gt_queries"] * p["gt_k"] == 250                   # (d)
+    # the measured compression claim has the right shape even at toy size
+    assert p["index_bytes"]["codes_parquet"] * 5 < \
+        p["index_bytes"]["raw_vec_parquet"]
+
+
+def test_r10_celltrain_row_at_toy_size(spark, monkeypatch, tmp_path):
+    """scale_r10's coarse-quantizer probe at toy size: Lloyd-training the
+    IVF cells with the kmeans Arrow kernels must (a) not lose planted
+    pairs (every pair observed exactly twice -> grouped once), (b) raise
+    the partner same-cell rate vs the seeded cells (the nprobe=1 coarse
+    recall ceiling), and (c) improve cell balance (max/mean population —
+    the candidate equi-join's hot-key bound)."""
+    import importlib.util
+
+    monkeypatch.setenv("R10_PQ_VECS", "50000")
+    monkeypatch.setenv("R10_PQ_CELLS", "64")
+    monkeypatch.setenv("R10_CELL_SCRATCH", str(tmp_path / "cells"))
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "scale_r10.py")
+    spec = importlib.util.spec_from_file_location("r10_cell_toy", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    timings, extra = {}, {}
+    mod.run_celltrain(spark, timings, extra)
+    legs = extra["celltrain"]["legs"]
+    assert legs["seeded"]["pairs"] == legs["trained"]["pairs"] == 1000  # (a)
+    assert (legs["trained"]["same_cell_rate"]
+            >= legs["seeded"]["same_cell_rate"])                       # (b)
+    assert (legs["trained"]["max_over_mean"]
+            <= legs["seeded"]["max_over_mean"])                       # (c)
+
+
 def test_r9_recover_row_at_toy_size(spark, monkeypatch, tmp_path):
     """run_recover end-to-end at toy size: its internal asserts must hold —
     resume AT the crash epoch, exactly-once state vs the batch twin
