@@ -36,7 +36,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, functions as F
 
 from gmr_spark.graph import PropertyGraph
-from gmr_spark.plans.pregel import run_pregel
+from gmr_spark.plans.pregel import (
+    _drop_checkpoint_blocks,
+    checkpoint_eager,
+    run_pregel,
+)
 
 
 class _CCProgram:
@@ -71,59 +75,73 @@ def _cc_labels(g: PropertyGraph, max_iter: int) -> tuple[DataFrame, dict]:
     Returns the converged label table and counters for the property test:
     ``rounds`` (propagation steps) and ``jump_joins`` (doubling joins)."""
     edges = g.edges.select("src", "dst")
-    labels = g.vertices.select(
+    labels = checkpoint_eager(g.vertices.select(
         "id", F.col("id").alias("label")
-    ).localCheckpoint(eager=True)
+    ))
+    # superseded label checkpoints are released as soon as their successor
+    # is materialized (round-10: this loop predated the release discipline
+    # run_pregel/_backward_members follow — at 100 TB a long run stranded
+    # O(rounds + jump_joins) |V|-row block sets on the async
+    # ContextCleaner). prev IS the live binding; on failure the helper
+    # releases the in-flight checkpoint and the except path the last good
+    # one — the returned fixpoint is never released here.
+    prev = labels
 
     stats = {"rounds": 0, "jump_joins": 0, "converged": False}
-    for _ in range(max_iter):
-        # (1) one min-neighbor propagation step; `improved` is observed
-        # during the checkpoint materialization — ONE job per step
-        nbr_min = (
-            edges.join(labels.select(F.col("id").alias("src"),
-                                     F.col("label").alias("slabel")), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("slabel").alias("nlabel"))
-        )
-        obs = Observation()
-        labels = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least("label", F.coalesce("nlabel", "label")).alias("label"),
-                (F.coalesce("nlabel", "label") < F.col("label")).alias("_imp"),
+    try:
+        for _ in range(max_iter):
+            # (1) one min-neighbor propagation step; `improved` is observed
+            # during the checkpoint materialization — ONE job per step
+            nbr_min = (
+                edges.join(labels.select(F.col("id").alias("src"),
+                                         F.col("label").alias("slabel")), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("slabel").alias("nlabel"))
             )
-            .observe(obs, F.sum(F.col("_imp").cast("long")).alias("n_improved"))
-            .drop("_imp")
-            .localCheckpoint(eager=True)
-        )
-        stats["rounds"] += 1
-        if (obs.get["n_improved"] or 0) == 0:
-            stats["converged"] = True
-            break
-
-        # (2) pointer doubling to fixpoint: label = label[label]
-        for _ in range(_JUMP_CAP):
-            jump_obs = Observation()
-            labels = (
-                labels.join(
-                    labels.select(F.col("id").alias("label"),
-                                  F.col("label").alias("_ll")),
-                    "label", "left",
-                )
+            obs = Observation()
+            labels = checkpoint_eager(
+                labels.join(nbr_min, "id", "left")
                 .select(
                     "id",
-                    F.coalesce("_ll", "label").alias("label"),
-                    (F.coalesce("_ll", "label") < F.col("label")).alias("_imp"),
+                    F.least("label", F.coalesce("nlabel", "label")).alias("label"),
+                    (F.coalesce("nlabel", "label") < F.col("label")).alias("_imp"),
                 )
-                .observe(jump_obs,
-                         F.sum(F.col("_imp").cast("long")).alias("n_jumped"))
+                .observe(obs, F.sum(F.col("_imp").cast("long")).alias("n_improved"))
                 .drop("_imp")
-                .localCheckpoint(eager=True)
             )
-            stats["jump_joins"] += 1
-            if (jump_obs.get["n_jumped"] or 0) == 0:
+            _drop_checkpoint_blocks(prev)
+            prev = labels
+            stats["rounds"] += 1
+            if (obs.get["n_improved"] or 0) == 0:
+                stats["converged"] = True
                 break
+
+            # (2) pointer doubling to fixpoint: label = label[label]
+            for _ in range(_JUMP_CAP):
+                jump_obs = Observation()
+                labels = checkpoint_eager(
+                    labels.join(
+                        labels.select(F.col("id").alias("label"),
+                                      F.col("label").alias("_ll")),
+                        "label", "left",
+                    )
+                    .select(
+                        "id",
+                        F.coalesce("_ll", "label").alias("label"),
+                        (F.coalesce("_ll", "label") < F.col("label")).alias("_imp"),
+                    )
+                    .observe(jump_obs,
+                             F.sum(F.col("_imp").cast("long")).alias("n_jumped"))
+                    .drop("_imp")
+                )
+                _drop_checkpoint_blocks(prev)
+                prev = labels
+                stats["jump_joins"] += 1
+                if (jump_obs.get["n_jumped"] or 0) == 0:
+                    break
+    except BaseException:
+        _drop_checkpoint_blocks(prev)
+        raise
     return labels, stats
 
 

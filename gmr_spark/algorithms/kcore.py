@@ -41,6 +41,7 @@ def k_core(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
     from gmr_spark.plans.pregel import (
         BIG_GRAPH_ROWS,
         _drop_checkpoint_blocks,
+        checkpoint_eager,
         disown,
         reset_plan_stats,
     )
@@ -90,7 +91,7 @@ def k_core(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
             deg = induced.groupBy(F.col("a").alias("id")).agg(
                 F.count(F.lit(1)).alias("core_degree")
             )
-            nxt = deg.filter(F.col("core_degree") >= k).localCheckpoint(eager=True)
+            nxt = checkpoint_eager(deg.filter(F.col("core_degree") >= k))
             if n_alive > BIG_GRAPH_ROWS:
                 # each peel references the previous alive set TWICE, so the
                 # checkpoint-propagated size estimate doubles its digit

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from gmr_spark.graph import PropertyGraph
-from gmr_spark.plans.pregel import small_loop_conf
+from gmr_spark.plans.pregel import checkpoint_eager, small_loop_conf
 
 
 def _min_label_fixpoint(nodes: DataFrame, und_edges: DataFrame,
@@ -61,8 +61,7 @@ def _min_label_fixpoint(nodes: DataFrame, und_edges: DataFrame,
         # legitimate compile-time broadcasts.
         return reset_plan_stats(df) if big else df
 
-    lbl = _cut(nodes.select("u", F.col("u").alias("lbl"))
-               .localCheckpoint(eager=True))
+    lbl = _cut(checkpoint_eager(nodes.select("u", F.col("u").alias("lbl"))))
     for _ in range(max_iter):
         nb = (
             und_edges.join(_pin(lbl.withColumnRenamed("u", "v")), "v")
@@ -73,14 +72,13 @@ def _min_label_fixpoint(nodes: DataFrame, und_edges: DataFrame,
             .select("u", F.least("lbl", F.coalesce("ml", "lbl")).alias("lbl"))
         )
         # pointer jump: labels are node ids, so re-resolve through the table
-        jump = _cut(
+        jump = _cut(checkpoint_eager(
             prop.join(
                 _pin(prop.select(F.col("u").alias("lbl"),
                                  F.col("lbl").alias("lbl2"))),
                 "lbl",
             ).select("u", F.col("lbl2").alias("lbl"))
-            .localCheckpoint(eager=True)
-        )
+        ))
         changed = (
             jump.join(lbl.withColumnRenamed("lbl", "old"), "u")
             .filter(F.col("lbl") < F.col("old"))
@@ -181,14 +179,14 @@ def _boruvka_phases(canon: DataFrame, comp: DataFrame, mst: DataFrame,
     returning = False
     try:
         for _ in range(max_phases):  # noqa: B007 (break-on-fixpoint loop)
-            lab = (
+            lab = checkpoint_eager(
                 canon
                 .join(_pin(comp.select(F.col("id").alias("a"),
                                        F.col("comp").alias("ca"))), "a")
                 .join(_pin(comp.select(F.col("id").alias("b"),
                                        F.col("comp").alias("cb"))), "b")
                 .filter(F.col("ca") != F.col("cb"))
-            ).localCheckpoint(eager=True)
+            )
             owned.append(lab)
             if lab.isEmpty():
                 _drop(lab)
@@ -199,12 +197,12 @@ def _boruvka_phases(canon: DataFrame, comp: DataFrame, mst: DataFrame,
             ).unionByName(
                 lab.select(F.col("cb").alias("comp"), "w", "a", "b", "ca", "cb")
             )
-            sel = (
+            sel = checkpoint_eager(
                 incident.groupBy("comp")
                 .agg(F.min(F.struct("w", "a", "b", "ca", "cb")).alias("m"))
                 .select("m.w", "m.a", "m.b", "m.ca", "m.cb")
                 .distinct()
-            ).localCheckpoint(eager=True)
+            )
             owned.append(sel)
             # lab is ~|cross-edges| rows — the FULL edge table in early
             # phases (several GB checkpointed at G2 size); both consumers
@@ -214,7 +212,7 @@ def _boruvka_phases(canon: DataFrame, comp: DataFrame, mst: DataFrame,
             # edges.
             _drop(lab)
             prev_mst = mst
-            mst = mst.unionByName(sel.select("a", "b", "w")).localCheckpoint(eager=True)
+            mst = checkpoint_eager(mst.unionByName(sel.select("a", "b", "w")))
             owned.append(mst)
             _drop(prev_mst)
             # merge components: min-label over the picked component edges
@@ -225,10 +223,10 @@ def _boruvka_phases(canon: DataFrame, comp: DataFrame, mst: DataFrame,
             lbl = _min_label_fixpoint(nodes, cg, big=big)
             owned.append(lbl)
             prev_comp = comp
-            comp = (
+            comp = checkpoint_eager(
                 comp.join(_pin(lbl), comp["comp"] == lbl["u"])
                 .select("id", F.col("lbl").alias("comp"))
-            ).localCheckpoint(eager=True)
+            )
             owned.append(comp)
             for dead in (prev_comp, lbl, sel):
                 _drop(dead)

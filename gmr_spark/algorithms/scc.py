@@ -159,10 +159,10 @@ def _backward_members(colors: DataFrame, edges: DataFrame, max_iter: int,
     def _pin(df: DataFrame) -> DataFrame:
         return df.hint("shuffle_hash") if big else df
 
-    state = colors.select(
+    state = checkpoint_eager(colors.select(
         "id", "color", (F.col("color") == F.col("id")).alias("member"),
         (F.col("color") == F.col("id")).alias("active"),
-    ).localCheckpoint(eager=True)
+    ))
     if big:
         state = reset_plan_stats(state)
     prev_state = state
@@ -239,11 +239,11 @@ def _trim_pass(remaining_v: DataFrame, remaining_e: DataFrame,
     for it in range(max_trim_iter):
         has_out = remaining_e.select(F.col("src").alias("id")).distinct()
         has_in = remaining_e.select(F.col("dst").alias("id")).distinct()
-        keep = (
+        keep = checkpoint_eager(
             remaining_v
             .join(_pin(has_out), "id", "left_semi")
             .join(_pin(has_in), "id", "left_semi")
-        ).localCheckpoint(eager=True)
+        )
         owned.append(keep)
         n_keep = keep.count()
         n_dropped = n_remaining - n_keep
@@ -252,21 +252,21 @@ def _trim_pass(remaining_v: DataFrame, remaining_e: DataFrame,
             disown(owned, keep)
             return (remaining_v, remaining_e, n_remaining, trimmed_parts,
                     it, n_trimmed)
-        dropped = remaining_v.join(keep, "id", "left_anti").select(
-            "id", F.col("id").alias("scc")
-        ).localCheckpoint(eager=True)
+        dropped = checkpoint_eager(
+            remaining_v.join(keep, "id", "left_anti").select(
+                "id", F.col("id").alias("scc")))
         trimmed_parts.append(dropped)
         n_trimmed += n_dropped
         n_remaining = n_keep
         _drop_checkpoint_blocks(remaining_v)
         disown(owned, remaining_v)
         remaining_v = keep
-        new_e = (
+        new_e = checkpoint_eager(
             remaining_e
             .join(_pin(keep.select(F.col("id").alias("src"))), "src", "left_semi")
             .join(_pin(keep.select(F.col("id").alias("dst"))), "dst", "left_semi")
             .select("src", "dst")
-        ).localCheckpoint(eager=True)
+        )
         owned.append(new_e)
         _drop_checkpoint_blocks(remaining_e)
         disown(owned, remaining_e)
@@ -324,24 +324,23 @@ def strongly_connected_components(graph: PropertyGraph, *, max_iter: int = 120,
             # relabel each membership group by its min vertex id — the
             # declared output contract, independent of the scramble
             scc_min = members.groupBy("color").agg(F.min("id").alias("scc"))
-            part = members.join(scc_min, "color").select("id", "scc") \
-                .localCheckpoint(eager=True)
+            part = checkpoint_eager(
+                members.join(scc_min, "color").select("id", "scc"))
             assigned_parts.append(part)
             stats["phases"] += 1
             member_ids = part.select("id")
-            new_v = remaining_v.join(member_ids, "id", "left_anti") \
-                .localCheckpoint(eager=True)
+            new_v = checkpoint_eager(
+                remaining_v.join(member_ids, "id", "left_anti"))
             owned.append(new_v)
             _drop_checkpoint_blocks(remaining_v)
             disown(owned, remaining_v)
             remaining_v = new_v
-            new_e = (
+            new_e = checkpoint_eager(
                 remaining_e.join(member_ids.withColumnRenamed("id", "src"),
                                  "src", "left_anti")
                 .join(member_ids.withColumnRenamed("id", "dst"),
                       "dst", "left_anti")
                 .select("src", "dst")
-                .localCheckpoint(eager=True)
             )
             owned.append(new_e)
             _drop_checkpoint_blocks(remaining_e)

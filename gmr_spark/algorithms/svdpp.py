@@ -97,7 +97,8 @@ def svdpp_train(spark: SparkSession, rating_edges_df: DataFrame, *,
     ``iter_times`` (optional) collects per-iteration wall seconds."""
     import time as _time
 
-    from gmr_spark.plans.pregel import _drop_checkpoint_blocks
+    from gmr_spark.plans.pregel import (_drop_checkpoint_blocks,
+                                        checkpoint_eager)
 
     cap = _STATE_BROADCAST_CAP if state_broadcast_cap is None else state_broadcast_cap
     dims = range(rank)
@@ -177,17 +178,17 @@ def svdpp_train(spark: SparkSession, rating_edges_df: DataFrame, *,
             # re-derivation (3 consumers re-running the edge join) costs
             # more than the two checkpoint jobs (14.5 s vs 11.9 s for the
             # full query at sf0.1)
-            errs = _errs(users, items, imp).localCheckpoint(eager=True)
+            errs = checkpoint_eager(_errs(users, items, imp))
             owned.append(errs)
 
             # one aggregate serves both the p/b update and the y gradient
             # (g_u = sp_u / sqrt(nu)) — materialized so the two consumers
             # scan a tiny per-user table instead of re-deriving errs
-            uagg = errs.groupBy("u").agg(
+            uagg = checkpoint_eager(errs.groupBy("u").agg(
                 F.sum("err").alias("se"),
                 *[F.sum(F.col("err") * F.col(f"q{d}")).alias(f"sp{d}")
                   for d in dims],
-            ).localCheckpoint(eager=True)
+            ))
             owned.append(uagg)
             new_users = users.join(st(uagg), "u").select(
                 "u", "nu",
@@ -199,7 +200,8 @@ def svdpp_train(spark: SparkSession, rating_edges_df: DataFrame, *,
                     .alias(f"p{d}")
                     for d in dims
                 ],
-            ).localCheckpoint(eager=True)
+            )
+            new_users = checkpoint_eager(new_users)
             owned.append(new_users)
 
             iagg = errs.groupBy("i").agg(
@@ -236,7 +238,8 @@ def svdpp_train(spark: SparkSession, rating_edges_df: DataFrame, *,
                     .alias(f"y{d}")
                     for d in dims
                 ],
-            ).localCheckpoint(eager=True)
+            )
+            new_items = checkpoint_eager(new_items)
             owned.append(new_items)
 
             for df in (users, items, errs, uagg):

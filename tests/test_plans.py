@@ -682,6 +682,40 @@ def test_run_pregel_edge_checkpoint_ownership(spark):
         "failed run_pregel leaked checkpoint blocks"
 
 
+def test_cc_label_loop_releases_superseded_checkpoints(spark):
+    """Round-10: _cc_labels used to leave every superseded per-round label
+    checkpoint to the async ContextCleaner (the only loop that predated
+    the release discipline) — a long run stranded O(rounds + jump_joins)
+    |V|-row block sets. Now a clean run leaves exactly the returned label
+    table resident, and its per-round checkpoints go through
+    checkpoint_eager (failure-window coverage included)."""
+    from gmr_spark.algorithms.cc import connected_components
+    from gmr_spark.graph import PropertyGraph
+    from gmr_spark.plans.pregel import _drop_checkpoint_blocks
+
+    # a path graph forces several propagate+jump rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(200)],
+        "src bigint, dst bigint, weight double")
+    vertices = spark.createDataFrame(
+        [(i,) for i in range(201)], "id bigint")
+
+    def persistent_ids() -> set:
+        return {int(i) for i in
+                spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()}
+
+    before = persistent_ids()
+    out = connected_components(
+        PropertyGraph(vertices=vertices, edges=edges))
+    assert out.groupBy("component").count().count() == 1  # one component
+    leaked = persistent_ids() - before
+    assert len(leaked) == 1, \
+        f"cc must leave only the returned labels resident, found {leaked}"
+    _drop_checkpoint_blocks(out.select("id", "component"))
+    # (the returned frame is a projection of the checkpoint; release via
+    # the underlying plan — a second call on a non-LogicalRDD is a no-op)
+
+
 def test_run_pregel_failure_inside_checkpoint_releases_inflight(
         spark, monkeypatch):
     """Round-9 verdict item 3: the loop's except path releases the states
