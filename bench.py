@@ -241,7 +241,12 @@ def main() -> None:
     from gmr_spark.session import calibration_probe
 
     def _calibrate() -> float:
-        return calibration_probe(spark)
+        # min-of-2: a single ~0.2 s probe sample swings up to 2x on this
+        # host (GC pause / scheduler jitter landing inside the probe), which
+        # false-flags stable segments as noisy; min of two back-to-back
+        # samples is the standard steady-state estimator (same rationale as
+        # the RETRY_FLOOR min-of-2 below) and still costs <0.5 s per point
+        return min(calibration_probe(spark), calibration_probe(spark))
 
     _calibrate()  # warm the calibration path itself (codegen + JIT), else the
     # pre-run probe reads ~3x slower than the post-run one and the drift

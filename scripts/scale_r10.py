@@ -239,6 +239,27 @@ def run_pqtrain(spark, timings: dict, extra: dict) -> None:
         for j in range(PQ_M)
     ]
 
+    # R10_PQ_TRAIN_CELLS=1: Lloyd-train the coarse quantizer too (the
+    # run_celltrain kernels) so the probe measures the full production
+    # config — trained cells × trained codebook — against the same exact
+    # ground truth; the default keeps seeded cells so the codebook legs
+    # isolate the codebook.
+    train_cells = bool(os.environ.get("R10_PQ_TRAIN_CELLS", ""))
+    if train_cells:
+        from gmr_spark.algorithms.kmeans import _update
+
+        t0 = time.perf_counter()
+        cell_sample = base.filter(
+            F.col("id") % TRAIN_SAMPLE_MOD == 0
+        ).select("id", F.col("v").alias("vec")).localCheckpoint(eager=True)
+        for _ in range(int(os.environ.get("R10_CELL_ITERS", 3))):
+            centroids = _update(cell_sample,
+                                _assign_arrow(cell_sample, centroids))
+        timings["train_cells"] = round(time.perf_counter() - t0, 1)
+        from gmr_spark.plans.pregel import _drop_checkpoint_blocks as _dcb
+
+        _dcb(cell_sample)
+
     t0 = time.perf_counter()
     sample = base.filter(F.col("id") % TRAIN_SAMPLE_MOD == 0)
     trained = train_pq_codebook(sample, seeded, iters=TRAIN_ITERS)
@@ -316,6 +337,7 @@ def run_pqtrain(spark, timings: dict, extra: dict) -> None:
         "vectors": PQ_VECS,
         "noise_milli": NOISE_MILLI,
         "cells": PQ_CELLS,
+        "cells_trained": train_cells,
         "nprobe": nprobe,
         "train_iters": TRAIN_ITERS,
         "train_sample": f"1-in-{TRAIN_SAMPLE_MOD}",
