@@ -584,6 +584,49 @@ def test_ann_ivf_pq_plan_is_bucketed_and_arrow(spark):
     assert "BatchEvalPython" not in plan      # no row-at-a-time Python
 
 
+def test_pq_training_pass_plan_is_arrow_with_partial_agg(spark):
+    """Plan pins for the codebook-training pass (round-10): the per-
+    iteration stats job must be one Arrow MapInPandas pass feeding a
+    HASH aggregate with a partial (map-side) phase — each task combines
+    its own 1,024 partial rows before the exchange, so the shuffle is
+    metadata-class at any corpus size — and no row-at-a-time Python."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gmr_spark.operators.similarity import _vec
+    from gmr_spark.sources.tables import load_tables
+
+    from tests.conftest import SF_ORACLE
+
+    emb = load_tables(spark, SF_ORACLE)["embeddings"]
+    df = emb.select(F.col("vec_id").alias("id"), _vec().alias("v"))
+
+    # the per-iteration stats frame train_pq_codebook builds, with a
+    # schema-only body (the pin is about the PLAN shape, not the values)
+    def partials(batches):
+        yield pd.DataFrame({"m": np.array([], dtype="int32"),
+                            "code": np.array([], dtype="int32"),
+                            "dim": np.array([], dtype="int32"),
+                            "s": np.array([], dtype="float64"),
+                            "cnt": np.array([], dtype="int64")})
+
+    stats = (
+        df.mapInPandas(partials,
+                       "m int, code int, dim int, s double, cnt long")
+        .groupBy("m", "code", "dim")
+        .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = stats._jdf.queryExecution().explainString(mode)
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    # partial (map-side) hash aggregation before the exchange
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Exchange" in plan
+
+
 def test_lang_id_multilingual_predicts_every_language(spark):
     """The embedded fixture makes lang-id predictions non-degenerate: every
     language is predicted, and each doc's argmax is its own language."""
