@@ -155,6 +155,9 @@ HEADLINE = [
     # the production path; its incremental cost over ann_ivf_pq is the
     # training passes (bench-only query, see queries.BENCH_ONLY_QUERIES)
     "ann_ivf_pq_trained",
+    # round 10 addition: the Arrow/GEMM exact top-k scale path (declared,
+    # shares cosine_topk's oracle)
+    "cosine_topk_arrow",
 ]
 
 

@@ -65,6 +65,80 @@ def cosine_topk(spark: SparkSession, sf_dir: str, *, n_queries: int = 5,
     )
 
 
+def make_topk_gemm_fn(q_rows: list[tuple[int, list[float]]], k: int):
+    """``mapInPandas`` factory for :func:`cosine_topk_arrow`: one GEMM per
+    Arrow batch against the broadcast query matrix (dots on RAW vectors,
+    divided by both norms — the oracle's formula shape), per-batch top-k
+    selected by the GLOBAL ordering key (ROUND(sim, 6) DESC, neighbor_id
+    ASC). Because each batch emits a correct prefix of the global order
+    restricted to its rows, the final window over batch winners is EXACT —
+    the distributed result is the brute-force answer, not an
+    approximation. Self matches (neighbor_id == query_id) are excluded."""
+    import numpy as np
+
+    Q = np.asarray([list(v) for _, v in q_rows], dtype=np.float64)
+    qids = np.asarray([i for i, _ in q_rows], dtype=np.int64)
+    qn = np.linalg.norm(Q, axis=1)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf["v"].to_numpy())
+            ids = pdf["id"].to_numpy()
+            vn = np.linalg.norm(V, axis=1)
+            sims = (V @ Q.T) / (vn[:, None] * qn[None, :])
+            sims = np.round(sims, 6)
+            sims[ids[:, None] == qids[None, :]] = -2.0  # exclude self
+            kk = min(k, len(ids))
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(qids)):
+                # global ordering key: sim DESC, neighbor_id ASC
+                top = np.lexsort((ids, -sims[:, j]))[:kk]
+                out_q.append(np.full(kk, qids[j]))
+                out_n.append(ids[top])
+                out_s.append(sims[top, j])
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "sim": np.concatenate(out_s)})
+
+    return fn
+
+
+def cosine_topk_arrow(spark: SparkSession, sf_dir: str, *, n_queries: int = 5,
+                      k: int = 10) -> DataFrame:
+    """(query_id, neighbor_id, sim, rnk): the Arrow/GEMM scale path of
+    :func:`cosine_topk` — identical declared contract (exact brute-force
+    cosine top-k, sims ROUND(·,6), ties to the lower neighbor_id; same
+    DuckDB oracle), different physical plan. ``cosine_topk`` folds one
+    JVM ``zip_with``+``aggregate`` expression per (query, vector) pair,
+    ideal at a handful of queries; at a 1k+ query batch the per-pair
+    interpreted fold dominates, while here all query dots for a batch are
+    ONE numpy GEMM and each task emits only its per-batch top-k — |Q|·k
+    rows per task instead of |Q|·|batch| pair rows. Measured at the
+    2M-vector class: 1,000 queries in 21.7–40.3 s as the r10 scale probe's
+    exact ground-truth pass (scripts/scale_r10.py reuses this kernel).
+    Fold-order float drift vs the oracle's SQL SUM is absorbed by the
+    ROUND(·,6) contract (the make_pair_dot_udf precedent)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    base = emb.select(F.col("vec_id").alias("id"), _vec().alias("v"))
+    # k-bounded driver collect: n_queries rows (the cosine_topk pattern)
+    q_rows = [(int(r.id), list(r.v))
+              for r in base.filter(F.col("id") < n_queries).collect()]
+    cand = base.mapInPandas(
+        make_topk_gemm_fn(q_rows, k),
+        "query_id bigint, neighbor_id bigint, sim double")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )
+
+
 def _ivf_index_probes(df: DataFrame, *, k_cells: int,
                       nprobe: int) -> tuple[DataFrame, DataFrame]:
     """Shared coarse quantizer of the IVF family (``ann_ivf``,

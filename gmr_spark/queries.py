@@ -632,6 +632,7 @@ LLM_QUERIES: dict[str, QueryFn] = {
     "dedup_embedding": D.dedup_embedding,
     "ngram_jaccard": D.ngram_jaccard_pairs,
     "cosine_topk": S.cosine_topk,
+    "cosine_topk_arrow": S.cosine_topk_arrow,
     "ann_sign_lsh": S.ann_sign_lsh,
     "ann_rh_lsh": S.ann_rh_lsh,
     "ann_ivf": S.ann_ivf,
@@ -748,6 +749,10 @@ LLM_ORACLES: dict[str, str] = {
     "dedup_embedding": LSQL.DEDUP_EMBEDDING,
     "ngram_jaccard": LSQL.NGRAM_JACCARD,
     "cosine_topk": LSQL.COSINE_TOPK,
+    # same declared contract as cosine_topk (exact brute-force top-k,
+    # ROUND 6, neighbor-id ties) — the Arrow/GEMM physical path must
+    # hash-match the identical oracle
+    "cosine_topk_arrow": LSQL.COSINE_TOPK,
     "ann_sign_lsh": LSQL.ANN_SIGN_LSH,
     "ann_rh_lsh": LSQL.ANN_RH_LSH,
     "ann_ivf": LSQL.ANN_IVF,
@@ -813,6 +818,9 @@ _CHANGED_THIS_ROUND = {
         # checkpoint_eager (failure-window block release — values
         # unchanged; fronted per discipline)
         "scc_nation_ring",
+        # NEW this round: the Arrow/GEMM exact top-k scale path (no prior
+        # row; shares cosine_topk's oracle)
+        "cosine_topk_arrow",
     ),
 }
 

@@ -70,41 +70,20 @@ def _dir_bytes(path: str) -> int:
 
 
 def _exact_topk(base, gt_rows: list, k: int):
-    """Exact brute-force cosine top-k ground truth for a bounded query set
-    (the ``cosine_topk`` semantics at corpus scale): broadcast the query
-    matrix (≤1k × 64 doubles — k-bounded driver collect, ~0.5 MB), one
-    GEMM per Arrow batch emitting each batch's per-query top-k, then a
-    global per-query top-k window over the (200 batches × |Q| × k)-row
-    candidate set. Sims ROUND(·,6), ties to the lower neighbor_id — the
-    leg's ordering contract, so recall@k compares identical rankings."""
-    import numpy as np
-    import pandas as pd
+    """Exact brute-force cosine top-k ground truth for a bounded query set:
+    the engine's ``cosine_topk_arrow`` kernel (one GEMM per Arrow batch,
+    per-batch top-k by the global (ROUND(sim,6) DESC, neighbor_id) key —
+    an exact prefix of the global order) followed by the merge window.
+    Promoted into operators/similarity as a declared query in round 10;
+    this probe reuses the kernel with its own (larger) query set."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    Q = np.asarray([list(v) for _, v in gt_rows], dtype=np.float64)
-    qids = np.asarray([i for i, _ in gt_rows], dtype=np.int64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-
-    def fn(batches):
-        for pdf in batches:
-            V = np.vstack(pdf["v"].to_numpy())
-            ids = pdf["id"].to_numpy()
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            sims = Vn @ Qn.T                      # (batch, |Q|)
-            # exclude exact self matches (query_id == neighbor_id) only
-            self_mask = ids[:, None] == qids[None, :]
-            sims[self_mask] = -2.0
-            kk = min(k, len(ids))
-            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (k, |Q|)
-            out_q = np.repeat(qids, kk)
-            out_n = ids[top.T.ravel()]
-            out_s = sims[top.T.ravel(), np.repeat(np.arange(len(qids)), kk)]
-            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
-                                "sim": np.round(out_s, 6)})
+    from gmr_spark.operators.similarity import make_topk_gemm_fn
 
     cand = base.mapInPandas(
-        fn, "query_id bigint, neighbor_id bigint, sim double")
+        make_topk_gemm_fn(gt_rows, k),
+        "query_id bigint, neighbor_id bigint, sim double")
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (cand.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k).select("query_id", "neighbor_id"))

@@ -73,6 +73,33 @@ def test_cosine_topk_matches_numpy_bruteforce(spark):
         assert sorted(expected) == got
 
 
+def test_cosine_topk_arrow_matches_expression_path(spark):
+    """cosine_topk_arrow (the GEMM scale path, round-10) shares
+    cosine_topk's declared contract and oracle — the two physical plans
+    must produce identical rows on the oracle corpus, including rank and
+    the 6 dp sims (fold-order drift is absorbed by the shared ROUND
+    contract), and the per-batch top-k must be exact (each batch emits a
+    prefix of the global (sim DESC, neighbor_id ASC) order, so the merge
+    window cannot lose a global winner)."""
+    from gmr_spark.operators.similarity import cosine_topk, cosine_topk_arrow
+
+    from tests.conftest import SF_ORACLE
+
+    got = sorted(map(tuple, cosine_topk_arrow(spark, SF_ORACLE).collect()))
+    want = sorted(map(tuple, cosine_topk(spark, SF_ORACLE).collect()))
+    assert len(got) == 50  # 5 queries x k=10
+    assert got == want
+
+    # plan pin: the candidate stage is Arrow (MapInPandas), never
+    # row-at-a-time Python
+    df = cosine_topk_arrow(spark, SF_ORACLE)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_multimodal_decode_real_ppm(spark):
     """The decode stage parses REAL P6 PPM bytes: header dims and the
     red-channel pixel sum must match an independent Python decode of the
