@@ -35,10 +35,16 @@ R10_RUN_CELLTRAIN=1 — the coarse-quantizer half (see run_celltrain):
 Lloyd-train the 256 IVF cells with the kmeans Arrow kernels and measure
 planted-partner same-cell rate + cell balance, seeded vs trained.
 
+R10_RUN_EXACT=1 — the declared cosine_topk_arrow (exact GEMM search) at
+10M vectors, 1,000 planted queries: brute force is exact so partner
+recall must be 1.0 — a verified row, not a wall clock (see run_exact).
+
 Usage: R10_RUN_PQTRAIN=1 python scripts/scale_r10.py
        R10_RUN_CELLTRAIN=1 python scripts/scale_r10.py
+       R10_RUN_EXACT=1 python scripts/scale_r10.py
        R10_PQ_VECS=50000 ... (dry run)  R10_PQ_NOISE_MILLI=50
        R10_TRAIN_ITERS=4  R10_PQ_NPROBE=1  R10_CELL_ITERS=3
+       R10_EXACT_VECS=100000 (dry run)
 """
 
 from __future__ import annotations
@@ -425,6 +431,72 @@ def run_celltrain(spark, timings: dict, extra: dict) -> None:
     shutil.rmtree(scratch, ignore_errors=True)
 
 
+def run_exact(spark, timings: dict, extra: dict) -> None:
+    """R10_RUN_EXACT=1 — the declared ``cosine_topk_arrow`` (exact
+    brute-force GEMM path) at a 10M-vector corpus, 5x the class every
+    other embedding row uses. Queries: 1,000 planted odd members, so the
+    result is VERIFIED, not just timed — each query's exact top-1 must be
+    its planted partner (cosine ≈ 0.9999 by construction vs a ≤ ~0.65
+    max-random tail at 10M), and rank-1 rows must be exactly one per
+    query. Also reports the scan rate (vectors·queries/s through the GEMM)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from gmr_spark.operators.similarity import _vec, make_topk_gemm_fn
+    from scale_llm import build_corpus
+
+    n_vecs = int(os.environ.get("R10_EXACT_VECS", 10_000_000))
+    scratch = os.environ.get("R10_EXACT_SCRATCH", "/tmp/r10_exact_scale")
+    t0 = time.perf_counter()
+    sf = build_corpus(spark, n=n_vecs, scratch=scratch)
+    timings["exact_build_corpus"] = round(time.perf_counter() - t0, 1)
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    base = emb.select(F.col("vec_id").alias("id"), _vec().alias("v"))
+    # 1,000 planted odd queries: pairs are every 25th, sample 1-in-(n/50k)
+    stride = max(1, n_vecs // 50_000) * 25
+    queries = base.filter(
+        ((F.col("id") % 2) == 1)
+        & ((F.col("id") / 2).cast("long") % stride == 0))
+    q_rows = [(int(r.id), list(r.v)) for r in queries.collect()]
+
+    t0 = time.perf_counter()
+    from pyspark.sql import Window as W
+
+    cand = base.mapInPandas(
+        make_topk_gemm_fn(q_rows, 10),
+        "query_id bigint, neighbor_id bigint, sim double")
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    top = (cand.withColumn("rnk", F.row_number().over(w))
+           .filter(F.col("rnk") <= 10).localCheckpoint(eager=True))
+    n_rows = top.count()
+    wall = round(time.perf_counter() - t0, 1)
+    timings["exact_topk_10m"] = wall
+
+    top1 = top.filter(F.col("rnk") == 1)
+    n_top1 = top1.count()
+    hits = top1.filter(F.col("neighbor_id") == F.col("query_id") - 1).count()
+    from gmr_spark.plans.pregel import _drop_checkpoint_blocks
+
+    _drop_checkpoint_blocks(top)
+    assert n_rows == 10 * len(q_rows), (n_rows, len(q_rows))
+    assert n_top1 == len(q_rows)
+    extra["exact"] = {
+        "vectors": n_vecs,
+        "queries": len(q_rows),
+        "k": 10,
+        "top1_partner_hits": int(hits),
+        "top1_partner_recall": round(hits / len(q_rows), 4),
+        "pair_scans_per_sec": round(n_vecs * len(q_rows) / wall)
+        if wall else None,
+    }
+    print(f"exact: {len(q_rows)} queries x {n_vecs} vectors in {wall}s, "
+          f"partner recall {extra['exact']['top1_partner_recall']}",
+          file=sys.stderr)
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
 def main() -> None:
     from gmr_spark.session import calibration_probe, get_session
 
@@ -440,6 +512,8 @@ def main() -> None:
         run_pqtrain(spark, timings, extra)
     if os.environ.get("R10_RUN_CELLTRAIN", ""):
         run_celltrain(spark, timings, extra)
+    if os.environ.get("R10_RUN_EXACT", ""):
+        run_exact(spark, timings, extra)
 
     extra["calibration_post_sec"] = calibration_probe(spark)
     print(json.dumps({

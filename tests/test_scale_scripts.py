@@ -418,6 +418,28 @@ def test_r10_celltrain_row_at_toy_size(spark, monkeypatch, tmp_path):
             <= legs["seeded"]["max_over_mean"])                       # (c)
 
 
+def test_r10_exact_row_at_toy_size(spark, monkeypatch, tmp_path):
+    """scale_r10's exact-search probe at toy size: brute force is exact,
+    so partner recall must be 1.0 — the probe's internal asserts (exactly
+    k rows per query, one rank-1 row per query) plus the construction
+    invariant make the committed 10M row a verified result, not a wall
+    clock."""
+    import importlib.util
+
+    monkeypatch.setenv("R10_EXACT_VECS", "100000")
+    monkeypatch.setenv("R10_EXACT_SCRATCH", str(tmp_path / "exact"))
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "scale_r10.py")
+    spec = importlib.util.spec_from_file_location("r10_exact_toy", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    timings, extra = {}, {}
+    mod.run_exact(spark, timings, extra)
+    assert extra["exact"]["queries"] == 1000
+    assert extra["exact"]["top1_partner_recall"] == 1.0
+
+
 def test_r9_recover_row_at_toy_size(spark, monkeypatch, tmp_path):
     """run_recover end-to-end at toy size: its internal asserts must hold —
     resume AT the crash epoch, exactly-once state vs the batch twin
