@@ -1,15 +1,29 @@
 """Similarity search over the embeddings table (ARRAY<FLOAT>, 64-dim).
 
-- ``cosine_topk``  — brute-force exact top-k for a query set: broadcast the
-  (tiny) query side, JVM-side ``zip_with``+``aggregate`` dot products, per-
-  query row_number. The baseline every ANN variant is judged against. At
-  100 TB the scan side stays partitioned; only queries are broadcast.
-- ``ann_sign_lsh`` — bucketed approximate variant: random-hyperplane LSH
-  specialized to axis-aligned hyperplanes (bucket = sign bits of the first
-  16 dims), so buckets are computable as pure column expressions on both
-  engines. Candidates = same-bucket rows; exact cosine re-rank inside the
-  bucket. This replaces the O(n·q) cross product with a bucket equi-join —
-  the scale path for n in the billions.
+Exact paths (same declared contract, two physical plans):
+- ``cosine_topk``       — JVM ``zip_with``+``aggregate`` dot per (query,
+  vector) pair; ideal at a handful of queries. The baseline every ANN
+  variant is judged against. Only queries are broadcast; the scan side
+  stays partitioned at any scale.
+- ``cosine_topk_arrow`` — one numpy GEMM per Arrow batch for query
+  BATCHES (r10); each task emits its per-batch top-k by the global
+  ordering key, so the merge is exact. Measured: 1,000 queries × 10M
+  vectors in 155 s (SCALE.md r10).
+
+Approximate paths (every candidate generator is a bucket equi-join):
+- ``ann_sign_lsh`` — axis-aligned sign-bit buckets (pure column exprs).
+- ``ann_rh_lsh``   — multi-table random-hyperplane LSH (OR-amplified,
+  Arrow-vectorized plane dots).
+- ``ann_ivf``      — IVF cells as the bucket key; exact re-rank in probed
+  cells; ``nprobe`` is the recall/cost dial.
+- ``ann_ivf_pq``   — IVF + 4-bit product-quantized index (Jégou et al.
+  TPAMI 2011): candidates carry (cell, codes) only, ADC scores via
+  per-query LUTs (cogrouped transport), exact re-rank of the shortlist.
+  ``train_iters`` refines the codebook by per-subspace Lloyd
+  (``train_pq_codebook``) — the production path, proven at 2M vectors
+  (SCALE.md r10); the default stays seeded so the DuckDB twin derives it.
+- ``ann_recall_at_k`` — measured recall of every ANN path vs the exact
+  baseline, as a declared regression-guarded query.
 
 Determinism: similarities are ROUND(·, 6) before ranking (fold-order float
 drift is ~1e-15), ties break on neighbor id.
