@@ -307,7 +307,8 @@ def main() -> None:
     probes: list[float] = [calibration]
     seg_index: dict[str, int] = {}
     for i, name in enumerate(headline):
-        if i and i % CAL_EVERY == 0:
+        # CAL_EVERY <= 0 disables interleaved probes (pre/post pair only)
+        if CAL_EVERY > 0 and i and i % CAL_EVERY == 0:
             probes.append(_calibrate())
         seg_index[name] = len(probes) - 1
         t = _run_once(name)

@@ -102,14 +102,22 @@ def make_topk_gemm_fn(q_rows: list[tuple[int, list[float]]], k: int):
             ids = pdf["id"].to_numpy()
             vn = np.linalg.norm(V, axis=1)
             sims = (V @ Q.T) / (vn[:, None] * qn[None, :])
-            sims = np.round(sims, 6)
-            sims[ids[:, None] == qids[None, :]] = -2.0  # exclude self
+            # ROUND(·, 6) half-AWAY-FROM-ZERO — np.round is half-to-even,
+            # which can flip a 6dp tie vs Spark/DuckDB ROUND (the
+            # make_rh_buckets_udf lesson; same emulation as _pq_subdists)
+            sims = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
+            is_self = ids[:, None] == qids[None, :]
+            sims[is_self] = -2.0  # sort self rows last...
             kk = min(k, len(ids))
             out_q, out_n, out_s = [], [], []
             for j in range(len(qids)):
                 # global ordering key: sim DESC, neighbor_id ASC
                 top = np.lexsort((ids, -sims[:, j]))[:kk]
-                out_q.append(np.full(kk, qids[j]))
+                # ...and DROP them from the emit: on a corpus with ≤ k
+                # non-self rows the sentinel would otherwise surface in the
+                # final top-k, a row cosine_topk/the oracle never produce
+                top = top[ids[top] != qids[j]]
+                out_q.append(np.full(len(top), qids[j]))
                 out_n.append(ids[top])
                 out_s.append(sims[top, j])
             yield pd.DataFrame({

@@ -166,7 +166,16 @@ def checkpoint_eager(df: DataFrame) -> DataFrame:
     superstep's Spark job. If the JVM API is unavailable the fallback is
     plain ``localCheckpoint`` (WARN once, same contract as the other
     internal-API helpers: the cost is retained blocks on an
-    already-failing query, never correctness)."""
+    already-failing query, never correctness).
+
+    CONCURRENCY CONTRACT: the failure-path diff attributes every id added
+    since the snapshot to THIS call, so no other driver thread may persist
+    RDDs concurrently with an engine loop — unpersisting a live
+    localCheckpoint is unrecoverable (no lineage). This is the same
+    driver-sequential assumption ``small_loop_conf`` already states for
+    its session-level conf mutation, and the engine's loops satisfy it
+    (bench's one concurrent stage — derive_graphs' 3 materializer threads
+    — neither uses this helper nor overlaps a loop)."""
     try:
         jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
         before = {int(i) for i in jmap.keySet().toArray()}

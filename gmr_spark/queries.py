@@ -814,10 +814,19 @@ _CHANGED_THIS_ROUND = {
         # global_rank gained the reserved-column-name guard (values
         # unchanged; fronted per discipline)
         "global_sort_rank",
-        # the peel loop's per-superstep checkpoint now goes through
-        # checkpoint_eager (failure-window block release — values
-        # unchanged; fronted per discipline)
+        # every iterative loop's per-superstep/phase checkpoint now goes
+        # through checkpoint_eager (failure-window block release), and
+        # cc's label loop additionally gained the superseded-checkpoint
+        # release cadence — values and plans unchanged by contract, but
+        # the implementations changed, so fronted per discipline. A
+        # single-round spike past STEADY_CHANGED_MAX is the documented
+        # allowance (see the note there); the self-expiring stamp clears
+        # it next round.
         "scc_nation_ring",
+        "cc_cs",
+        "kcore_cs",
+        "mst_nation_mesh",
+        "svdpp_ratings",
         # NEW this round: the Arrow/GEMM exact top-k scale path (no prior
         # row; shares cosine_topk's oracle)
         "cosine_topk_arrow",

@@ -43,10 +43,23 @@ WORKTREE = os.environ.get("AB_WORKTREE", "/tmp/ab_scc_r8_tree")
 
 
 def ensure_worktree() -> str:
-    if not os.path.exists(os.path.join(WORKTREE, "bench.py")):
-        subprocess.run(
-            ["git", "worktree", "add", "--detach", WORKTREE, BASE_REF],
-            cwd=REPO, check=True)
+    want = subprocess.run(["git", "rev-parse", BASE_REF], cwd=REPO,
+                          capture_output=True, text=True,
+                          check=True).stdout.strip()
+    if os.path.exists(os.path.join(WORKTREE, "bench.py")):
+        have = subprocess.run(["git", "rev-parse", "HEAD"], cwd=WORKTREE,
+                              capture_output=True, text=True,
+                              check=True).stdout.strip()
+        if have == want:
+            return WORKTREE
+        # stale tree from an earlier run with a different AB_BASE_REF —
+        # reusing it would silently A/B against the wrong baseline while
+        # labeling the artifact with the requested ref
+        subprocess.run(["git", "worktree", "remove", "--force", WORKTREE],
+                       cwd=REPO, check=True)
+    subprocess.run(
+        ["git", "worktree", "add", "--detach", WORKTREE, BASE_REF],
+        cwd=REPO, check=True)
     return WORKTREE
 
 

@@ -76,12 +76,14 @@ def _dir_bytes(path: str) -> int:
 
 
 def _exact_topk(base, gt_rows: list, k: int):
-    """Exact brute-force cosine top-k ground truth for a bounded query set:
-    the engine's ``cosine_topk_arrow`` kernel (one GEMM per Arrow batch,
+    """Exact brute-force cosine top-k for a bounded query set — the
+    engine's ``cosine_topk_arrow`` kernel (one GEMM per Arrow batch,
     per-batch top-k by the global (ROUND(sim,6) DESC, neighbor_id) key —
     an exact prefix of the global order) followed by the merge window.
     Promoted into operators/similarity as a declared query in round 10;
-    this probe reuses the kernel with its own (larger) query set."""
+    this probe reuses the kernel with its own (larger) query sets. Returns
+    (query_id, neighbor_id, sim, rnk) — the single shared merge for both
+    the ground-truth pass (pairs only) and run_exact (rank checks)."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
@@ -92,7 +94,7 @@ def _exact_topk(base, gt_rows: list, k: int):
         "query_id bigint, neighbor_id bigint, sim double")
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (cand.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= k).select("query_id", "neighbor_id"))
+            .filter(F.col("rnk") <= k))
 
 
 def _pq_leg(spark, base, enc, queries, codebook, nprobe, centroids,
@@ -277,7 +279,8 @@ def run_pqtrain(spark, timings: dict, extra: dict) -> None:
         (F.col("id") / 2).cast("long") % (PQ_QUERY_STRIDE * 4) == 0)
     gt_rows = [(int(r.id), list(r.v)) for r in gt_q.collect()]
     t0 = time.perf_counter()
-    gt = _exact_topk(base, gt_rows, gt_k).localCheckpoint(eager=True)
+    gt = _exact_topk(base, gt_rows, gt_k).select(
+        "query_id", "neighbor_id").localCheckpoint(eager=True)
     n_gt_pairs = gt.count()
     timings["exact_ground_truth"] = round(time.perf_counter() - t0, 1)
     assert n_gt_pairs == gt_k * len(gt_rows), (n_gt_pairs, len(gt_rows))
@@ -443,7 +446,7 @@ def run_exact(spark, timings: dict, extra: dict) -> None:
 
     from pyspark.sql import functions as F
 
-    from gmr_spark.operators.similarity import _vec, make_topk_gemm_fn
+    from gmr_spark.operators.similarity import _vec
     from scale_llm import build_corpus
 
     n_vecs = int(os.environ.get("R10_EXACT_VECS", 10_000_000))
@@ -462,14 +465,7 @@ def run_exact(spark, timings: dict, extra: dict) -> None:
     q_rows = [(int(r.id), list(r.v)) for r in queries.collect()]
 
     t0 = time.perf_counter()
-    from pyspark.sql import Window as W
-
-    cand = base.mapInPandas(
-        make_topk_gemm_fn(q_rows, 10),
-        "query_id bigint, neighbor_id bigint, sim double")
-    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
-    top = (cand.withColumn("rnk", F.row_number().over(w))
-           .filter(F.col("rnk") <= 10).localCheckpoint(eager=True))
+    top = _exact_topk(base, q_rows, 10).localCheckpoint(eager=True)
     n_rows = top.count()
     wall = round(time.perf_counter() - t0, 1)
     timings["exact_topk_10m"] = wall

@@ -691,7 +691,6 @@ def test_cc_label_loop_releases_superseded_checkpoints(spark):
     checkpoint_eager (failure-window coverage included)."""
     from gmr_spark.algorithms.cc import connected_components
     from gmr_spark.graph import PropertyGraph
-    from gmr_spark.plans.pregel import _drop_checkpoint_blocks
 
     # a path graph forces several propagate+jump rounds
     edges = spark.createDataFrame(
@@ -711,9 +710,15 @@ def test_cc_label_loop_releases_superseded_checkpoints(spark):
     leaked = persistent_ids() - before
     assert len(leaked) == 1, \
         f"cc must leave only the returned labels resident, found {leaked}"
-    _drop_checkpoint_blocks(out.select("id", "component"))
-    # (the returned frame is a projection of the checkpoint; release via
-    # the underlying plan — a second call on a non-LogicalRDD is a no-op)
+    # the returned frame is a PROJECTION of the label checkpoint, so
+    # _drop_checkpoint_blocks (LogicalRDD-root only) would silently no-op
+    # on it — release the known id directly so the block store stays
+    # clean for later tests
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for entry in jmap.entrySet().toArray():
+        if int(entry.getKey()) in leaked:
+            entry.getValue().unpersist(False)
+    assert not (persistent_ids() - before)
 
 
 def test_run_pregel_failure_inside_checkpoint_releases_inflight(
