@@ -100,6 +100,39 @@ def test_cosine_topk_arrow_matches_expression_path(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_topk_gemm_kernel_excludes_self_on_tiny_corpus(spark):
+    """Edge pin for the round-10 review fix: on a corpus with fewer than
+    k non-self vectors the GEMM kernel used to emit self rows with a
+    sentinel sim that could surface in the final top-k. Self rows must be
+    DROPPED (never ranked), every emitted row must be a real neighbor,
+    and rounding must be half-away-from-zero (the Spark/DuckDB ROUND)."""
+    import numpy as np
+    from pyspark.sql import Window as W
+
+    from gmr_spark.operators.similarity import make_topk_gemm_fn
+
+    # 4 vectors, k=10 > 3 non-self candidates per query
+    vecs = [(i, [float(i == j) + 0.5 for j in range(4)]) for i in range(4)]
+    base = spark.createDataFrame(vecs, "id long, v array<double>")
+    cand = base.mapInPandas(
+        make_topk_gemm_fn(vecs[:2], 10),
+        "query_id bigint, neighbor_id bigint, sim double")
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    out = (cand.withColumn("rnk", F.row_number().over(w))
+           .filter(F.col("rnk") <= 10).collect())
+    assert len(out) == 6  # 2 queries x 3 non-self neighbors, never self
+    assert all(r.neighbor_id != r.query_id for r in out)
+    assert all(r.sim > -2.0 for r in out)
+    # half-away-from-zero on each emitted sim: re-derive with numpy
+    m = np.array([v for _, v in vecs])
+    n = np.linalg.norm(m, axis=1)
+    for r in out:
+        raw = float(m[r.query_id] @ m[r.neighbor_id]
+                    / (n[r.query_id] * n[r.neighbor_id]))
+        want = np.sign(raw) * np.floor(abs(raw) * 1e6 + 0.5) / 1e6
+        assert r.sim == want, (r, raw)
+
+
 def test_multimodal_decode_real_ppm(spark):
     """The decode stage parses REAL P6 PPM bytes: header dims and the
     red-channel pixel sum must match an independent Python decode of the
