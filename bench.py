@@ -1,10 +1,16 @@
 #!/usr/bin/env python
 """Benchmark harness (driver contract): runs the headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line (compact separators;
+diagnostics first, "value" and "queries" LAST so the driver's 2,000-char
+tail capture always keeps the per-query timings — see build_result):
 
-    {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+    {"metric": "...", "unit": "sec", "sf": 0.1, ...diagnostics...,
+     "value": <total sec>, "queries": {name: sec, ...}}
+
+The full dict is also written to BENCH_DETAIL.json next to this file
+(override: $SPARK_GRAFT_BENCH_DETAIL) so the committed tree keeps the
+bracket diagnostics the driver tail truncates away.
 
 Each query is forced to full materialization with a noop write (no driver
 collect, no display cost). The set spans every engine subsystem: Pregel
@@ -50,6 +56,52 @@ def compute_brackets(seg_index: dict[str, int], probes: list[float],
         if min(a, b) > 0 and max(a, b) / min(a, b) > threshold
     )
     return brackets, noisy
+
+
+def build_result(timings: dict[str, float], sf: float | None,
+                 calibration: float, calibration_post: float,
+                 brackets: dict[str, list[float]],
+                 noisy: list[str]) -> dict:
+    """Assemble the artifact dict in the TAIL-SAFE key order.
+
+    The driver records only the LAST 2,000 characters of the bench stdout —
+    round 10 appended ``calibration_brackets``/``noisy`` AFTER ``queries``
+    and evicted every per-query timing from BENCH_r10.json (round-10
+    verdict item 1). Contract, pinned by tests/test_rotation.py: the
+    diagnostic bulk (brackets, per-row drift ratios, noisy list) comes
+    FIRST and ``value`` + ``queries`` are the LAST keys, so a 2,000-char
+    tail of the compact-separator dump always contains the full parseable
+    timings dict. ``bracket_drift`` carries each row's max/min probe ratio
+    so artifact consumers can apply their own noise threshold instead of
+    the binary ``noisy`` flag (round-10 verdict item 6);
+    ``calibration_estimator`` records that probes are min-of-2 since r10 —
+    earlier artifacts' single-sample drift ratios are a different statistic
+    (round-10 ADVICE)."""
+    drift = {
+        name: round(max(a, b) / min(a, b), 3)
+        for name, (a, b) in sorted(brackets.items()) if min(a, b) > 0
+    }
+    return {
+        "metric": "gmr_spark_headline_total",
+        "unit": "sec",
+        "sf": sf,
+        # headline set GREW round-over-round (r1: 33, r2: 34, r3: 47) —
+        # compare totals only per-query or normalized by n_queries
+        "n_queries": len(timings),
+        "calibration_sec": calibration,
+        "calibration_post_sec": calibration_post,
+        "calibration_estimator": "min2",
+        # per-query host-speed brackets: [probe before the query's segment,
+        # probe after]. A stable host reads ~[0.2, 0.2] everywhere; a row
+        # whose bracket disagrees >1.25x is listed in "noisy" — its timing
+        # is an upper bound, not a measurement (self-adjudication instead
+        # of next-round forensics; round-9 verdict item 3)
+        "calibration_brackets": brackets,
+        "bracket_drift": drift,
+        "noisy": noisy,
+        "value": round(sum(timings.values()), 3),
+        "queries": timings,
+    }
 
 HEADLINE = [
     # all derived graphs the bench's graph queries share, materialized once
@@ -353,26 +405,25 @@ def main() -> None:
         )
 
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
-    result = {
-        "metric": "gmr_spark_headline_total",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        # headline set GREW round-over-round (r1: 33, r2: 34, r3: 47) —
-        # compare totals only per-query or normalized by n_queries
-        "n_queries": len(timings),
-        "calibration_sec": calibration,
-        "calibration_post_sec": calibration_post,
-        # per-query host-speed brackets: [probe before the query's segment,
-        # probe after]. A stable host reads ~[0.2, 0.2] everywhere; a row
-        # whose bracket disagrees >1.25x is listed in "noisy" — its timing
-        # is an upper bound, not a measurement (self-adjudication instead
-        # of next-round forensics; round-9 verdict item 3)
-        "calibration_brackets": brackets,
-        "noisy": noisy,
-    }
-    print(json.dumps(result))
+    result = build_result(timings, sf, calibration, calibration_post,
+                          brackets, noisy)
+    # sidecar: the committed tree keeps the bracket diagnostics the driver
+    # tail truncates away. Subset runs (SPARK_GRAFT_BENCH_ONLY — local
+    # iteration) skip it unless explicitly redirected, so they can never
+    # clobber a full-run artifact.
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL")
+    if detail_path is None and not only:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    if detail_path:
+        try:
+            with open(detail_path, "w") as fh:
+                json.dump(result, fh, indent=1)
+                fh.write("\n")
+        except OSError as exc:  # read-only tree: stdout still has it all
+            print(f"  WARNING: could not write bench detail sidecar: {exc}",
+                  file=sys.stderr)
+    print(json.dumps(result, separators=(",", ":")))
 
 
 if __name__ == "__main__":

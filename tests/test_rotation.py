@@ -174,7 +174,7 @@ def test_bench_bracket_flagging_rule():
     assert bench.compute_brackets({"x": 0}, [0.0, 0.2])[1] == []
 
 
-def test_bench_artifact_schema(spark, monkeypatch, capsys):
+def test_bench_artifact_schema(spark, monkeypatch, capsys, tmp_path):
     """BENCH_r{N} artifact contract (round-9 verdict item 3): the JSON line
     must carry per-query calibration_brackets and a noisy list so the judge
     reads host-noise adjudication OFF the artifact instead of re-running
@@ -188,6 +188,8 @@ def test_bench_artifact_schema(spark, monkeypatch, capsys):
     monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.001")
     monkeypatch.setattr(bench, "CAL_EVERY", 1)
     monkeypatch.setenv("SPARK_GRAFT_BENCH_ONLY", ",".join(subset))
+    detail_path = tmp_path / "detail.json"
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DETAIL", str(detail_path))
     bench.main()
     line = [ln for ln in capsys.readouterr().out.splitlines()
             if ln.startswith("{")][-1]
@@ -200,3 +202,45 @@ def test_bench_artifact_schema(spark, monkeypatch, capsys):
     assert isinstance(got["noisy"], list)
     assert set(got["noisy"]) <= set(got["queries"])
     assert got["calibration_sec"] > 0 and got["calibration_post_sec"] > 0
+    # r11 additions: per-row drift ratios (consumers pick their own
+    # threshold) and the probe estimator stamp (min-of-2 since r10 — prior
+    # rounds' single-sample drift is a different statistic)
+    assert got["calibration_estimator"] == "min2"
+    assert set(got["bracket_drift"]) == set(got["queries"])
+    assert all(r >= 1.0 for r in got["bracket_drift"].values())
+    # tail-safety: value and queries are the LAST two keys of the artifact
+    assert list(got)[-2:] == ["value", "queries"]
+    # the sidecar carries the identical dict (the committed-tree copy of
+    # the diagnostics the driver's 2,000-char tail truncates away)
+    assert json.loads(detail_path.read_text()) == got
+
+
+def test_bench_tail_keeps_timings():
+    """Round-10 verdict item 1: the driver records only the LAST 2,000
+    characters of the bench stdout line, and r10's brackets/noisy fields —
+    appended after "queries" — evicted every per-query timing from
+    BENCH_r10.json. Pin the fix at the full headline count with pessimistic
+    field widths: the last 2,000 chars of the compact dump must contain the
+    complete, parseable queries dict (and the value key)."""
+    import json
+
+    import bench
+
+    # pessimistic inputs: every timing at the 7-char width (sf0.1 rows are
+    # 0.2-40 s; a 999 s row would breach RETRY_FLOOR twice over), every
+    # bracket noisy so the noisy list carries all names
+    timings = {n: 999.999 for n in bench.HEADLINE}
+    brackets = {n: [0.1, 0.9] for n in bench.HEADLINE}
+    noisy = sorted(bench.HEADLINE)
+    result = bench.build_result(timings, 0.1, 0.211, 0.207, brackets, noisy)
+    line = json.dumps(result, separators=(",", ":"))
+    tail = line[-2000:]
+    start = tail.find('"queries":')
+    assert start != -1, "queries key truncated out of the 2,000-char tail"
+    parsed = json.loads(tail[start + len('"queries":'):].rstrip("}") + "}")
+    assert set(parsed) == set(bench.HEADLINE)
+    assert all(parsed[n] == 999.999 for n in bench.HEADLINE)
+    assert '"value":' in tail
+    # and the full line itself parses with the tail-safe key order
+    full = json.loads(line)
+    assert list(full)[-2:] == ["value", "queries"]
