@@ -239,11 +239,22 @@ def global_rank(df: DataFrame, n_parts: int, *order_cols: str) -> DataFrame:
     RESERVED NAMES: the helper adds-then-drops ``_pid``/``_rn``/``_offset``
     and writes ``rnk`` — an input already carrying any of them would be
     silently corrupted, so it is rejected up front (round-9 ADVICE item 4;
-    the helper is a shared public entry point since the r9 extraction)."""
-    clash = {"_pid", "_rn", "_offset", "rnk"}.intersection(df.columns)
+    the helper is a shared public entry point since the r9 extraction).
+    The comparison follows the SAME namespace the engine resolves in:
+    case-insensitive unless ``spark.sql.caseSensitive`` is true (round-10
+    ADVICE item 2 — an input column ``Rnk`` used to bypass the guard and
+    still be clobbered by the case-insensitive ``withColumn``)."""
+    reserved = {"_pid", "_rn", "_offset", "rnk"}
+    case_sensitive = (
+        df.sparkSession.conf.get("spark.sql.caseSensitive", "false").lower()
+        == "true")
+    if case_sensitive:
+        clash = sorted(reserved.intersection(df.columns))
+    else:
+        clash = sorted(c for c in df.columns if c.lower() in reserved)
     if clash:
         raise ValueError(
-            f"global_rank: input columns {sorted(clash)} collide with the "
+            f"global_rank: input columns {clash} collide with the "
             "helper's reserved names (_pid, _rn, _offset, rnk) — rename "
             "them before ranking")
     tagged = df.repartitionByRange(n_parts, *order_cols).withColumn(

@@ -805,31 +805,22 @@ LLM_ORACLES: dict[str, str] = {
 # query measures MUST bump ``round`` to the current round and list the
 # query here (measuring gates are auto-added via _MEASURED_BY below).
 _CHANGED_THIS_ROUND = {
-    "round": 10,
+    "round": 11,
     "names": (
-        # pq_adc_cogrouped gained the loud missing/duplicate-LUT guard and
-        # ann_ivf_pq the train_iters parameter (default 0 — declared values
-        # unchanged by contract; fronted per discipline)
-        "ann_ivf_pq",
-        # global_rank gained the reserved-column-name guard (values
-        # unchanged; fronted per discipline)
-        "global_sort_rank",
-        # every iterative loop's per-superstep/phase checkpoint now goes
-        # through checkpoint_eager (failure-window block release), and
-        # cc's label loop additionally gained the superseded-checkpoint
-        # release cadence — values and plans unchanged by contract, but
-        # the implementations changed, so fronted per discipline. A
-        # single-round spike past STEADY_CHANGED_MAX is the documented
-        # allowance (see the note there); the self-expiring stamp clears
-        # it next round.
-        "scc_nation_ring",
-        "cc_cs",
-        "kcore_cs",
-        "mst_nation_mesh",
-        "svdpp_ratings",
-        # NEW this round: the Arrow/GEMM exact top-k scale path (no prior
-        # row; shares cosine_topk's oracle)
+        # the GEMM kernel gained query-axis chunking (bit-identical by
+        # construction) and the loud zero-norm guard (round-10 verdict
+        # item 5 / ADVICE item 1) — values unchanged by contract; fronted
+        # per discipline
         "cosine_topk_arrow",
+        # global_rank's reserved-name guard went case-insensitive (round-10
+        # ADVICE item 2; values unchanged; fronted per discipline)
+        "global_sort_rank",
+        # _ivf_index_probes gained the injectable-centroids parameter and
+        # ann_ivf_pq the cell_train_iters trained-coarse-cells path
+        # (round-10 verdict item 3; declared defaults stay seeded — values
+        # unchanged by contract; fronted per discipline)
+        "ann_ivf",
+        "ann_ivf_pq",
     ),
 }
 

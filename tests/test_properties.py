@@ -558,3 +558,20 @@ def test_global_rank_rejects_reserved_column_names():
         df = spark.createDataFrame([(1, 2)], f"value long, {bad} long")
         with pytest.raises(ValueError, match="reserved"):
             global_rank(df, 2, "value")
+    # round-10 ADVICE item 2: Spark resolves columns case-insensitively by
+    # default, so the guard must cover the same namespace — 'Rnk'/'_PID'
+    # used to bypass it and still be clobbered by withColumn
+    for bad in ("Rnk", "_PID", "_Offset"):
+        df = spark.createDataFrame([(1, 2)], f"value long, `{bad}` long")
+        with pytest.raises(ValueError, match="reserved"):
+            global_rank(df, 2, "value")
+    # under spark.sql.caseSensitive=true, 'Rnk' IS a distinct name and
+    # must pass (the guard tracks the engine's resolution mode)
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try:
+        df = spark.createDataFrame([(1, 2)], "value long, `Rnk` long")
+        out = global_rank(df, 2, "value")
+        assert set(out.columns) == {"value", "Rnk", "rnk"}
+        assert out.count() == 1
+    finally:
+        spark.conf.unset("spark.sql.caseSensitive")
