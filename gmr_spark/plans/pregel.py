@@ -27,6 +27,7 @@ engine-y piece of code Catalyst cannot provide.
 
 from __future__ import annotations
 
+import threading
 import time
 from contextlib import contextmanager
 from dataclasses import dataclass, field
@@ -154,6 +155,13 @@ def _drop_checkpoint_blocks(df: DataFrame) -> None:
         _warn_internal_api_fallback("_drop_checkpoint_blocks")
 
 
+# non-blocking reentrancy guard for checkpoint_eager: held for the duration
+# of each call, so concurrent entry (a contract violation — see the
+# CONCURRENCY CONTRACT below) fails loudly instead of silently racing the
+# persistent-RDD-id snapshot
+_EAGER_GUARD = threading.Lock()
+
+
 def checkpoint_eager(df: DataFrame) -> DataFrame:
     """``localCheckpoint(eager=True)`` that cannot strand blocks when the
     materializing job ITSELF fails (round-9 verdict item 3: the loop except
@@ -175,7 +183,27 @@ def checkpoint_eager(df: DataFrame) -> DataFrame:
     driver-sequential assumption ``small_loop_conf`` already states for
     its session-level conf mutation, and the engine's loops satisfy it
     (bench's one concurrent stage — derive_graphs' 3 materializer threads
-    — neither uses this helper nor overlaps a loop)."""
+    — neither uses this helper nor overlaps a loop). The helper-vs-helper
+    half of the contract is cheaply ENFORCED (round-10 verdict item 7):
+    concurrent entry raises RuntimeError up front via a non-blocking lock
+    instead of silently risking a live checkpoint's blocks. The
+    helper-vs-raw-persist half stays documentation (intercepting arbitrary
+    persists would mean patching Spark internals)."""
+    if not _EAGER_GUARD.acquire(blocking=False):
+        raise RuntimeError(
+            "checkpoint_eager: concurrent entry from another driver thread "
+            "— the failure-path RDD-id diff attributes every id persisted "
+            "since the snapshot to THIS call, so a concurrent caller's "
+            "live localCheckpoint could be unpersisted (unrecoverable: no "
+            "lineage). Serialize engine loops on one driver thread (see "
+            "the CONCURRENCY CONTRACT in the docstring).")
+    try:
+        return _checkpoint_eager_locked(df)
+    finally:
+        _EAGER_GUARD.release()
+
+
+def _checkpoint_eager_locked(df: DataFrame) -> DataFrame:
     try:
         jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
         before = {int(i) for i in jmap.keySet().toArray()}

@@ -821,6 +821,29 @@ _CHANGED_THIS_ROUND = {
         # unchanged by contract; fronted per discipline)
         "ann_ivf",
         "ann_ivf_pq",
+        # checkpoint_eager gained the concurrent-entry reentrancy guard
+        # (round-10 verdict item 7) — a no-op on the single-threaded
+        # success path every engine loop takes, but the helper's
+        # implementation changed, so every query that executes it is
+        # fronted per discipline (the r10 spike allowance; the stamp
+        # self-expires next round). k_truss/kmeans use plain
+        # localCheckpoint and are unaffected.
+        "pagerank_geo",
+        "pagerank_big",
+        "pagerank_hub",
+        "ppr_geo",
+        "bfs_geo",
+        "graph_file_bfs",
+        "sssp_cs",
+        "sssp_cs_weighted",
+        "shortest_paths_geo",
+        "label_propagation_geo",
+        "pregel_census_bfs",
+        "cc_cs",
+        "scc_nation_ring",
+        "kcore_cs",
+        "mst_nation_mesh",
+        "svdpp_ratings",
     ),
 }
 
