@@ -207,6 +207,10 @@ HEADLINE = [
     # the production path; its incremental cost over ann_ivf_pq is the
     # training passes (bench-only query, see queries.BENCH_ONLY_QUERIES)
     "ann_ivf_pq_trained",
+    # round 11 addition: the FULL production config — trained codebook AND
+    # Lloyd-trained coarse cells; incremental cost over _trained is the
+    # cell-training Lloyd passes on the 1-in-10 sample
+    "ann_ivf_pq_celltrained",
     # round 10 addition: the Arrow/GEMM exact top-k scale path (declared,
     # shares cosine_topk's oracle)
     "cosine_topk_arrow",
@@ -407,6 +411,22 @@ def main() -> None:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
     result = build_result(timings, sf, calibration, calibration_post,
                           brackets, noisy)
+    # tail-budget guard: the driver keeps only the LAST 2,000 stdout chars,
+    # so the serialized value+queries suffix must fit there. At 77 rows ×
+    # realistic 3 dp widths it does with ~60 chars of headroom (pinned in
+    # tests/test_rotation.py); if headline growth ever breaks the budget,
+    # warn loudly so the next round splits or re-rounds instead of
+    # silently shipping a timings-free artifact again (the r10 failure).
+    suffix = json.dumps({"value": result["value"],
+                         "queries": result["queries"]},
+                        separators=(",", ":"))
+    if len(suffix) > 1990:
+        print(
+            f"  WARNING: value+queries serialize to {len(suffix)} chars — "
+            "the driver's 2,000-char tail will truncate per-query timings; "
+            "shrink the headline set or re-round before the next round",
+            file=sys.stderr,
+        )
     # sidecar: the committed tree keeps the bracket diagnostics the driver
     # tail truncates away. Subset runs (SPARK_GRAFT_BENCH_ONLY — local
     # iteration) skip it unless explicitly redirected, so they can never

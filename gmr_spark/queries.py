@@ -550,6 +550,15 @@ BENCH_ONLY_QUERIES: dict[str, QueryFn] = {
     # 2M-vector seeded-vs-trained row lives in SCALE.md.
     "ann_ivf_pq_trained": lambda spark, sf_dir: S.ann_ivf_pq(
         spark, sf_dir, train_iters=2),
+    # the FULL production config (round-11): trained codebook AND
+    # Lloyd-trained coarse cells (train_ivf_cells on a 1-in-10 sample —
+    # the scale probe's sampling contract). Bench-only for the same
+    # reason: both training fixpoints have no compact DuckDB derivation;
+    # the celltrain legs are reproduced through the public API in
+    # tests/test_llm_ops.py and the 2M-vector row lives in SCALE.md.
+    "ann_ivf_pq_celltrained": lambda spark, sf_dir: S.ann_ivf_pq(
+        spark, sf_dir, train_iters=2, cell_train_iters=2,
+        cell_sample_mod=10),
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
