@@ -80,17 +80,22 @@ def cosine_topk(spark: SparkSession, sf_dir: str, *, n_queries: int = 5,
 
 
 
-# per-task memory budget for the GEMM similarity block (float64 bytes).
-# |batch| × |Q| at 10k-row Arrow batches × 1,000 queries is 80 MB — fine;
-# a 100k-query batch would be multi-GB per task × 32 concurrent tasks (an
-# OOM, not a slowdown), so the kernel chunks the QUERY axis to this bound
-# (round-10 verdict item 5; same bounded-block shape as kmeans._assign_arrow
-# and semdedup's per-cluster CHUNK — more queries degrade to more chunks,
-# never to more memory). Per-chunk top-k over the same global key is
-# bit-identical to the unchunked kernel: each query's column is processed
-# independently either way (equality pinned on a tie-bearing corpus in
-# tests/test_llm_ops.py).
-GEMM_CHUNK_BYTES = 128 << 20
+# per-task budget for the GEMM similarity block (float64 bytes). The kernel
+# chunks the QUERY axis to this bound (round-10 verdict item 5; same
+# bounded-block shape as kmeans._assign_arrow and semdedup's per-cluster
+# CHUNK), which serves two measured purposes:
+# - memory: a 100k-query batch against 10k-row Arrow batches is multi-GB
+#   per task × 32 concurrent tasks (an OOM, not a slowdown) unchunked;
+# - cache: the per-query top-k loop gathers one COLUMN of the C-ordered
+#   sims block per query — on a 100 MB block that stride-thrashes every
+#   level of cache (measured at 200k vectors × 1,000 queries: 5-13.5 s
+#   unchunked vs 2.2-2.8 s at ANY budget in 1-32 MB; 8 MB sits mid-plateau
+#   with margin both ways). More queries degrade to more chunks, never to
+#   more memory. Per-chunk top-k over the same global key is bit-identical
+#   to the unchunked kernel: each query's column is processed independently
+#   either way (equality pinned on a tie-bearing corpus in
+#   tests/test_llm_ops.py and at 2M vectors in scripts/scale_r11.py).
+GEMM_CHUNK_BYTES = 8 << 20
 
 
 def make_topk_gemm_fn(q_rows: list[tuple[int, list[float]]], k: int,

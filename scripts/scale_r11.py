@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Round-11 scale row: the chunked GEMM top-k kernel at the 2M-vector
+class — VERIFIED equality, not just wall clock.
+
+Round 11 bounded ``make_topk_gemm_fn``'s per-task sims block to
+``GEMM_CHUNK_BYTES`` by chunking the QUERY axis (round-10 verdict item 5:
+the unchunked kernel materializes |batch| x |Q| float64 per task — fine at
+the proven 1,000-query configs, multi-GB at 100k+ query batches). The
+chunked path is bit-identical by construction (each query's column is
+processed independently; the per-chunk top-k uses the same global
+(ROUND(sim,6) DESC, neighbor_id) key). This probe pins that claim AT SCALE
+instead of only on the toy tie-corpus test:
+
+  - 2M-vector corpus with planted partner pairs (scale_llm.build_corpus,
+    the same class as every other embedding row);
+  - 1,000 planted odd queries;
+  - pass A: an effectively-unbounded budget (1 TB -> the chunk loop runs
+    ONCE per batch, i.e. the pre-r11 unchunked kernel);
+  - pass B: the shipped default (GEMM_CHUNK_BYTES = 8 MB);
+  - assert the two result sets are IDENTICAL row-for-row (query, neighbor,
+    sim, rank — full frames compared, not a sample), partner recall is
+    1.0 on both (exactness), and report the wall ratio. The 200k-vector
+    budget sweep that set the 8 MB default (5-13.5 s unchunked vs
+    2.2-2.8 s at any 1-32 MB budget — the per-query column gather over a
+    100 MB C-ordered block stride-thrashes cache) is recorded in the
+    GEMM_CHUNK_BYTES comment and SCALE.md; this probe re-verifies the
+    equality + speedup at 10x that size with interleaved min-of-2 walls.
+
+Usage: python scripts/scale_r11.py
+       R11_VECS=100000 python scripts/scale_r11.py   (dry run)
+       R11_CHUNK_BYTES=4194304  R11_K=10
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def run_chunked_exact(spark, timings: dict, extra: dict) -> None:
+    import shutil
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from gmr_spark.operators.similarity import (
+        GEMM_CHUNK_BYTES, _vec, make_topk_gemm_fn)
+    from gmr_spark.plans.pregel import _drop_checkpoint_blocks
+    from scale_llm import build_corpus
+
+    n_vecs = int(os.environ.get("R11_VECS", 2_000_000))
+    chunk_bytes = int(os.environ.get("R11_CHUNK_BYTES", 0)) or GEMM_CHUNK_BYTES
+    k = int(os.environ.get("R11_K", 10))
+    scratch = os.environ.get("R11_SCRATCH", "/tmp/r11_chunk_scale")
+
+    t0 = time.perf_counter()
+    sf = build_corpus(spark, n=n_vecs, scratch=scratch)
+    timings["build_corpus"] = round(time.perf_counter() - t0, 1)
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    base = emb.select(F.col("vec_id").alias("id"), _vec().alias("v"))
+    # 1,000 planted odd queries (the run_exact sampling shape)
+    stride = max(1, n_vecs // 50_000) * 25
+    queries = base.filter(
+        ((F.col("id") % 2) == 1)
+        & ((F.col("id") / 2).cast("long") % stride == 0))
+    q_rows = [(int(r.id), list(r.v)) for r in queries.collect()]
+
+    def topk(budget: int):
+        cand = base.mapInPandas(
+            make_topk_gemm_fn(q_rows, k, chunk_bytes=budget),
+            "query_id bigint, neighbor_id bigint, sim double")
+        w = W.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), "neighbor_id")
+        return (cand.withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= k))
+
+    # warm the whole path untimed (parquet footer reads, Arrow codegen,
+    # BLAS thread pools) — the dry run showed the FIRST timed leg absorbing
+    # ~8x of one-time warmup, which would misattribute warmup to whichever
+    # budget ran first
+    topk(GEMM_CHUNK_BYTES).write.format("noop").mode("overwrite").save()
+
+    leg_defs = (("unchunked", 1 << 40), ("default_8mb", chunk_bytes))
+    # interleaved min-of-2 (A B A B): host drift hits both budgets
+    # symmetrically, same rationale as scripts/ab_scc_r10.py
+    walls: dict[str, list[float]] = {label: [] for label, _ in leg_defs}
+    frames: dict[str, object] = {}
+    for _round in range(2):
+        for label, budget in leg_defs:
+            t0 = time.perf_counter()
+            top = topk(budget).localCheckpoint(eager=True)
+            n_rows = top.count()
+            walls[label].append(round(time.perf_counter() - t0, 1))
+            assert n_rows == k * len(q_rows), (label, n_rows, len(q_rows))
+            if label in frames:
+                _drop_checkpoint_blocks(frames[label])
+            frames[label] = top
+
+    legs: dict[str, dict] = {}
+    for label, budget in leg_defs:
+        top = frames[label]
+        top1 = top.filter(F.col("rnk") == 1)
+        hits = top1.filter(
+            F.col("neighbor_id") == F.col("query_id") - 1).count()
+        wall = min(walls[label])
+        timings[f"exact_{label}"] = wall
+        legs[label] = {
+            "budget_bytes": budget,
+            "wall_samples_sec": walls[label],
+            "wall_sec": wall,
+            "rows": k * len(q_rows),
+            "top1_partner_recall": round(hits / len(q_rows), 4),
+        }
+        print(f"{label}: {walls[label]} recall "
+              f"{legs[label]['top1_partner_recall']}", file=sys.stderr)
+
+    # row-for-row equality of the FULL result frames (both directions)
+    a, b = frames["unchunked"], frames["default_8mb"]
+    diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+    assert diff == 0, f"chunked kernel diverged on {diff} rows"
+    for f in frames.values():
+        _drop_checkpoint_blocks(f)
+    # exactness: every planted partner found by both legs
+    assert legs["unchunked"]["top1_partner_recall"] == 1.0
+    assert legs["default_8mb"]["top1_partner_recall"] == 1.0
+
+    extra["chunked_exact"] = {
+        "vectors": n_vecs,
+        "queries": len(q_rows),
+        "k": k,
+        "identical_rows": True,
+        "legs": legs,
+        "chunked_over_unchunked_wall": round(
+            legs["default_8mb"]["wall_sec"]
+            / legs["unchunked"]["wall_sec"], 3)
+        if legs["unchunked"]["wall_sec"] else None,
+    }
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
+def main() -> None:
+    from gmr_spark.session import calibration_probe, get_session
+
+    spark = get_session("r11_scale", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extra: dict[str, object] = {}
+    calibration_probe(spark)  # warm codegen
+    extra["calibration_sec"] = calibration_probe(spark)
+
+    run_chunked_exact(spark, timings, extra)
+
+    extra["calibration_post_sec"] = calibration_probe(spark)
+    print(json.dumps({
+        "metric": "r11_scale_proof",
+        "cpus": int(CPUS),
+        "timings_sec": timings,
+        "unit": "sec",
+        **extra,
+    }))
+
+
+if __name__ == "__main__":
+    main()
