@@ -8,7 +8,8 @@ Exact paths (same declared contract, two physical plans):
 - ``cosine_topk_arrow`` — one numpy GEMM per Arrow batch for query
   BATCHES (r10); each task emits its per-batch top-k by the global
   ordering key, so the merge is exact. Measured: 1,000 queries × 10M
-  vectors in 155 s (SCALE.md r10).
+  vectors in 80.9 s under the chunked kernel (SCALE.md r11; 155 s
+  unchunked, r10).
 
 Approximate paths (every candidate generator is a bucket equi-join):
 - ``ann_sign_lsh`` — axis-aligned sign-bit buckets (pure column exprs).
@@ -185,8 +186,9 @@ def cosine_topk_arrow(spark: SparkSession, sf_dir: str, *, n_queries: int = 5,
     interpreted fold dominates, while here all query dots for a batch are
     ONE numpy GEMM and each task emits only its per-batch top-k — |Q|·k
     rows per task instead of |Q|·|batch| pair rows. Measured at the
-    2M-vector class: 1,000 queries in 21.7–40.3 s as the r10 scale probe's
-    exact ground-truth pass (scripts/scale_r10.py reuses this kernel).
+    2M-vector class: 1,000 queries in 11.8 s under the chunked kernel
+    (scripts/scale_r11.py; 21.7–40.3 s unchunked in the r10 probe, which
+    reuses this kernel).
     Fold-order float drift vs the oracle's SQL SUM is absorbed by the
     ROUND(·,6) contract (the make_pair_dot_udf precedent)."""
     emb = load_tables(spark, sf_dir)["embeddings"]
