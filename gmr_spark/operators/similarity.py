@@ -122,6 +122,14 @@ def make_topk_gemm_fn(q_rows: list[tuple[int, list[float]]], k: int,
 
     Q = np.asarray([list(v) for _, v in q_rows], dtype=np.float64)
     qids = np.asarray([i for i, _ in q_rows], dtype=np.int64)
+    if not len(qids):
+        # empty query set: emit nothing (the JVM twin's broadcast join
+        # against zero query rows is empty too); norm/concatenate on the
+        # 0-row matrix would raise instead
+        def empty_fn(batches):
+            return iter(())
+
+        return empty_fn
     qn = np.linalg.norm(Q, axis=1)
     bad_q = np.flatnonzero(qn == 0)
     if len(bad_q):

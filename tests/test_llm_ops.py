@@ -133,6 +133,20 @@ def test_topk_gemm_kernel_excludes_self_on_tiny_corpus(spark):
         assert r.sim == want, (r, raw)
 
 
+def test_topk_gemm_empty_query_set_yields_nothing(spark):
+    """Edge pin: an empty query set must produce an empty result (the JVM
+    twin's broadcast join against zero query rows is empty), not an
+    np.concatenate crash inside the task."""
+    from gmr_spark.operators.similarity import make_topk_gemm_fn
+
+    base = spark.createDataFrame(
+        [(i, [1.0, float(i)]) for i in range(4)], "id long, v array<double>")
+    out = base.mapInPandas(
+        make_topk_gemm_fn([], 3),
+        "query_id bigint, neighbor_id bigint, sim double")
+    assert out.count() == 0
+
+
 def test_topk_gemm_chunked_equals_unchunked():
     """Round-10 verdict item 5: the GEMM kernel chunks the QUERY axis to a
     fixed per-task memory budget. Per-chunk top-k over the same global key
