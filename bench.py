@@ -61,7 +61,7 @@ def compute_brackets(seg_index: dict[str, int], probes: list[float],
 def build_result(timings: dict[str, float], sf: float | None,
                  calibration: float, calibration_post: float,
                  brackets: dict[str, list[float]],
-                 noisy: list[str]) -> dict:
+                 noisy: list[str], retry_floor: float = 2.0) -> dict:
     """Assemble the artifact dict in the TAIL-SAFE key order.
 
     The driver records only the LAST 2,000 characters of the bench stdout —
@@ -91,6 +91,10 @@ def build_result(timings: dict[str, float], sf: float | None,
         "calibration_sec": calibration,
         "calibration_post_sec": calibration_post,
         "calibration_estimator": "min2",
+        # rows above the floor are min-of-2 since r11 (floor was 15 s in
+        # r3-r10 — pre-r11 per-row values are single-sample below 15 s)
+        "row_estimator": "min2_above_floor",
+        "retry_floor_sec": retry_floor,
         # per-query host-speed brackets: [probe before the query's segment,
         # probe after]. A stable host reads ~[0.2, 0.2] everywhere; a row
         # whose bracket disagrees >1.25x is listed in "noisy" — its timing
@@ -329,13 +333,20 @@ def main() -> None:
         _cleanup()
         return dt
 
-    # Heavy iterative queries (>RETRY_FLOOR s) are measured twice and the MIN
-    # is recorded: a single sample of a 30 s Pregel run swings 20-64 s on this
-    # host (GC pause / disk contention landing mid-run — measured round 3;
+    # Queries >RETRY_FLOOR s are measured twice and the MIN is recorded: a
+    # single sample of a 30 s Pregel run swings 20-64 s on this host (GC
+    # pause / disk contention landing mid-run — measured round 3;
     # fresh-session repeats are stable at 31-35 s), and one bad sample
     # poisoned the round-2 headline artifact. min-of-2 is the standard
-    # steady-state estimator; cheap queries stay single-sample.
-    RETRY_FLOOR = 15.0
+    # steady-state estimator; sub-floor queries stay single-sample.
+    # Round 11 lowered the floor 15 -> 2 s: all three r11 full-bench
+    # attempts failed the bracket gate on sub-15 s row jitter, and one
+    # extra sample on the ~25 affected rows costs ~90 s against a ~180 s
+    # run. The estimator is recorded in the artifact
+    # ("row_estimator"/"retry_floor_sec") because cross-round per-row
+    # comparisons against pre-r11 single-sample artifacts are a different
+    # statistic (the r10 ADVICE lesson on the calibration estimator).
+    RETRY_FLOOR = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_FLOOR", "2.0"))
     # local-iteration escape hatch: SPARK_GRAFT_BENCH_ONLY="q1_...,dedup_..."
     # restricts the loop (the driver never sets it — full set is the contract)
     only = {s.strip() for s in
@@ -410,7 +421,7 @@ def main() -> None:
 
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
     result = build_result(timings, sf, calibration, calibration_post,
-                          brackets, noisy)
+                          brackets, noisy, retry_floor=RETRY_FLOOR)
     # tail-budget guard: the driver keeps only the LAST 2,000 stdout chars,
     # so the serialized value+queries suffix must fit there. At 77 rows ×
     # realistic 3 dp widths it does with ~60 chars of headroom (pinned in

@@ -206,6 +206,8 @@ def test_bench_artifact_schema(spark, monkeypatch, capsys, tmp_path):
     # threshold) and the probe estimator stamp (min-of-2 since r10 — prior
     # rounds' single-sample drift is a different statistic)
     assert got["calibration_estimator"] == "min2"
+    assert got["row_estimator"] == "min2_above_floor"
+    assert got["retry_floor_sec"] == 2.0
     assert set(got["bracket_drift"]) == set(got["queries"])
     assert all(r >= 1.0 for r in got["bracket_drift"].values())
     # tail-safety: value and queries are the LAST two keys of the artifact
