@@ -245,7 +245,13 @@ def train_ivf_cells(
     sample = checkpoint_eager(sample.select("id", F.col("v").alias("vec")))
     try:
         for _ in range(iters):
-            cents = _update(sample, _assign_arrow(sample, cents))
+            nxt = _update(sample, _assign_arrow(sample, cents))
+            if not nxt:
+                # degenerate sample (e.g. sample_mod past the id range):
+                # _update saw zero rows — keep the last centroids instead
+                # of feeding an empty codebook back into the assign kernel
+                break
+            cents = nxt
     finally:
         _drop_checkpoint_blocks(sample)
     return cents

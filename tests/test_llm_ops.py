@@ -844,6 +844,20 @@ def test_train_ivf_cells_improves_both_legs_through_api(spark, tmp_path):
     assert trained_bal < seeded_bal and trained_bal == 1.0
 
 
+def test_train_ivf_cells_degenerate_sample_keeps_seeds(spark):
+    """Edge pin: a sample_mod past the id range leaves the Lloyd pass with
+    zero rows — the trainer must return the seed centroids instead of
+    feeding an empty codebook back into the assign kernel."""
+    from gmr_spark.operators.similarity import train_ivf_cells
+
+    base = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 7)],
+        "id long, v array<double>")  # no id % 1000 == 0 -> empty sample
+    cents = train_ivf_cells(base, k_cells=2, iters=2, sample_mod=1000)
+    assert [c for c, _ in cents] == [0, 1]
+    assert [v for _, v in cents] == [[1.0, 1.0], [2.0, 1.0]]  # the seeds
+
+
 def test_ann_ivf_pq_cell_train_iters_recovers_partner_recall(spark, tmp_path):
     """The public production config (cell_train_iters>0): on the planted
     corpus the seeded quantizer splits ~half the cluster-0 pairs across a
