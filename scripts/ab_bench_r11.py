@@ -75,7 +75,12 @@ def ensure_worktree() -> str:
 def run_leg(tree: str) -> dict:
     env = dict(os.environ,
                SPARK_GRAFT_BENCH_ONLY=SUBSET,
-               SPARK_GRAFT_SF_DIR=SF_DIR)
+               SPARK_GRAFT_SF_DIR=SF_DIR,
+               # ESTIMATOR SYMMETRY: r11 lowered HEAD's per-row min-of-2
+               # floor to 2 s, but the r8 tree hardcodes 15 s (it predates
+               # the env knob) — running HEAD at 2 s would bias the A/B in
+               # head's favor. Pin both legs to the r8 statistic.
+               SPARK_GRAFT_BENCH_RETRY_FLOOR="15.0")
     # subset runs never write the BENCH_DETAIL sidecar (bench.py guards
     # on SPARK_GRAFT_BENCH_ONLY), so legs cannot clobber a full-run artifact
     out = subprocess.run(
