@@ -107,6 +107,7 @@ def build_result(timings: dict[str, float], sf: float | None,
         "queries": timings,
     }
 
+
 HEADLINE = [
     # all derived graphs the bench's graph queries share, materialized once
     # and billed HERE (round-5: derivation is memoized per session —
