@@ -256,9 +256,57 @@ def train_ivf_cells(
     return cents
 
 
+def make_cell_rank_fn(centroids: list[tuple[int, list[float]]],
+                      nprobe: int, chunk_bytes: int = GEMM_CHUNK_BYTES):
+    """``mapInPandas`` factory for the Arrow coarse-assign path of
+    :func:`_ivf_index_probes`: one GEMM per Arrow batch against the
+    centroid matrix (d² = |v|² + |c|² − 2·v·cᵀ, ROUND(·,6)
+    half-away-from-zero — nonneg, so floor(x·1e6 + 0.5)), rows ranked by
+    (d², cell id) — the expression path's ``array_sort`` struct order.
+    Row-chunked to ``chunk_bytes`` of f64 per task so a large ``k_cells``
+    degrades to more chunks, never more memory (the kmeans._assign_arrow
+    shape). Emits (id, v, cells ARRAY<INT> — the ``nprobe`` nearest cell
+    ids in rank order). GEMM identity vs the expression path's
+    subtract-square fold is not bit-identical pre-round (BLAS pairwise
+    summation) — same caveat and same test contract as
+    ``kmeans._assign_arrow``: never used by oracle-declared queries, full
+    agreement pinned on the oracle table."""
+    import numpy as np
+
+    C = np.asarray([vec for _, vec in centroids], dtype=np.float64)
+    cids = np.asarray([c for c, _ in centroids], dtype=np.int64)
+    c2 = (C * C).sum(axis=1)
+    npb = min(nprobe, len(cids))
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf["v"].to_numpy())
+            row_chunk = max(1, int(chunk_bytes // (8 * len(cids))))
+            out = np.empty((len(V), npb), dtype=np.int64)
+            for lo in range(0, len(V), row_chunk):
+                hi = min(lo + row_chunk, len(V))
+                B = V[lo:hi]
+                d2 = (B * B).sum(axis=1)[:, None] + c2[None, :] \
+                    - 2.0 * (B @ C.T)
+                d2 = np.floor(d2 * 1e6 + 0.5) / 1e6
+                # rank by (d2, cell id) — lexsort minor key first
+                order = np.lexsort(
+                    (np.broadcast_to(cids, d2.shape), d2), axis=1)
+                out[lo:hi] = cids[order[:, :npb]]
+            yield pd.DataFrame({
+                "id": pdf["id"].to_numpy(),
+                "v": pdf["v"],
+                "cells": list(out.astype("int32"))})
+
+    return fn
+
+
 def _ivf_index_probes(
         df: DataFrame, *, k_cells: int, nprobe: int,
         centroids: list[tuple[int, list[float]]] | None = None,
+        assign: str = "expr",
 ) -> tuple[DataFrame, DataFrame]:
     """Shared coarse quantizer of the IVF family (``ann_ivf``,
     ``ann_ivf_pq``). Default centroids = the ``k_cells`` lowest-id vectors
@@ -269,11 +317,30 @@ def _ivf_index_probes(
     - ``indexed``: (neighbor_id, nv, cell) — every vector in its nearest cell
     - ``probes``:  (query_id, q, cell) — every query × its ``nprobe`` cells
 
-    Determinism: cell distances ROUND(·,6), ties to the lower cell id."""
+    Determinism: cell distances ROUND(·,6), ties to the lower cell id.
+
+    ``assign``: "expr" (default — one codegen'd Catalyst struct per
+    centroid, oracle-parity exact, ideal at the declared k_cells=8) or
+    "arrow" (:func:`make_cell_rank_fn` — one GEMM per Arrow batch; the
+    expression path is interpreter-bound at production cell counts:
+    measured 227 s vs ~3 s at 2M vectors × 256 cells, SCALE.md r11).
+    Same split and same agreement-test contract as ``kmeans._assign``
+    vs ``_assign_arrow``: declared queries keep "expr"."""
     seeds = centroids if centroids is not None else [
         (i, list(r.v))
         for i, r in enumerate(df.orderBy("id").limit(k_cells).collect())
     ]
+    if assign == "arrow":
+        ranked = df.mapInPandas(
+            make_cell_rank_fn(seeds, nprobe),
+            "id bigint, v array<double>, cells array<int>")
+        indexed = ranked.select(
+            F.col("id").alias("neighbor_id"), F.col("v").alias("nv"),
+            F.col("cells")[0].alias("cell"))
+        probes = ranked.select(
+            F.col("id").alias("query_id"), F.col("v").alias("q"),
+            F.explode(F.slice("cells", 1, nprobe)).alias("cell"))
+        return indexed, probes
     cand_structs = F.array(*[
         F.struct(
             F.round(
@@ -550,7 +617,8 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str, *, k_cells: int = 8,
                nprobe: int = 2, shortlist: int = PQ_SHORTLIST,
                topk: int = 3, train_iters: int = 0,
                cell_train_iters: int = 0,
-               cell_sample_mod: int = 1) -> DataFrame:
+               cell_sample_mod: int = 1,
+               cell_assign: str = "expr") -> DataFrame:
     """(query_id, neighbor_id, sim, rnk): IVF-PQ ANN — the compressed-index
     scale path. Same coarse quantizer as ``ann_ivf`` (cell equi-join bounds
     candidates), but the index side is PQ codes (4 B/vector instead of
@@ -575,7 +643,11 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str, *, k_cells: int = 8,
     population 8.79→1.09 at 2M vectors, the hot-key bound of the candidate
     equi-join; trained cells also lift same-cell partner rate
     0.9243→0.9374, the nprobe=1 coarse recall ceiling). The full
-    production config is ``train_iters>0, cell_train_iters>0``.
+    production config is ``train_iters>0, cell_train_iters>0,
+    cell_assign="arrow"`` — at production cell counts the expression
+    assign is interpreter-bound (227 s vs ~3 s at 2M × 256 cells,
+    SCALE.md r11); the declared default keeps the codegen'd,
+    oracle-parity "expr" assign.
     At 100 TB: encode is one Arrow pass, the candidate join carries
     (cell, codes) only — vectors are re-joined for the shortlist·topk rows
     alone. Determinism: sub-distances / ADC sums / cosines ROUND(·,6), ties
@@ -597,7 +669,8 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str, *, k_cells: int = 8,
                                     iters=cell_train_iters,
                                     sample_mod=cell_sample_mod)
     indexed, probes = _ivf_index_probes(df, k_cells=k_cells, nprobe=nprobe,
-                                        centroids=centroids)
+                                        centroids=centroids,
+                                        assign=cell_assign)
     enc = indexed.select(
         "neighbor_id", "cell",
         make_pq_codes_udf(codebook)(F.col("nv")).alias("codes"),

@@ -558,7 +558,7 @@ BENCH_ONLY_QUERIES: dict[str, QueryFn] = {
     # tests/test_llm_ops.py and the 2M-vector row lives in SCALE.md.
     "ann_ivf_pq_celltrained": lambda spark, sf_dir: S.ann_ivf_pq(
         spark, sf_dir, train_iters=2, cell_train_iters=2,
-        cell_sample_mod=10),
+        cell_sample_mod=10, cell_assign="arrow"),
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {

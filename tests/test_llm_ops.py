@@ -844,6 +844,42 @@ def test_train_ivf_cells_improves_both_legs_through_api(spark, tmp_path):
     assert trained_bal < seeded_bal and trained_bal == 1.0
 
 
+def test_ivf_arrow_assign_matches_expression_path(spark):
+    """The Arrow coarse-assign twin (make_cell_rank_fn / assign="arrow")
+    must agree with the expression path on BOTH outputs — nearest cell per
+    vector and the nprobe probe set per query — on the oracle table (the
+    kmeans._assign vs _assign_arrow contract: the GEMM identity is not
+    bit-identical pre-round, so declared queries keep "expr" and the
+    agreement is pinned here). Also pins the Arrow plan and the
+    interpreter-bound rationale's fix being value-neutral end-to-end:
+    ann_ivf_pq(cell_assign="arrow") returns the declared rows."""
+    from gmr_spark.operators.similarity import (
+        _ivf_index_probes, _vec, ann_ivf_pq)
+    from gmr_spark.sources.tables import load_tables
+
+    from tests.conftest import SF_ORACLE
+
+    emb = load_tables(spark, SF_ORACLE)["embeddings"]
+    df = emb.select(F.col("vec_id").alias("id"), _vec().alias("v"))
+    for kc, npb in ((8, 2), (16, 3)):
+        ie, pe = _ivf_index_probes(df, k_cells=kc, nprobe=npb)
+        ia, pa = _ivf_index_probes(df, k_cells=kc, nprobe=npb,
+                                   assign="arrow")
+        assert sorted(map(tuple, ie.select("neighbor_id", "cell").collect())) \
+            == sorted(map(tuple, ia.select("neighbor_id", "cell").collect()))
+        assert sorted(map(tuple, pe.select("query_id", "cell").collect())) \
+            == sorted(map(tuple, pa.select("query_id", "cell").collect()))
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = ia._jdf.queryExecution().explainString(mode)
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+    got = sorted(map(tuple,
+                     ann_ivf_pq(spark, SF_ORACLE,
+                                cell_assign="arrow").collect()))
+    want = sorted(map(tuple, ann_ivf_pq(spark, SF_ORACLE).collect()))
+    assert got == want and len(got) == 1500
+
+
 def test_train_ivf_cells_degenerate_sample_keeps_seeds(spark):
     """Edge pin: a sample_mod past the id range leaves the Lloyd pass with
     zero rows — the trainer must return the seed centroids instead of
