@@ -368,7 +368,8 @@ def _ivf_index_probes(
 
 
 def ann_ivf(spark: SparkSession, sf_dir: str, *, k_cells: int = 8,
-            nprobe: int = 2, topk: int = 3) -> DataFrame:
+            nprobe: int = 2, topk: int = 3,
+            cell_assign: str = "expr") -> DataFrame:
     """(query_id, neighbor_id, sim, rnk): IVF-style ANN — the second scale
     path next to sign-LSH. Coarse quantizer = seed centroids
     (``_ivf_index_probes``); every vector is *indexed* into its nearest
@@ -382,7 +383,8 @@ def ann_ivf(spark: SparkSession, sf_dir: str, *, k_cells: int = 8,
     """
     emb = load_tables(spark, sf_dir)["embeddings"]
     df = emb.select(F.col("vec_id").alias("id"), _vec().alias("v"))
-    indexed, probes = _ivf_index_probes(df, k_cells=k_cells, nprobe=nprobe)
+    indexed, probes = _ivf_index_probes(df, k_cells=k_cells, nprobe=nprobe,
+                                        assign=cell_assign)
 
     sims = (
         probes.join(indexed, "cell")
