@@ -219,6 +219,11 @@ HEADLINE = [
     # round 10 addition: the Arrow/GEMM exact top-k scale path (declared,
     # shares cosine_topk's oracle)
     "cosine_topk_arrow",
+    # round 12 addition: recall@3 of the production config above vs the
+    # exact GEMM truth — the bench-timed config is now also
+    # recall-regression-guarded per round (bench-only; tests pin
+    # recall >= the seeded ann_ivf_pq's)
+    "ann_recall_production",
 ]
 
 

@@ -61,6 +61,17 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     further (lang, doc_id div N), the same move as every keyed window
     here."""
     docs = load_tables(spark, sf_dir)["documents"]
+    return packing_frame(docs)
+
+
+def packing_frame(docs: DataFrame) -> DataFrame:
+    """Core of :func:`sequence_packing` over any (lang, doc_id, text) frame
+    — split out (the unigram_lm_frame pattern) so a composed curation
+    pipeline can pack the post-dedup, post-filter SURVIVOR set: packing is
+    order-dependent (pack boundaries are running sums), so packing the full
+    corpus and filtering afterwards would yield holes in packs, not the
+    packs a training job would actually build (scripts/scale_r12.py chains
+    dedup -> quality filter -> this)."""
     from pyspark.sql import Window as W
 
     n_words = F.least(

@@ -91,10 +91,14 @@ def cosine_topk(spark: SparkSession, sf_dir: str, *, n_queries: int = 5,
 #   level of cache (measured at 200k vectors × 1,000 queries: 5-13.5 s
 #   unchunked vs 2.2-2.8 s at ANY budget in 1-32 MB; 8 MB sits mid-plateau
 #   with margin both ways). More queries degrade to more chunks, never to
-#   more memory. Per-chunk top-k over the same global key is bit-identical
-#   to the unchunked kernel: each query's column is processed independently
-#   either way (equality pinned on a tie-bearing corpus in
-#   tests/test_llm_ops.py and at 2M vectors in scripts/scale_r11.py).
+#   more memory. Per-chunk top-k over the same global key equals the
+#   unchunked kernel AFTER the ROUND(·,6) contract: each query's column is
+#   ranked independently either way, but BLAS dgemm output for an element
+#   can depend on the multiply's shape (threaded blocking), so pre-round
+#   sims between V @ Q.T and V @ Q[lo:hi].T may differ in the last ulp —
+#   the same pre-round caveat as make_cell_rank_fn. Equality is pinned
+#   empirically (tie-bearing corpus in tests/test_llm_ops.py; 2M-vector
+#   exceptAll both ways = 0 in scripts/scale_r11.py), not structural.
 GEMM_CHUNK_BYTES = 8 << 20
 
 
@@ -273,6 +277,15 @@ def make_cell_rank_fn(centroids: list[tuple[int, list[float]]],
     agreement pinned on the oracle table."""
     import numpy as np
 
+    if not centroids:
+        # fail at factory time (driver-side) with a clear message — an
+        # empty centroid list (e.g. an empty corpus produced zero seeds)
+        # would otherwise surface as a ZeroDivisionError in the row-chunk
+        # sizing inside an executor task (round-11 ADVICE item 3)
+        raise ValueError(
+            "make_cell_rank_fn: empty centroid list — the coarse quantizer "
+            "needs at least one cell (an empty corpus yields no seeds; "
+            "callers should skip the assign entirely)")
     C = np.asarray([vec for _, vec in centroids], dtype=np.float64)
     cids = np.asarray([c for c, _ in centroids], dtype=np.int64)
     c2 = (C * C).sum(axis=1)
@@ -326,6 +339,15 @@ def _ivf_index_probes(
     measured 227 s vs ~3 s at 2M vectors × 256 cells, SCALE.md r11).
     Same split and same agreement-test contract as ``kmeans._assign``
     vs ``_assign_arrow``: declared queries keep "expr"."""
+    if assign not in ("expr", "arrow"):
+        # a typo (e.g. "Arrow", "gemm") must not silently fall through to
+        # the expression path — at production cell counts that path is
+        # interpreter-bound (227 s vs ~3 s at 2M × 256 cells), so the
+        # silent fallback would be a ~75× degradation with no signal
+        # (round-11 ADVICE item 1)
+        raise ValueError(
+            f"_ivf_index_probes: assign={assign!r} is not one of "
+            "('expr', 'arrow')")
     seeds = centroids if centroids is not None else [
         (i, list(r.v))
         for i, r in enumerate(df.orderBy("id").limit(k_cells).collect())
@@ -717,6 +739,23 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str, *, k_cells: int = 8,
     )
 
 
+def _recall_row(truth: DataFrame, approx: DataFrame, *, method: str,
+                n_queries: int, k: int) -> DataFrame:
+    """One (method, hits, recall) row: |approx top-k ∩ exact top-k| / (n·k)
+    — the shared scoring step of :func:`ann_recall_at_k` and
+    :func:`ann_recall_production`."""
+    cand = (
+        approx.filter((F.col("query_id") < n_queries) & (F.col("rnk") <= k))
+        .select("query_id", "neighbor_id")
+    )
+    hits = truth.join(cand, ["query_id", "neighbor_id"], "left_semi")
+    return hits.agg(F.count(F.lit(1)).alias("hits")).select(
+        F.lit(method).alias("method"),
+        F.col("hits").cast("bigint").alias("hits"),
+        F.round(F.col("hits") / F.lit(float(n_queries * k)), 6).alias("recall"),
+    )
+
+
 def ann_recall_at_k(spark: SparkSession, sf_dir: str, *, n_queries: int = 5,
                     k: int = 3) -> DataFrame:
     """(method, hits, recall): measured recall@k of every ANN path
@@ -725,36 +764,61 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str, *, n_queries: int = 5,
     "standard recall tradeoff" claims in the bucket-cap docstrings into a
     declared, regression-guarded number. Tiny output (one row per method);
     the cost is the underlying similarity passes, each of which keeps its
-    own bucketed / broadcast plan."""
+    own bucketed / broadcast plan.
+
+    This declared row guards the four SEEDED paths (the configurations the
+    DuckDB twin derives). The full production configuration — trained
+    codebook × trained cells × Arrow assign — is guarded by the bench-only
+    twin :func:`ann_recall_production` (its training fixpoints have no
+    compact DuckDB derivation), asserted ≥ the seeded ``ann_ivf_pq``
+    recall in tests/test_llm_ops.py."""
     truth = (
         cosine_topk(spark, sf_dir, n_queries=n_queries, k=10)
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id")
     )
-    denom = float(n_queries * k)
-    parts = []
-    for method, approx in (
-        ("ivf", ann_ivf(spark, sf_dir)),
-        ("ivf_pq", ann_ivf_pq(spark, sf_dir)),
-        ("rh_lsh", ann_rh_lsh(spark, sf_dir)),
-        ("sign_lsh", ann_sign_lsh(spark, sf_dir)),
-    ):
-        cand = (
-            approx.filter((F.col("query_id") < n_queries) & (F.col("rnk") <= k))
-            .select("query_id", "neighbor_id")
+    parts = [
+        _recall_row(truth, approx, method=method, n_queries=n_queries, k=k)
+        for method, approx in (
+            ("ivf", ann_ivf(spark, sf_dir)),
+            ("ivf_pq", ann_ivf_pq(spark, sf_dir)),
+            ("rh_lsh", ann_rh_lsh(spark, sf_dir)),
+            ("sign_lsh", ann_sign_lsh(spark, sf_dir)),
         )
-        hits = truth.join(cand, ["query_id", "neighbor_id"], "left_semi")
-        parts.append(
-            hits.agg(F.count(F.lit(1)).alias("hits")).select(
-                F.lit(method).alias("method"),
-                F.col("hits").cast("bigint").alias("hits"),
-                F.round(F.col("hits") / F.lit(denom), 6).alias("recall"),
-            )
-        )
+    ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def ann_recall_production(spark: SparkSession, sf_dir: str, *,
+                          n_queries: int = 5, k: int = 3) -> DataFrame:
+    """(method, hits, recall): recall@k of the PRODUCTION ann_ivf_pq
+    configuration — trained codebook (``train_iters=2``), Lloyd-trained
+    coarse cells on a 1-in-10 sample (``cell_train_iters=2``), Arrow GEMM
+    coarse assign — against the exact ``cosine_topk_arrow`` truth (the
+    GEMM scale path; value-identical to ``cosine_topk`` by the shared
+    ROUND(·,6) contract). Round-11 verdict "What's missing" item 2: the
+    config ``bench.py`` actually times (``ann_ivf_pq_celltrained``) had
+    its recall proven only in scale scripts — this row makes it a
+    per-round regression-guarded number next to the seeded guard
+    :func:`ann_recall_at_k`. Bench-only for the same reason as the config
+    itself: the two training fixpoints have no compact DuckDB derivation;
+    tests/test_llm_ops.py pins recall ≥ the seeded ``ann_ivf_pq``'s ON THE
+    BENCH CORPUS (sf0.1 — where the guard's subject actually runs; at the
+    tiny sf0.001/sf0.01 tables the 15-item denominator makes the
+    deterministic comparison land either way, see the test's docstring)."""
+    truth = (
+        cosine_topk_arrow(spark, sf_dir, n_queries=n_queries, k=10)
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    production = ann_ivf_pq(
+        spark, sf_dir, train_iters=2, cell_train_iters=2,
+        cell_sample_mod=10, cell_assign="arrow")
+    return _recall_row(truth, production, method="ivf_pq_production",
+                       n_queries=n_queries, k=k)
 
 
 def sign_bucket(vec: F.Column, n_bits: int = 16) -> F.Column:

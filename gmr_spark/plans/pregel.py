@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import threading
 import time
+import weakref
 from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import Protocol
@@ -155,11 +156,28 @@ def _drop_checkpoint_blocks(df: DataFrame) -> None:
         _warn_internal_api_fallback("_drop_checkpoint_blocks")
 
 
-# non-blocking reentrancy guard for checkpoint_eager: held for the duration
+# non-blocking reentrancy guards for checkpoint_eager: held for the duration
 # of each call, so concurrent entry (a contract violation — see the
 # CONCURRENCY CONTRACT below) fails loudly instead of silently racing the
-# persistent-RDD-id snapshot
-_EAGER_GUARD = threading.Lock()
+# persistent-RDD-id snapshot. KEYED PER SparkContext (round-11 ADVICE
+# item 4): the snapshot race the guard protects is per-context — two
+# independent SparkContexts in one process cannot race each other's
+# getPersistentRDDs snapshot, so they get independent locks instead of a
+# spurious 'concurrent entry' error. Weak keys: a lock must not outlive
+# (or keep alive) its stopped context.
+_EAGER_GUARDS: "weakref.WeakKeyDictionary[object, threading.Lock]" = (
+    weakref.WeakKeyDictionary())
+_EAGER_GUARDS_LOCK = threading.Lock()
+
+
+def _eager_guard(sc) -> threading.Lock:
+    """The per-SparkContext reentrancy lock (created on first use)."""
+    with _EAGER_GUARDS_LOCK:
+        lock = _EAGER_GUARDS.get(sc)
+        if lock is None:
+            lock = threading.Lock()
+            _EAGER_GUARDS[sc] = lock
+        return lock
 
 
 def checkpoint_eager(df: DataFrame) -> DataFrame:
@@ -188,19 +206,23 @@ def checkpoint_eager(df: DataFrame) -> DataFrame:
     concurrent entry raises RuntimeError up front via a non-blocking lock
     instead of silently risking a live checkpoint's blocks. The
     helper-vs-raw-persist half stays documentation (intercepting arbitrary
-    persists would mean patching Spark internals)."""
-    if not _EAGER_GUARD.acquire(blocking=False):
+    persists would mean patching Spark internals). The guard is keyed per
+    SparkContext (``_eager_guard``): only callers sharing a context can
+    race the same snapshot, so independent contexts never trip it."""
+    guard = _eager_guard(df.sparkSession.sparkContext)
+    if not guard.acquire(blocking=False):
         raise RuntimeError(
             "checkpoint_eager: concurrent entry from another driver thread "
-            "— the failure-path RDD-id diff attributes every id persisted "
-            "since the snapshot to THIS call, so a concurrent caller's "
-            "live localCheckpoint could be unpersisted (unrecoverable: no "
-            "lineage). Serialize engine loops on one driver thread (see "
-            "the CONCURRENCY CONTRACT in the docstring).")
+            "on the same SparkContext — the failure-path RDD-id diff "
+            "attributes every id persisted since the snapshot to THIS "
+            "call, so a concurrent caller's live localCheckpoint could be "
+            "unpersisted (unrecoverable: no lineage). Serialize engine "
+            "loops on one driver thread (see the CONCURRENCY CONTRACT in "
+            "the docstring).")
     try:
         return _checkpoint_eager_locked(df)
     finally:
-        _EAGER_GUARD.release()
+        guard.release()
 
 
 def _checkpoint_eager_locked(df: DataFrame) -> DataFrame:

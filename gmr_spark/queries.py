@@ -559,6 +559,12 @@ BENCH_ONLY_QUERIES: dict[str, QueryFn] = {
     "ann_ivf_pq_celltrained": lambda spark, sf_dir: S.ann_ivf_pq(
         spark, sf_dir, train_iters=2, cell_train_iters=2,
         cell_sample_mod=10, cell_assign="arrow"),
+    # recall@3 of the production config above vs the cosine_topk_arrow
+    # exact truth (round-11 verdict "What's missing" item 2): the config
+    # bench.py times is now also recall-regression-guarded per round, not
+    # only in scale scripts. Bench-only for the training-fixpoint reason;
+    # tests pin recall >= the seeded ann_ivf_pq's on the bench corpus.
+    "ann_recall_production": S.ann_recall_production,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -814,28 +820,28 @@ LLM_ORACLES: dict[str, str] = {
 # query measures MUST bump ``round`` to the current round and list the
 # query here (measuring gates are auto-added via _MEASURED_BY below).
 _CHANGED_THIS_ROUND = {
-    "round": 11,
+    "round": 12,
     "names": (
-        # the GEMM kernel gained query-axis chunking (bit-identical by
-        # construction) and the loud zero-norm guard (round-10 verdict
-        # item 5 / ADVICE item 1) — values unchanged by contract; fronted
-        # per discipline
-        "cosine_topk_arrow",
-        # global_rank's reserved-name guard went case-insensitive (round-10
-        # ADVICE item 2; values unchanged; fronted per discipline)
-        "global_sort_rank",
-        # _ivf_index_probes gained the injectable-centroids parameter and
-        # ann_ivf_pq the cell_train_iters trained-coarse-cells path
-        # (round-10 verdict item 3; declared defaults stay seeded — values
-        # unchanged by contract; fronted per discipline)
+        # _ivf_index_probes now REJECTS unknown assign strings (round-11
+        # ADVICE item 1: a typo like "Arrow" silently fell through to the
+        # interpreter-bound expression path, ~75× at production cell
+        # counts) — declared values unchanged (both queries pass the
+        # default "expr"); fronted per discipline
         "ann_ivf",
         "ann_ivf_pq",
-        # checkpoint_eager gained the concurrent-entry reentrancy guard
-        # (round-10 verdict item 7) — a no-op on the single-threaded
-        # success path every engine loop takes, but the helper's
-        # implementation changed, so every query that executes it is
-        # fronted per discipline (the r10 spike allowance; the stamp
-        # self-expires next round). k_truss/kmeans use plain
+        # sequence_packing's body moved into the new frame-level
+        # packing_frame (the unigram_lm_frame split — needed because
+        # packing is order-dependent, so the composed curation pipeline
+        # must pack the survivor set, scripts/scale_r12.py); the wrapper
+        # delegates, values unchanged by contract; fronted per discipline
+        "sequence_packing",
+        # checkpoint_eager's reentrancy guard is now KEYED PER SparkContext
+        # (round-11 ADVICE item 4: the RDD-id snapshot race is per-context,
+        # so independent contexts no longer share one process-global lock)
+        # — a pure lock-acquisition change, values untouched, but the
+        # helper's implementation changed, so every query that executes it
+        # is fronted per discipline (same spike allowance as r11; the
+        # stamp self-expires next round). k_truss/kmeans use plain
         # localCheckpoint and are unaffected.
         "pagerank_geo",
         "pagerank_big",

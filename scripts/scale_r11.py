@@ -6,10 +6,12 @@ Round 11 bounded ``make_topk_gemm_fn``'s per-task sims block to
 ``GEMM_CHUNK_BYTES`` by chunking the QUERY axis (round-10 verdict item 5:
 the unchunked kernel materializes |batch| x |Q| float64 per task — fine at
 the proven 1,000-query configs, multi-GB at 100k+ query batches). The
-chunked path is bit-identical by construction (each query's column is
-processed independently; the per-chunk top-k uses the same global
-(ROUND(sim,6) DESC, neighbor_id) key). This probe pins that claim AT SCALE
-instead of only on the toy tie-corpus test:
+chunked path equals the unchunked one after ROUND(sim,6) (each query's
+column is ranked independently under the same global (sim DESC,
+neighbor_id) key; pre-round dgemm output can differ in the last ulp with
+the multiply's shape, so the equality is empirical, not structural —
+round-11 ADVICE item 2). This probe pins that claim AT SCALE instead of
+only on the toy tie-corpus test:
 
   - 2M-vector corpus with planted partner pairs (scale_llm.build_corpus,
     the same class as every other embedding row);

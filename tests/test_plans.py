@@ -775,20 +775,55 @@ def test_run_pregel_failure_inside_checkpoint_releases_inflight(
 def test_checkpoint_eager_rejects_concurrent_entry(spark):
     """Round-10 verdict item 7: checkpoint_eager's single-driver-thread
     contract is cheaply ENFORCED — a second driver thread entering while a
-    call is in flight (simulated by holding the module guard) raises
+    call is in flight (simulated by holding this context's guard) raises
     RuntimeError up front instead of silently racing the RDD-id snapshot
     and risking a live checkpoint's blocks. The guard is released on every
     exit path, so a clean call afterwards still works."""
     from gmr_spark.plans import pregel
 
     df = spark.range(3)
-    assert pregel._EAGER_GUARD.acquire(blocking=False)
+    guard = pregel._eager_guard(spark.sparkContext)
+    assert guard.acquire(blocking=False)
     try:
         with pytest.raises(RuntimeError, match="concurrent entry"):
             pregel.checkpoint_eager(df)
     finally:
-        pregel._EAGER_GUARD.release()
+        guard.release()
     out = pregel.checkpoint_eager(df)
     assert out.count() == 3
-    assert not pregel._EAGER_GUARD.locked()  # released on the success path
+    assert not guard.locked()  # released on the success path
     pregel._drop_checkpoint_blocks(out)
+
+
+def test_eager_guard_keyed_per_context(spark):
+    """Round-11 ADVICE item 4: the reentrancy guard is keyed per
+    SparkContext — the RDD-id snapshot race it protects is per-context, so
+    two independent contexts must get independent locks (no spurious
+    'concurrent entry' across contexts), while repeat lookups on the SAME
+    context return the SAME lock. Spark forbids two live contexts in one
+    process, so the second key is a stand-in object — _eager_guard is
+    key-agnostic by construction. Weak keying: dropping the key frees its
+    entry (a lock must not keep a stopped context alive)."""
+    from gmr_spark.plans import pregel
+
+    class _FakeContext:
+        pass
+
+    sc = spark.sparkContext
+    assert pregel._eager_guard(sc) is pregel._eager_guard(sc)
+    other = _FakeContext()
+    assert pregel._eager_guard(other) is not pregel._eager_guard(sc)
+    # holding the OTHER context's guard must not block this context's call
+    assert pregel._eager_guard(other).acquire(blocking=False)
+    try:
+        out = pregel.checkpoint_eager(spark.range(2))
+        assert out.count() == 2
+        pregel._drop_checkpoint_blocks(out)
+    finally:
+        pregel._eager_guard(other).release()
+    before = len(pregel._EAGER_GUARDS)
+    del other
+    import gc
+
+    gc.collect()
+    assert len(pregel._EAGER_GUARDS) == before - 1
