@@ -236,7 +236,19 @@ def train_ivf_cells(
     cell population 8.79→1.09 — the hot-key bound for the candidate
     equi-join at 100 TB. Standard Lloyd degenerate-cell rule applies: an
     emptied cell is dropped from the returned list (``_update`` emits only
-    populated clusters), so callers get ≤ ``k_cells`` centroids."""
+    populated clusters), so callers get ≤ ``k_cells`` centroids.
+
+    k_cells scaling (measured at the production cell count, SCALE.md r12,
+    2M vectors × k_cells=4,096 × sample_mod=10): the per-iteration assign
+    is ~linear in k_cells (one GEMM, row-chunked — 6.6 s at 4,096 vs 0.7 s
+    at 256 on the 200k sample); the ``_update`` stage is METADATA-CLASS in
+    k_cells (its cost is the sample explode, not k: 1.69 s at 4,096 vs
+    1.44 s at 256 — the aggregate result is only k_cells×64 rows); the
+    end-to-end API call was 92.1 s and the trained cells held max/mean
+    corpus population 1.42 (< 1.5, asserted in-run; balance converges with
+    iters: 1.455 @2 → 1.322 @4 at matched sample density). Seeds collect
+    ``k_cells`` rows on the driver — fine at the 10⁴–10⁵ production range,
+    by construction never corpus-scale."""
     from gmr_spark.algorithms.kmeans import _assign_arrow, _update
     from gmr_spark.plans.pregel import _drop_checkpoint_blocks, checkpoint_eager
 

@@ -34,7 +34,12 @@ clear_dedup_memo() when its last consumer finishes. Planted truth:
   - every 100th doc gets an EXACT copy (new id, same text) → stage 1 must
     retire exactly N/100 copies and keep the original (lower id) of each;
   - build_corpus's near-dup pairs (2k, 2k+1), k % 25 == 0 → stage 2 must
-    retire exactly one member per pair (N/50 docs);
+    retire one member of >= 99.9% of the pairs (banding recall is near-1,
+    not structurally 1: measured 3 intact / 40,000 at 2M), with a
+    bounded, reported allowance for accidental true-J>=0.1 retirements;
+  - every doc with id ≡ 3 (mod 500) is replaced by repetition spam
+    (top_word_frac 0.25 > the 0.2 Gopher gate) → stage 3 must retire
+    exactly those (disjoint from both dedup plants by construction);
   - stage 4's packing is cross-checked per language: max(pack_id)
     recomputed independently from the stage-3 survivor frame must equal
     the packing output's, and every pack_offset < capacity.
@@ -60,6 +65,7 @@ CELLS = int(os.environ.get("R12_CELLS", 4_096))
 CELLS_CONTROL = int(os.environ.get("R12_CELLS_CONTROL", 256))
 DOCS = int(os.environ.get("R12_DOCS", 2_000_000))
 SAMPLE_MOD = 10
+ITERS = int(os.environ.get("R12_ITERS", 2))
 
 
 def run_cells4k(spark, timings: dict, extra: dict) -> None:
@@ -83,7 +89,7 @@ def run_cells4k(spark, timings: dict, extra: dict) -> None:
 
     # ---- the API call a 100 TB index build makes, timed end-to-end ----
     t0 = time.perf_counter()
-    trained = train_ivf_cells(base, k_cells=CELLS, iters=2,
+    trained = train_ivf_cells(base, k_cells=CELLS, iters=ITERS,
                               sample_mod=SAMPLE_MOD)
     timings[f"train_ivf_cells_{CELLS}"] = round(time.perf_counter() - t0, 1)
     assert len(trained) <= CELLS
@@ -172,6 +178,7 @@ def run_cells4k(spark, timings: dict, extra: dict) -> None:
         "control_cells": CELLS_CONTROL,
         "sample_rows": n_sample,
         "train_api_wall_sec": timings[f"train_ivf_cells_{CELLS}"],
+        "train_iters": ITERS,
         "trained_cells": len(trained),
         "lloyd_stage_walls_sec": stage_walls,
         "corpus_assign_walls_sec": {str(k): v
@@ -228,12 +235,31 @@ def run_pipeline(spark, timings: dict, extra: dict) -> None:
     docs0 = spark.read.parquet(f"{corpus}/documents.parquet")
     copies = (docs0.filter(F.col("doc_id") % 100 == 0)
               .withColumn("doc_id", F.col("doc_id") + 10 * n))
+    # plant LOW-QUALITY docs for stage 3: ids ≡ 3 (mod 500) get a
+    # repetition-spam text — top_word_frac 5/20 = 0.25 > 0.2 fails the
+    # Gopher rule. Disjoint by construction from BOTH other plants (exact
+    # copies ride ids ≡ 0 mod 100 — even; near-dup pairs ride ids with
+    # id//2 ≡ 0 mod 25, and (500m+3)//2 = 250m+1 ≡ 1 mod 25), and NOT
+    # near-dups of each other: the 15 id-suffixed filler words keep any
+    # two junk docs' shingle Jaccard at ~1/35 << the 0.1 verify threshold.
+    junk_text = F.concat(
+        F.lit("a a a a a "),
+        F.concat_ws(" ", F.transform(
+            F.sequence(F.lit(1), F.lit(15)),
+            lambda j: F.concat(F.lit("b"), F.col("doc_id").cast("string"),
+                               F.lit("x"), j.cast("string")))))
+    is_junk = F.col("doc_id") % 500 == 3
+    docs0 = docs0.withColumn(
+        "text", F.when(is_junk, junk_text).otherwise(F.col("text"))
+    ).withColumn("n_chars", F.length("text"))
+    n_junk = len(range(3, n, 500))
     stage0 = _write_stage_dir(docs0.unionByName(copies), corpus,
                               f"{root}/stage0")
     n_total = n + (n + 99) // 100
     timings["build_corpus"] = round(time.perf_counter() - t0, 1)
-    print(f"corpus: {n_total} docs incl. {n_total - n} exact copies "
-          f"({timings['build_corpus']}s)", file=sys.stderr)
+    print(f"corpus: {n_total} docs incl. {n_total - n} exact copies and "
+          f"{n_junk} junk docs ({timings['build_corpus']}s)",
+          file=sys.stderr)
 
     # ---- stage 1: exact dedup — keep min doc_id per distinct text ----
     t0 = time.perf_counter()
@@ -261,12 +287,31 @@ def run_pipeline(spark, timings: dict, extra: dict) -> None:
                .join(s2_docs.select("doc_id"), "doc_id", "left_semi"))
     stage2 = _write_stage_dir(s2_full, stage1, f"{root}/stage2")
     clear_dedup_memo()  # stage 2 was the chain's last consumer
-    n_s2 = spark.read.parquet(f"{stage2}/documents.parquet").count()
+    s2ids = spark.read.parquet(f"{stage2}/documents.parquet")
+    n_s2 = s2ids.count()
     timings["stage2_neardup"] = round(time.perf_counter() - t0, 1)
     expected_pairs = (n // 2 + 24) // 25  # build_corpus's planted pairs
-    assert n_s2 == n - expected_pairs, (n_s2, n, expected_pairs)
-    print(f"stage2: {n_s2} survivors (-{n - n_s2} near-dups, "
-          f"{timings['stage2_neardup']}s)", file=sys.stderr)
+    # recall on the planted pairs: a pair surviving INTACT was missed by
+    # the banded LSH (each planted pair is J≈0.93-0.97, so once candidate-
+    # paired it always verifies and one member retires). Banding recall is
+    # near-1 but not structurally 1 — measured 3 misses / 40,000 pairs at
+    # 2M (0 at 100k); gate at recall >= 0.999 with the misses REPORTED.
+    pairs_intact = (
+        s2ids.filter(F.expr("doc_id DIV 2") % 25 == 0)
+        .groupBy(F.expr("doc_id DIV 2").alias("pp"))
+        .agg(F.count(F.lit(1)).alias("c")).filter("c = 2").count())
+    assert pairs_intact <= 0.001 * expected_pairs,         (pairs_intact, expected_pairs)
+    # precision: accidental retirements (true shingle-Jaccard >= 0.1 pairs
+    # among the hash-generated texts) stay bounded and reported
+    accidental = (n - n_s2) - (expected_pairs - pairs_intact)
+    assert 0 <= accidental <= max(10, n // 100_000),         (n_s2, n, expected_pairs, pairs_intact, accidental)
+    # the junk plants must all reach stage 3 (their shingle vocabulary is
+    # disjoint from the normal docs', so stage 2 cannot retire them)
+    n_junk_s2 = s2ids.filter(F.col("doc_id") % 500 == 3).count()
+    assert n_junk_s2 == n_junk, (n_junk_s2, n_junk)
+    print(f"stage2: {n_s2} survivors ({expected_pairs - pairs_intact}/"
+          f"{expected_pairs} planted pairs retired, {accidental} "
+          f"accidental, {timings['stage2_neardup']}s)", file=sys.stderr)
 
     # ---- stage 3: quality filter (Gopher rules + CCNet-style LM) ----
     # both operators read the STAGE-2 corpus: the LM's unigram stats are
@@ -283,11 +328,16 @@ def run_pipeline(spark, timings: dict, extra: dict) -> None:
                .localCheckpoint(eager=True))
     n_s3 = s3_docs.count()
     timings["stage3_quality"] = round(time.perf_counter() - t0, 1)
-    assert 0 < n_s3 <= n_s2
-    # the synthetic corpus is well-behaved by construction: the filters
-    # must trim a tail, not gut the corpus
-    assert n_s3 >= 0.5 * n_s2, (n_s3, n_s2)
-    print(f"stage3: {n_s3} survivors (avg_mean_inv_freq={avg_mif:.1f}, "
+    # planted: the Gopher rule must retire exactly the junk docs (every
+    # non-junk doc draws 30-60 near-distinct vocab words and passes; the
+    # LM 2x-avg cutoff is a tail guard that keeps this tight corpus whole)
+    assert n_s3 == n_s2 - n_junk, (n_s3, n_s2, n_junk)
+    retired3 = (spark.read.parquet(f"{stage2}/documents.parquet")
+                .join(s3_docs.select("doc_id"), "doc_id", "left_anti"))
+    n_retired_junk = retired3.filter(F.col("doc_id") % 500 == 3).count()
+    assert n_retired_junk == n_junk, (n_retired_junk, n_junk)
+    print(f"stage3: {n_s3} survivors (-{n_junk} junk, "
+          f"avg_mean_inv_freq={avg_mif:.1f}, "
           f"{timings['stage3_quality']}s)", file=sys.stderr)
 
     # ---- stage 4: sequence packing over the SURVIVOR frame ----
@@ -313,7 +363,7 @@ def run_pipeline(spark, timings: dict, extra: dict) -> None:
              .agg(F.floor((F.sum("nw")
                            - F.max(F.when(F.col("rn") == 1, F.col("nw"))))
                           / PACK_CAPACITY).alias("max_pack")))
-    got = {r.lang: r.max_pack for r in
+    got = {r.lang: r.mx for r in
            packed.groupBy("lang").agg(
                F.max("pack_id").alias("mx")).collect()}
     want = {r.lang: r.max_pack for r in indep.collect()}
@@ -327,7 +377,11 @@ def run_pipeline(spark, timings: dict, extra: dict) -> None:
         "docs_in": n_total,
         "stage1_survivors": n_s1,
         "stage2_survivors": n_s2,
+        "stage2_planted_pairs": expected_pairs,
+        "stage2_pairs_missed": int(pairs_intact),
+        "stage2_accidental_retired": int(accidental),
         "stage3_survivors": n_s3,
+        "junk_docs_retired": n_junk,
         "packed_docs": int(n_packed),
         "packs": int(n_packs),
         "avg_mean_inv_freq": round(avg_mif, 1),
