@@ -1435,3 +1435,105 @@ def test_ann_recall_production_at_least_seeded(spark):
     assert prod.recall >= seeded.recall, (prod.recall, seeded.recall)
     assert 0.0 <= prod.recall <= 1.0
     assert prod.hits == round(prod.recall * 15)
+
+
+def test_curation_pipeline_stages_compose(spark, tmp_path):
+    """Behavioral twin of the 2M-doc composed curation pipeline
+    (scripts/scale_r12.py run_pipeline, round-11 verdict item 5) on a
+    planted toy corpus, so the stage semantics ride the per-round test
+    gate, not only the scale script: exact dedup retires the verbatim
+    copy (keeping the lower id), the MinHash chain retires the planted
+    near-dup's higher member, the Gopher rule retires the repetition-spam
+    doc, and packing_frame packs exactly the survivors with the
+    independent per-lang max(pack_id) cross-check. Stage boundaries are
+    MATERIALIZED parquet dirs exactly like the scale run (each stage
+    reads the previous stage's output — no re-derivation)."""
+    import os
+
+    from gmr_spark.operators.dedup import (
+        clear_dedup_memo, dedup_exact, dedup_survivors)
+    from gmr_spark.operators.sampling import PACK_CAPACITY, packing_frame
+    from gmr_spark.operators.text_analysis import (
+        gopher_quality, unigram_lm_score)
+
+    def write_stage(docs_rows_or_df, name):
+        d = tmp_path / name
+        d.mkdir()
+        df = (spark.createDataFrame(
+            docs_rows_or_df,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long")
+            if isinstance(docs_rows_or_df, list) else docs_rows_or_df)
+        df.coalesce(1).write.parquet(str(d / "documents.parquet"))
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"):
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                       str(d / f"{t}.parquet"))
+        return str(d)
+
+    # 40 base docs of 40 unique words each; doc 1 = near-dup of doc 0
+    # (differs only in the last word -> shingle-Jaccard 36/40 = 0.9, far
+    # above the 0.1 verify gate and band-collision-certain at 8 hashes /
+    # 4 bands); doc 100 = VERBATIM copy of doc 2 (exact dup, higher id);
+    # doc 39 = repetition spam (top_word_frac 5/20 = 0.25 > 0.2)
+    def words(i):
+        return [f"w{i}x{j}" for j in range(40)]
+
+    rows = []
+    for i in range(40):
+        t = " ".join(words(i))
+        rows.append((i, t, "en", "src0", len(t)))
+    near = " ".join(words(0)[:-1] + ["zzz"])
+    rows[1] = (1, near, "en", "src0", len(near))
+    junk = "a a a a a " + " ".join(f"b39x{j}" for j in range(15))
+    rows[39] = (39, junk, "en", "src0", len(junk))
+    rows.append((100, rows[2][1], "en", "src0", rows[2][4]))  # exact copy
+    stage0 = write_stage(rows, "stage0")
+
+    # stage 1: exact dedup
+    groups = dedup_exact(spark, stage0)
+    dupes = {(r.keep_id, r.n_copies) for r in
+             groups.filter(F.col("n_copies") > 1).collect()}
+    assert dupes == {(2, 2)}  # the planted copy, original kept
+    keepers = groups.select(F.col("keep_id").alias("doc_id"))
+    s1 = (spark.read.parquet(f"{stage0}/documents.parquet")
+          .join(keepers, "doc_id", "left_semi"))
+    assert s1.count() == 40
+    stage1 = write_stage(s1, "stage1")
+
+    # stage 2: near-dup removal on the stage-1 corpus
+    try:
+        s2_ids = {r.doc_id for r in
+                  dedup_survivors(spark, stage1).collect()}
+    finally:
+        clear_dedup_memo()
+    assert 0 in s2_ids and 1 not in s2_ids  # higher pair member retired
+    assert len(s2_ids) == 39
+    s2 = (spark.read.parquet(f"{stage1}/documents.parquet")
+          .filter(F.col("doc_id").isin(*s2_ids)))
+    stage2 = write_stage(s2, "stage2")
+
+    # stage 3: Gopher + LM filter on the stage-2 corpus
+    good = {r.doc_id for r in gopher_quality(spark, stage2)
+            .filter("passes").select("doc_id").collect()}
+    assert 39 not in good and len(good) == 38  # junk fails, others pass
+    lm = unigram_lm_score(spark, stage2)
+    avg = lm.agg(F.avg("mean_inv_freq")).first()[0]
+    calm = {r.doc_id for r in
+            lm.filter(F.col("mean_inv_freq") <= 2.0 * avg)
+            .select("doc_id").collect()}
+    s3 = s2.filter(F.col("doc_id").isin(*sorted(good & calm)))
+    n_s3 = s3.count()
+    assert n_s3 == len(good & calm) == 38
+
+    # stage 4: packing over the SURVIVOR frame + independent cross-check
+    packed = packing_frame(s3).collect()
+    assert len(packed) == n_s3
+    assert all(r.pack_offset < PACK_CAPACITY for r in packed)
+    sizes = sorted((r.doc_id, r.n_words) for r in packed)
+    cum = 0
+    expect = {}
+    for doc_id, nw in sizes:  # packing orders by doc_id within the lang
+        expect[doc_id] = cum // PACK_CAPACITY
+        cum += nw
+    assert {r.doc_id: r.pack_id for r in packed} == expect
