@@ -64,8 +64,12 @@ VECS = int(os.environ.get("R12_VECS", 2_000_000))
 CELLS = int(os.environ.get("R12_CELLS", 4_096))
 CELLS_CONTROL = int(os.environ.get("R12_CELLS_CONTROL", 256))
 DOCS = int(os.environ.get("R12_DOCS", 2_000_000))
-SAMPLE_MOD = 10
+SAMPLE_MOD = int(os.environ.get("R12_SAMPLE_MOD", 10))
 ITERS = int(os.environ.get("R12_ITERS", 2))
+# the balance gate scales with training-sample density: ~49 samples/cell
+# (the 4,096-cell default) measured 1.42-1.455; the dial is documented in
+# train_ivf_cells' docstring and SCALE.md
+BALANCE_MAX = float(os.environ.get("R12_BALANCE_MAX", 1.5))
 
 
 def run_cells4k(spark, timings: dict, extra: dict) -> None:
@@ -170,7 +174,7 @@ def run_cells4k(spark, timings: dict, extra: dict) -> None:
     balance = float(pops.mx) / float(pops.avg)
     print(f"trained balance: max/mean={balance:.3f} over {pops.n_cells} "
           "populated cells", file=sys.stderr)
-    assert balance < 1.5, balance
+    assert balance < BALANCE_MAX, (balance, BALANCE_MAX)
 
     extra["cells4k"] = {
         "vectors": VECS,
@@ -186,6 +190,8 @@ def run_cells4k(spark, timings: dict, extra: dict) -> None:
         "corpus_assign_ratio_vs_control": round(ratio, 2) if ratio else None,
         "k_ratio": k_ratio,
         "trained_balance_max_over_mean": round(balance, 3),
+        "balance_gate": BALANCE_MAX,
+        "sample_mod": SAMPLE_MOD,
         "populated_cells": int(pops.n_cells),
     }
     shutil.rmtree(scratch, ignore_errors=True)
