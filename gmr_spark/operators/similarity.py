@@ -332,6 +332,21 @@ def make_cell_rank_fn(centroids: list[tuple[int, list[float]]],
     return fn
 
 
+def _validate_assign(assign: str) -> None:
+    """Reject assign/cell_assign strings outside {"expr", "arrow"}: a typo
+    (e.g. "Arrow", "gemm") must not silently fall through to the expression
+    path — at production cell counts that path is interpreter-bound (227 s
+    vs ~3 s at 2M × 256 cells), a ~75× degradation with no signal
+    (round-11 ADVICE item 1). Called at ann_ivf/ann_ivf_pq ENTRY so a
+    typo'd production call fails before the seed collect and the training
+    fixpoints (train_pq_codebook / train_ivf_cells are minutes at scale —
+    round-12 review), and again in _ivf_index_probes as the backstop for
+    direct callers."""
+    if assign not in ("expr", "arrow"):
+        raise ValueError(
+            f"assign={assign!r} is not one of ('expr', 'arrow')")
+
+
 def _ivf_index_probes(
         df: DataFrame, *, k_cells: int, nprobe: int,
         centroids: list[tuple[int, list[float]]] | None = None,
@@ -355,15 +370,7 @@ def _ivf_index_probes(
     measured 227 s vs ~3 s at 2M vectors × 256 cells, SCALE.md r11).
     Same split and same agreement-test contract as ``kmeans._assign``
     vs ``_assign_arrow``: declared queries keep "expr"."""
-    if assign not in ("expr", "arrow"):
-        # a typo (e.g. "Arrow", "gemm") must not silently fall through to
-        # the expression path — at production cell counts that path is
-        # interpreter-bound (227 s vs ~3 s at 2M × 256 cells), so the
-        # silent fallback would be a ~75× degradation with no signal
-        # (round-11 ADVICE item 1)
-        raise ValueError(
-            f"_ivf_index_probes: assign={assign!r} is not one of "
-            "('expr', 'arrow')")
+    _validate_assign(assign)
     seeds = centroids if centroids is not None else [
         (i, list(r.v))
         for i, r in enumerate(df.orderBy("id").limit(k_cells).collect())
@@ -419,6 +426,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str, *, k_cells: int = 8,
     Determinism: cell distances and cosines ROUND(·,6); ties to the lower
     cell/neighbor id.
     """
+    _validate_assign(cell_assign)  # before any Spark job
     emb = load_tables(spark, sf_dir)["embeddings"]
     df = emb.select(F.col("vec_id").alias("id"), _vec().alias("v"))
     indexed, probes = _ivf_index_probes(df, k_cells=k_cells, nprobe=nprobe,
@@ -692,6 +700,9 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str, *, k_cells: int = 8,
     (cell, codes) only — vectors are re-joined for the shortlist·topk rows
     alone. Determinism: sub-distances / ADC sums / cosines ROUND(·,6), ties
     to the lower code / neighbor id."""
+    _validate_assign(cell_assign)  # BEFORE the seed collect and the two
+    # training fixpoints — a typo'd production call must not pay minutes
+    # of Lloyd training and then die at the quantizer (round-12 review)
     emb = load_tables(spark, sf_dir)["embeddings"]
     df = emb.select(F.col("vec_id").alias("id"), _vec().alias("v"))
     # k-bounded driver collect (PQ_KS rows), same pattern as the IVF seeds
@@ -788,6 +799,12 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str, *, n_queries: int = 5,
     twin :func:`ann_recall_production` (its training fixpoints have no
     compact DuckDB derivation), asserted ≥ the seeded ``ann_ivf_pq``
     recall in tests/test_llm_ops.py."""
+    if k > 3:
+        # the measured paths run their declared topk=3 configs — a larger
+        # k would silently cap recall at 3/k instead of measuring it
+        # (round-12 review); the declared query always calls k=3
+        raise ValueError(f"ann_recall_at_k: k={k} > the measured paths' "
+                         "topk=3 — recall would be silently deflated")
     truth = (
         cosine_topk(spark, sf_dir, n_queries=n_queries, k=10)
         .filter(F.col("rnk") <= k)
@@ -826,13 +843,17 @@ def ann_recall_production(spark: SparkSession, sf_dir: str, *,
     tiny sf0.001/sf0.01 tables the 15-item denominator makes the
     deterministic comparison land either way, see the test's docstring)."""
     truth = (
-        cosine_topk_arrow(spark, sf_dir, n_queries=n_queries, k=10)
+        cosine_topk_arrow(spark, sf_dir, n_queries=n_queries, k=max(k, 10))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id")
     )
+    # k is honored on BOTH sides (round-12 review): the production config
+    # returns top-k and the ADC shortlist keeps a 4× margin over k (the
+    # defaults are unchanged at the bench row's k=3)
     production = ann_ivf_pq(
         spark, sf_dir, train_iters=2, cell_train_iters=2,
-        cell_sample_mod=10, cell_assign="arrow")
+        cell_sample_mod=10, cell_assign="arrow", topk=k,
+        shortlist=max(PQ_SHORTLIST, 4 * k))
     return _recall_row(truth, production, method="ivf_pq_production",
                        n_queries=n_queries, k=k)
 

@@ -131,6 +131,7 @@ def run_cells4k(spark, timings: dict, extra: dict) -> None:
                 round(time.perf_counter() - t0, 2))
             assert len(cents) <= k
             _drop_checkpoint_blocks(assigned)
+    _drop_checkpoint_blocks(sample)  # the stage-wall section is done
     lloyd = {name: min(vals) for name, vals in stage_walls.items()}
     print(f"lloyd stage walls (sample={n_sample}): {stage_walls}",
           file=sys.stderr)
@@ -204,11 +205,12 @@ def _write_stage_dir(docs, base_dir: str, stage_dir: str) -> str:
     same sf_dir contract with their own memo keys)."""
     import shutil
 
+    from gmr_spark.sources.tables import TABLES
+
     if os.path.exists(stage_dir):
         shutil.rmtree(stage_dir)
     os.makedirs(stage_dir)
-    for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "embeddings"):
+    for t in (t for t in TABLES if t != "documents"):
         src = f"{base_dir}/{t}.parquet"
         if os.path.exists(src):
             os.symlink(os.path.realpath(src), f"{stage_dir}/{t}.parquet")
@@ -397,6 +399,10 @@ def run_pipeline(spark, timings: dict, extra: dict) -> None:
     }
     print(f"stage4: {n_packed} docs into {n_packs} packs "
           f"({timings['stage4_packing']}s)", file=sys.stderr)
+    from gmr_spark.plans.pregel import _drop_checkpoint_blocks
+
+    _drop_checkpoint_blocks(packed)
+    _drop_checkpoint_blocks(s3_docs)
     shutil.rmtree(root, ignore_errors=True)
 
 

@@ -1416,12 +1416,13 @@ def test_ann_recall_production_at_least_seeded(spark):
     times it on; the structural trained-beats-seeded claim is pinned on
     the planted fixture in
     test_ann_ivf_pq_cell_train_iters_recovers_partner_recall."""
-    import os
-
     from gmr_spark.operators.similarity import (
         _recall_row, ann_ivf_pq, ann_recall_production, cosine_topk_arrow)
 
-    sf_bench = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # pinned literally, NOT via $SPARK_GRAFT_SF_DIR: pointing the bench env
+    # at a smaller corpus (a documented dry-run workflow) would make this
+    # test fail for corpus-size reasons, not regressions (round-12 review)
+    sf_bench = "/root/testdata/sf0.1"
     rows = ann_recall_production(spark, sf_bench).collect()
     assert [r.method for r in rows] == ["ivf_pq_production"]
     prod = rows[0]
@@ -1465,8 +1466,9 @@ def test_curation_pipeline_stages_compose(spark, tmp_path):
             "n_chars long")
             if isinstance(docs_rows_or_df, list) else docs_rows_or_df)
         df.coalesce(1).write.parquet(str(d / "documents.parquet"))
-        for t in ("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "events", "embeddings"):
+        from gmr_spark.sources.tables import TABLES
+
+        for t in (t for t in TABLES if t != "documents"):
             os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
                        str(d / f"{t}.parquet"))
         return str(d)
