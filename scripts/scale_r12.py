@@ -38,8 +38,11 @@ clear_dedup_memo() when its last consumer finishes. Planted truth:
     not structurally 1: measured 3 intact / 40,000 at 2M), with a
     bounded, reported allowance for accidental true-J>=0.1 retirements;
   - every doc with id ≡ 3 (mod 500) is replaced by repetition spam
-    (top_word_frac 0.25 > the 0.2 Gopher gate) → stage 3 must retire
-    exactly those (disjoint from both dedup plants by construction);
+    (top_word_frac 0.25 > the 0.2 Gopher gate) and every doc with id ≡ 7
+    (mod 500) by a Gopher-clean LM outlier (8 corpus-unique tokens →
+    mean_inv_freq ≈ 18× the corpus average, past the 2×avg CCNet-style
+    cutoff) → stage 3 must retire exactly those two sets, each through
+    its own filter leg (all four plants pairwise disjoint);
   - stage 4's packing is cross-checked per language: max(pack_id)
     recomputed independently from the stage-3 survivor frame must equal
     the packing output's, and every pack_offset < capacity.
@@ -257,17 +260,43 @@ def run_pipeline(spark, timings: dict, extra: dict) -> None:
             lambda j: F.concat(F.lit("b"), F.col("doc_id").cast("string"),
                                F.lit("x"), j.cast("string")))))
     is_junk = F.col("doc_id") % 500 == 3
+    # plant LM-OUTLIER docs for the CCNet-style filter: ids ≡ 7 (mod 500)
+    # get 10 hash-drawn COMMON vocab words (inv freq ~1e3) plus 8
+    # corpus-unique q-tokens (inv freq = T ≈ 9.2e7) — mean_inv_freq
+    # ≈ 8T/18 ≈ 18× the corpus average, far past the 2×avg cutoff, while
+    # n_words=18 and top_word_frac ≤ 2/18 keep them GOPHER-clean: stage 3
+    # must retire them through the LM leg alone. Hash-drawn (not
+    # consecutive) vocab indices keep any two spam docs' shingle sets
+    # essentially disjoint (verified pairs need ≥3 shared trigrams from a
+    # 997³ space), so stage 2 cannot retire them; ids ≡ 7 mod 500 are
+    # disjoint from all three other plants (even-id copies, id//2≡0 mod 25
+    # pairs since (500m+7)//2 ≡ 3 mod 25, junk at ≡3).
+    lm_text = F.concat(
+        F.concat_ws(" ", F.transform(
+            F.sequence(F.lit(1), F.lit(10)),
+            lambda j: F.concat(F.lit("w"), F.pmod(
+                F.hash(F.col("doc_id"), j, F.lit(99)),
+                F.lit(997)).cast("string")))),
+        F.lit(" "),
+        F.concat_ws(" ", F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda j: F.concat(F.lit("q"), F.col("doc_id").cast("string"),
+                               F.lit("x"), j.cast("string")))))
+    is_lmspam = F.col("doc_id") % 500 == 7
     docs0 = docs0.withColumn(
-        "text", F.when(is_junk, junk_text).otherwise(F.col("text"))
+        "text", F.when(is_junk, junk_text)
+                 .when(is_lmspam, lm_text)
+                 .otherwise(F.col("text"))
     ).withColumn("n_chars", F.length("text"))
     n_junk = len(range(3, n, 500))
+    n_lmspam = len(range(7, n, 500))
     stage0 = _write_stage_dir(docs0.unionByName(copies), corpus,
                               f"{root}/stage0")
     n_total = n + (n + 99) // 100
     timings["build_corpus"] = round(time.perf_counter() - t0, 1)
-    print(f"corpus: {n_total} docs incl. {n_total - n} exact copies and "
-          f"{n_junk} junk docs ({timings['build_corpus']}s)",
-          file=sys.stderr)
+    print(f"corpus: {n_total} docs incl. {n_total - n} exact copies, "
+          f"{n_junk} junk docs and {n_lmspam} LM-outlier docs "
+          f"({timings['build_corpus']}s)", file=sys.stderr)
 
     # ---- stage 1: exact dedup — keep min doc_id per distinct text ----
     t0 = time.perf_counter()
@@ -313,10 +342,12 @@ def run_pipeline(spark, timings: dict, extra: dict) -> None:
     # among the hash-generated texts) stay bounded and reported
     accidental = (n - n_s2) - (expected_pairs - pairs_intact)
     assert 0 <= accidental <= max(10, n // 100_000),         (n_s2, n, expected_pairs, pairs_intact, accidental)
-    # the junk plants must all reach stage 3 (their shingle vocabulary is
-    # disjoint from the normal docs', so stage 2 cannot retire them)
+    # the junk and LM-outlier plants must all reach stage 3 (their shingle
+    # sets are unique by construction, so stage 2 cannot retire them)
     n_junk_s2 = s2ids.filter(F.col("doc_id") % 500 == 3).count()
     assert n_junk_s2 == n_junk, (n_junk_s2, n_junk)
+    n_spam_s2 = s2ids.filter(F.col("doc_id") % 500 == 7).count()
+    assert n_spam_s2 == n_lmspam, (n_spam_s2, n_lmspam)
     print(f"stage2: {n_s2} survivors ({expected_pairs - pairs_intact}/"
           f"{expected_pairs} planted pairs retired, {accidental} "
           f"accidental, {timings['stage2_neardup']}s)", file=sys.stderr)
@@ -336,15 +367,25 @@ def run_pipeline(spark, timings: dict, extra: dict) -> None:
                .localCheckpoint(eager=True))
     n_s3 = s3_docs.count()
     timings["stage3_quality"] = round(time.perf_counter() - t0, 1)
-    # planted: the Gopher rule must retire exactly the junk docs (every
-    # non-junk doc draws 30-60 near-distinct vocab words and passes; the
-    # LM 2x-avg cutoff is a tail guard that keeps this tight corpus whole)
-    assert n_s3 == n_s2 - n_junk, (n_s3, n_s2, n_junk)
+    # planted, each filter verified through its OWN leg: the Gopher rule
+    # retires the junk docs, the LM 2×avg cutoff retires the LM-outlier
+    # docs (which are Gopher-clean by construction), and every normal doc
+    # (30-60 near-distinct vocab words, mean_inv_freq ≈ the corpus avg)
+    # passes both
+    assert n_s3 == n_s2 - n_junk - n_lmspam, (n_s3, n_s2, n_junk, n_lmspam)
     retired3 = (spark.read.parquet(f"{stage2}/documents.parquet")
                 .join(s3_docs.select("doc_id"), "doc_id", "left_anti"))
     n_retired_junk = retired3.filter(F.col("doc_id") % 500 == 3).count()
     assert n_retired_junk == n_junk, (n_retired_junk, n_junk)
-    print(f"stage3: {n_s3} survivors (-{n_junk} junk, "
+    n_retired_spam = retired3.filter(F.col("doc_id") % 500 == 7).count()
+    assert n_retired_spam == n_lmspam, (n_retired_spam, n_lmspam)
+    # the LM leg alone is what kills the outliers: they pass Gopher
+    spam_gopher_pass = (gopher_quality(spark, stage2)
+                        .filter("passes")
+                        .filter(F.col("doc_id") % 500 == 7).count())
+    assert spam_gopher_pass == n_lmspam, (spam_gopher_pass, n_lmspam)
+    print(f"stage3: {n_s3} survivors (-{n_junk} junk via Gopher, "
+          f"-{n_lmspam} LM outliers via the 2×avg cutoff, "
           f"avg_mean_inv_freq={avg_mif:.1f}, "
           f"{timings['stage3_quality']}s)", file=sys.stderr)
 
@@ -390,6 +431,7 @@ def run_pipeline(spark, timings: dict, extra: dict) -> None:
         "stage2_accidental_retired": int(accidental),
         "stage3_survivors": n_s3,
         "junk_docs_retired": n_junk,
+        "lm_outliers_retired": n_lmspam,
         "packed_docs": int(n_packed),
         "packs": int(n_packs),
         "avg_mean_inv_freq": round(avg_mif, 1),
