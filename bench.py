@@ -152,6 +152,10 @@ HEADLINE = [
     "dedup_containment",
     "dedup_simhash",
     "dedup_embedding",
+    # round 12 addition: the composed curation pipeline (bench-only
+    # callable; rides the memoized dedup chain, so this row measures the
+    # INCREMENTAL cost of composing — quality filters + packing + joins)
+    "curation",
     "multimodal_features",
     "cosine_topk",
     "ann_sign_lsh",
@@ -368,7 +372,7 @@ def main() -> None:
     # vector table is memoized in the same _CKPT_MEMO (released by the same
     # hook after the run's last dedup consumer)
     chain_consumers = {"dedup_pair_chain", "dedup_minhash", "dup_clusters",
-                       "dedup_containment", "dedup_embedding"}
+                       "dedup_containment", "dedup_embedding", "curation"}
     post_query: dict[str, object] = {}
     present = [n for n in headline if n in chain_consumers]
     if present:

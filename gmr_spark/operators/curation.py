@@ -1,0 +1,77 @@
+"""The curation pipeline composed end-to-end: exact dedup → near-dup
+removal → quality filter (Gopher + CCNet-style LM) → sequence packing —
+the chain a training-data job actually runs, as one callable over the
+sf_dir contract. Proven at 2M documents with planted truth at every
+stage in scripts/scale_r12.py / SCALE.md r12 (exactly the planted exact
+copies, ≥99.9% of the planted near-dup pairs, and exactly the planted
+junk + LM-outlier docs retired, packing cross-checked per language).
+
+Composition contract (round-11 verdict item 5):
+- stage 1, exact dedup: keep the lowest doc_id per distinct text
+  (:func:`dedup_exact`'s keep rule);
+- stage 2, near-dup: :func:`dedup_survivors`'s keep rule (the memoized
+  MinHash-LSH → verify → connected-components chain — shared with every
+  other dedup operator in the session, so this pipeline adds no second
+  chain build);
+- stage 3, quality: Gopher ``passes`` (per-doc statistics, so computing
+  them on the corpus and filtering afterwards is value-identical to
+  computing on the survivors) AND ``mean_inv_freq`` ≤ ``lm_factor`` ×
+  the corpus average — with the LM statistics computed on the DEDUPED
+  corpus (:func:`unigram_lm_frame` on the survivor frame: CCNet trains
+  its LM on the cleaned corpus, so dedup must come first);
+- stage 4, packing: :func:`packing_frame` on the surviving frame —
+  packing is order-dependent (running sums), so it must see exactly the
+  surviving docs, never filter-after-pack.
+
+Scale shape: stages 1–3 are semi-joins of narrow id frames against the
+corpus scan (broadcast-gated inside dedup_survivors); the LM average
+rides a 1-row broadcast cross join (the ``unigram_lm_frame`` ``tot``
+pattern — never a global window over per-doc rows, which would
+single-partition an SF-linear frame at 100 TB). The LM-stats subtree is
+evaluated once per consumer (average + filter); a 100 TB run
+materializes stage boundaries to storage instead — exactly what the
+2M-doc proof does (scripts/scale_r12.py writes each stage's survivor
+corpus as parquet; see SCALE.md r12 for the measured stage walls).
+
+Bench-only for now (the ``curation`` row): a declared-query promotion
+needs the composed DuckDB twin, which is round-13 work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gmr_spark.operators.dedup import dedup_exact, dedup_survivors
+from gmr_spark.operators.sampling import packing_frame
+from gmr_spark.operators.text_analysis import gopher_quality, unigram_lm_frame
+from gmr_spark.sources.tables import load_tables
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str, *,
+                      lm_factor: float = 2.0) -> DataFrame:
+    """(lang, doc_id, n_words, pack_id, pack_offset): pack assignments for
+    the curated corpus — the docs surviving exact dedup, near-dup removal,
+    the Gopher repetition rules, and the ``lm_factor``×avg LM cutoff. See
+    the module docstring for the composition contract and scale shape."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    keepers = dedup_exact(spark, sf_dir).select(
+        F.col("keep_id").alias("doc_id"))
+    survivor_ids = dedup_survivors(spark, sf_dir).select("doc_id")
+    deduped = (
+        docs.join(keepers, "doc_id", "left_semi")
+        .join(survivor_ids, "doc_id", "left_semi")
+    )
+    good = gopher_quality(spark, sf_dir).filter("passes").select("doc_id")
+    lm = unigram_lm_frame(deduped.select("doc_id", "text"))
+    avg = lm.agg(F.avg("mean_inv_freq").alias("corpus_avg_mif"))
+    calm = (
+        lm.crossJoin(F.broadcast(avg))
+        .filter(F.col("mean_inv_freq")
+                <= F.lit(float(lm_factor)) * F.col("corpus_avg_mif"))
+        .select("doc_id")
+    )
+    curated = (
+        deduped.join(good, "doc_id", "left_semi")
+        .join(calm, "doc_id", "left_semi")
+    )
+    return packing_frame(curated)

@@ -56,6 +56,7 @@ from gmr_spark.operators import multimodal as M
 from gmr_spark.operators import relational as R
 from gmr_spark.operators import sampling as SAMP
 from gmr_spark.operators import similarity as S
+from gmr_spark.operators import curation as C
 from gmr_spark.operators import text_analysis as TA
 from gmr_spark.oracle import llm_sql as LSQL
 from gmr_spark.oracle import relational_sql as RSQL
@@ -565,6 +566,12 @@ BENCH_ONLY_QUERIES: dict[str, QueryFn] = {
     # only in scale scripts. Bench-only for the training-fixpoint reason;
     # tests pin recall >= the seeded ann_ivf_pq's on the bench corpus.
     "ann_recall_production": S.ann_recall_production,
+    # the composed curation pipeline (exact dedup -> near-dup survivors ->
+    # Gopher + LM filter -> packing) as one callable — proven with planted
+    # truth at 2M docs (SCALE.md r12). Bench-only: the composed DuckDB
+    # twin (a declared-query promotion) is round-13 work; the short name
+    # keeps the driver-tail timing budget (test_bench_tail_keeps_timings).
+    "curation": C.curation_pipeline,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {

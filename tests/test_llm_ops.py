@@ -1539,3 +1539,42 @@ def test_curation_pipeline_stages_compose(spark, tmp_path):
         expect[doc_id] = cum // PACK_CAPACITY
         cum += nw
     assert {r.doc_id: r.pack_id for r in packed} == expect
+
+
+def test_curation_pipeline_operator(spark):
+    """The composed curation_pipeline callable (bench row "curation"):
+    packs exactly the docs that survive all four stages — cross-checked
+    against the stages computed independently from the same public
+    operators — with valid pack arithmetic. (The stage SEMANTICS are
+    pinned on planted fixtures in test_curation_pipeline_stages_compose
+    and at 2M docs in scripts/scale_r12.py; this pins the composition.)"""
+    from gmr_spark.operators.curation import curation_pipeline
+    from gmr_spark.operators.dedup import (
+        clear_dedup_memo, dedup_exact, dedup_survivors)
+    from gmr_spark.operators.sampling import PACK_CAPACITY
+    from gmr_spark.operators.text_analysis import (
+        gopher_quality, unigram_lm_frame)
+    from gmr_spark.sources.tables import load_tables
+
+    from tests.conftest import SF_ORACLE
+
+    try:
+        out = curation_pipeline(spark, SF_ORACLE).collect()
+        docs = load_tables(spark, SF_ORACLE)["documents"]
+        keep = {r.keep_id for r in dedup_exact(spark, SF_ORACLE).collect()}
+        surv = {r.doc_id for r in
+                dedup_survivors(spark, SF_ORACLE).collect()}
+        good = {r.doc_id for r in gopher_quality(spark, SF_ORACLE)
+                .filter("passes").select("doc_id").collect()}
+        deduped = docs.filter(
+            F.col("doc_id").isin(*sorted(keep & surv)))
+        lm = unigram_lm_frame(deduped.select("doc_id", "text")).collect()
+    finally:
+        clear_dedup_memo()
+    avg = sum(r.mean_inv_freq for r in lm) / len(lm)
+    calm = {r.doc_id for r in lm if r.mean_inv_freq <= 2.0 * avg}
+    expected = (keep & surv & good & calm)
+    assert {r.doc_id for r in out} == expected
+    assert all(r.pack_offset < PACK_CAPACITY for r in out)
+    assert set(out[0].asDict()) == {"lang", "doc_id", "n_words",
+                                    "pack_id", "pack_offset"}
