@@ -152,8 +152,8 @@ HEADLINE = [
     "dedup_containment",
     "dedup_simhash",
     "dedup_embedding",
-    # round 12 addition: the composed curation pipeline (bench-only
-    # callable; rides the memoized dedup chain, so this row measures the
+    # round 12 addition: the composed curation pipeline (declared since
+    # round 13; rides the memoized dedup chain, so this row measures the
     # INCREMENTAL cost of composing — quality filters + packing + joins)
     "curation",
     "multimodal_features",

@@ -116,7 +116,14 @@ def kmeans(embeddings: DataFrame, *, k: int = 8, iters: int = 2,
     iterations (plus the final re-assignment under the last centroids).
     ``assign="expr"`` (default) is the Catalyst-expression path every
     oracle-declared query uses; ``assign="arrow"`` is the batched GEMM path
-    for large k (see :func:`_assign_arrow`)."""
+    for large k (see :func:`_assign_arrow`). Unknown strings are REJECTED
+    up front — the same fail-fast contract as the IVF family's
+    ``_validate_assign`` (round-11 ADVICE item 1): a typo like "Arrow"
+    must not silently take the interpreter-bound expression path, which is
+    a ~75× degradation at production k with no signal."""
+    from gmr_spark.operators.similarity import _validate_assign
+
+    _validate_assign(assign)  # before the eager checkpoint / seed collect
     df = embeddings.select(
         F.col(id_col).cast("bigint").alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),

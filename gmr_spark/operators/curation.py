@@ -12,7 +12,21 @@ Composition contract (round-11 verdict item 5):
 - stage 2, near-dup: :func:`dedup_survivors`'s keep rule (the memoized
   MinHash-LSH → verify → connected-components chain — shared with every
   other dedup operator in the session, so this pipeline adds no second
-  chain build);
+  chain build). NOTE the composition order: this pipeline intersects
+  survivors computed on the ORIGINAL corpus with the exact-dedup keepers,
+  while the staged 2M-doc proof (scripts/scale_r12.py) runs near-dup
+  removal on the exact-deduped corpus. The two are value-identical by a
+  keep-min-id/identical-signature argument (round-12 ADVICE item 3):
+  (a) exact copies have identical shingle sets, hence identical MinHash
+  signatures and identical Jaccard to every other doc, so removing a
+  copy never disconnects a component — its keeper carries the same
+  edges; (b) a component's min-id member is necessarily the min id of
+  its own exact-text group (it is the min over the whole component,
+  which contains that group), so the full-corpus component head is
+  always an exact-dedup keeper; therefore survivors(original) ∩ keepers
+  == survivors(exact-deduped corpus), both rules keeping the component's
+  global min id. Pinned by the staged test's exact-copy-inside-a-
+  near-dup-cluster fixture (tests/test_llm_ops.py);
 - stage 3, quality: Gopher ``passes`` (per-doc statistics, so computing
   them on the corpus and filtering afterwards is value-identical to
   computing on the survivors) AND ``mean_inv_freq`` ≤ ``lm_factor`` ×
@@ -33,8 +47,16 @@ materializes stage boundaries to storage instead — exactly what the
 2M-doc proof does (scripts/scale_r12.py writes each stage's survivor
 corpus as parquet; see SCALE.md r12 for the measured stage walls).
 
-Bench-only for now (the ``curation`` row): a declared-query promotion
-needs the composed DuckDB twin, which is round-13 work.
+DECLARED since round 13: the composed DuckDB twin (oracle/llm_sql.py
+``CURATION``) chains the stage twins in this module's own composition —
+exact-dedup keepers ∩ full-corpus near-dup survivors → Gopher ``passes``
+→ LM cutoff with statistics on the deduped corpus → the packing window
+over the survivor set. Cross-engine determinism of the LM cutoff: both
+sides compare the 6dp-rounded ``mean_inv_freq`` against the 6dp-ROUNDED
+cutoff ``ROUND(lm_factor × avg, 6)``, so the comparison is between
+1e-6-quantized doubles — an engine-order difference in the float
+average's last ulp cannot flip a document unless the true cutoff sits
+exactly on a rounding tie.
 """
 
 from __future__ import annotations
@@ -66,8 +88,11 @@ def curation_pipeline(spark: SparkSession, sf_dir: str, *,
     avg = lm.agg(F.avg("mean_inv_freq").alias("corpus_avg_mif"))
     calm = (
         lm.crossJoin(F.broadcast(avg))
+        # the cutoff is ROUND(·,6) so both engines compare 1e-6-quantized
+        # doubles (see the module docstring's determinism note)
         .filter(F.col("mean_inv_freq")
-                <= F.lit(float(lm_factor)) * F.col("corpus_avg_mif"))
+                <= F.round(F.lit(float(lm_factor))
+                           * F.col("corpus_avg_mif"), 6))
         .select("doc_id")
     )
     curated = (

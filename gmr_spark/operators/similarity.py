@@ -250,9 +250,15 @@ def train_ivf_cells(
     decade (16,384 cells, 1M sample) the shapes hold — assign linear
     (158 s corpus pass), ``_update`` metadata-class (3-5 s) — and balance
     hovers at ~1.5±0.1 vs **30.3 seeded**, a ~20× hot-key reduction
-    (SCALE.md r12). Seeds collect ``k_cells`` rows on the driver — fine
-    at the 10⁴–10⁵ production range, by construction never
-    corpus-scale."""
+    (SCALE.md r12). The DECADE-AWARE CONTRACT this trainer is held to
+    (scripts/scale_r12.py, round-12 verdict item 3 — not env-tunable): at
+    the measured 1,024–16,384 decade, trained max/mean ≤ seeded/10 AND
+    ≤ 2.0 absolute; the absolute number is training-sample-DENSITY-
+    limited (≈1.42–1.46 at ~49 samples/cell, 2.26 at ~20/cell; more
+    iters is the dial), while the ratio is what training buys over
+    seeding and is the stable cross-decade statement. Seeds collect
+    ``k_cells`` rows on the driver — fine at the 10⁴–10⁵ production
+    range, by construction never corpus-scale."""
     from gmr_spark.algorithms.kmeans import _assign_arrow, _update
     from gmr_spark.plans.pregel import _drop_checkpoint_blocks, checkpoint_eager
 
@@ -332,7 +338,7 @@ def make_cell_rank_fn(centroids: list[tuple[int, list[float]]],
     return fn
 
 
-def _validate_assign(assign: str) -> None:
+def _validate_assign(assign: str, *, name: str = "assign") -> None:
     """Reject assign/cell_assign strings outside {"expr", "arrow"}: a typo
     (e.g. "Arrow", "gemm") must not silently fall through to the expression
     path — at production cell counts that path is interpreter-bound (227 s
@@ -341,10 +347,12 @@ def _validate_assign(assign: str) -> None:
     typo'd production call fails before the seed collect and the training
     fixpoints (train_pq_codebook / train_ivf_cells are minutes at scale —
     round-12 review), and again in _ivf_index_probes as the backstop for
-    direct callers."""
+    direct callers. ``name`` is the CALLER-facing parameter name so the
+    message names the argument the user actually typed (``cell_assign``
+    for the IVF family — round-12 ADVICE item 4)."""
     if assign not in ("expr", "arrow"):
         raise ValueError(
-            f"assign={assign!r} is not one of ('expr', 'arrow')")
+            f"{name}={assign!r} is not one of ('expr', 'arrow')")
 
 
 def _ivf_index_probes(
@@ -412,8 +420,17 @@ def _ivf_index_probes(
     return indexed, probes
 
 
+# Declared top-k of every measured ANN path (ann_ivf / ann_ivf_pq topk,
+# sign/rh-LSH k) AND the bound ann_recall_at_k guards against: the guard's
+# contract is "recall@k is only meaningful for k <= the paths' returned
+# top-k", so one constant keeps guard and defaults in lockstep by
+# construction (round-12 ADVICE item 2 — a literal 3 in the guard would
+# silently misstate the contract if a default ever moved).
+ANN_TOPK = 3
+
+
 def ann_ivf(spark: SparkSession, sf_dir: str, *, k_cells: int = 8,
-            nprobe: int = 2, topk: int = 3,
+            nprobe: int = 2, topk: int = ANN_TOPK,
             cell_assign: str = "expr") -> DataFrame:
     """(query_id, neighbor_id, sim, rnk): IVF-style ANN — the second scale
     path next to sign-LSH. Coarse quantizer = seed centroids
@@ -426,7 +443,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str, *, k_cells: int = 8,
     Determinism: cell distances and cosines ROUND(·,6); ties to the lower
     cell/neighbor id.
     """
-    _validate_assign(cell_assign)  # before any Spark job
+    _validate_assign(cell_assign, name="cell_assign")  # before any Spark job
     emb = load_tables(spark, sf_dir)["embeddings"]
     df = emb.select(F.col("vec_id").alias("id"), _vec().alias("v"))
     indexed, probes = _ivf_index_probes(df, k_cells=k_cells, nprobe=nprobe,
@@ -663,7 +680,7 @@ def pq_adc_cogrouped(cand: DataFrame, luts: DataFrame) -> DataFrame:
 
 def ann_ivf_pq(spark: SparkSession, sf_dir: str, *, k_cells: int = 8,
                nprobe: int = 2, shortlist: int = PQ_SHORTLIST,
-               topk: int = 3, train_iters: int = 0,
+               topk: int = ANN_TOPK, train_iters: int = 0,
                cell_train_iters: int = 0,
                cell_sample_mod: int = 1,
                cell_assign: str = "expr") -> DataFrame:
@@ -700,7 +717,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str, *, k_cells: int = 8,
     (cell, codes) only — vectors are re-joined for the shortlist·topk rows
     alone. Determinism: sub-distances / ADC sums / cosines ROUND(·,6), ties
     to the lower code / neighbor id."""
-    _validate_assign(cell_assign)  # BEFORE the seed collect and the two
+    _validate_assign(cell_assign, name="cell_assign")  # BEFORE the seed collect and the two
     # training fixpoints — a typo'd production call must not pay minutes
     # of Lloyd training and then die at the quantizer (round-12 review)
     emb = load_tables(spark, sf_dir)["embeddings"]
@@ -784,7 +801,7 @@ def _recall_row(truth: DataFrame, approx: DataFrame, *, method: str,
 
 
 def ann_recall_at_k(spark: SparkSession, sf_dir: str, *, n_queries: int = 5,
-                    k: int = 3) -> DataFrame:
+                    k: int = ANN_TOPK) -> DataFrame:
     """(method, hits, recall): measured recall@k of every ANN path
     (``ann_ivf``, ``ann_ivf_pq``, ``ann_sign_lsh``, ``ann_rh_lsh``) against the exact
     brute-force top-k (``cosine_topk``) on the same query set — turns the
@@ -799,12 +816,14 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str, *, n_queries: int = 5,
     twin :func:`ann_recall_production` (its training fixpoints have no
     compact DuckDB derivation), asserted ≥ the seeded ``ann_ivf_pq``
     recall in tests/test_llm_ops.py."""
-    if k > 3:
-        # the measured paths run their declared topk=3 configs — a larger
-        # k would silently cap recall at 3/k instead of measuring it
-        # (round-12 review); the declared query always calls k=3
+    if k > ANN_TOPK:
+        # the measured paths run their declared topk=ANN_TOPK configs — a
+        # larger k would silently cap recall at ANN_TOPK/k instead of
+        # measuring it (round-12 review); the shared constant keeps this
+        # bound tracking the paths' defaults (round-12 ADVICE item 2)
         raise ValueError(f"ann_recall_at_k: k={k} > the measured paths' "
-                         "topk=3 — recall would be silently deflated")
+                         f"topk={ANN_TOPK} — recall would be silently "
+                         "deflated")
     truth = (
         cosine_topk(spark, sf_dir, n_queries=n_queries, k=10)
         .filter(F.col("rnk") <= k)
@@ -826,7 +845,7 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str, *, n_queries: int = 5,
 
 
 def ann_recall_production(spark: SparkSession, sf_dir: str, *,
-                          n_queries: int = 5, k: int = 3) -> DataFrame:
+                          n_queries: int = 5, k: int = ANN_TOPK) -> DataFrame:
     """(method, hits, recall): recall@k of the PRODUCTION ann_ivf_pq
     configuration — trained codebook (``train_iters=2``), Lloyd-trained
     coarse cells on a 1-in-10 sample (``cell_train_iters=2``), Arrow GEMM
@@ -1052,7 +1071,7 @@ def _bucketed_topk(spark: SparkSession, sf_dir: str, bucket_expr: F.Column,
     )
 
 
-def ann_sign_lsh(spark: SparkSession, sf_dir: str, *, k: int = 3,
+def ann_sign_lsh(spark: SparkSession, sf_dir: str, *, k: int = ANN_TOPK,
                  n_bits: int = 16, bucket_cap: int = BUCKET_CAP) -> DataFrame:
     """(query_id, neighbor_id, sim, rnk): top-k same-bucket neighbors for
     EVERY vector — an all-pairs ANN pass via bucket equi-join, hot buckets
@@ -1061,7 +1080,7 @@ def ann_sign_lsh(spark: SparkSession, sf_dir: str, *, k: int = 3,
                           k=k, bucket_cap=bucket_cap)
 
 
-def ann_rh_lsh(spark: SparkSession, sf_dir: str, *, k: int = 3,
+def ann_rh_lsh(spark: SparkSession, sf_dir: str, *, k: int = ANN_TOPK,
                bucket_cap: int = BUCKET_CAP) -> DataFrame:
     """(query_id, neighbor_id, sim, rnk): multi-table random-hyperplane LSH
     — each vector is indexed into ``RH_N_TABLES`` bucket tables (explode of

@@ -1078,6 +1078,100 @@ WHERE (strpos('0123456789abcdef', substr(md5(d.text), 1, 1)) - 1) * 16
 """
 
 
+# Composed twin of operators/curation.curation_pipeline (the round-12
+# flagship's declared-query promotion): chains the stage twins in the
+# PIPELINE'S OWN composition — exact-dedup keepers (DEDUP_EXACT's
+# MIN(doc_id) keep rule) intersected with the full-corpus near-dup
+# survivors (the shared _DUP_CTES chain — same composition as the Spark
+# side; the keep-min-id/identical-signature equivalence with the staged
+# proof is documented in operators/curation.py), then GOPHER_QUALITY's
+# `passes` predicate (per-doc statistics, corpus-computed —
+# value-identical on survivors), then the CCNet LM cutoff with unigram
+# statistics computed on the DEDUPED corpus (UNIGRAM_LM_SCORE's rational
+# inverse-frequency over the survivor words), then SEQUENCE_PACKING's
+# window SQL over the curated set. Cross-engine determinism of the
+# cutoff: mean_inv_freq is ROUND(·,6) and the cutoff is
+# ROUND(2.0 × AVG(·), 6) on BOTH engines, so the filter compares
+# 1e-6-quantized doubles (see the curation module docstring).
+CURATION = _DUP_CTES + """,
+keepx AS MATERIALIZED (
+    SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+dd AS MATERIALIZED (
+    SELECT t.doc_id, t.t FROM toks t
+    JOIN keepx USING (doc_id)
+    WHERE t.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+),
+gwords AS MATERIALIZED (
+    SELECT doc_id, unnest(t) AS w FROM toks
+),
+gwc AS (
+    SELECT doc_id, w, COUNT(*) AS c FROM gwords GROUP BY doc_id, w
+),
+gws AS (
+    SELECT doc_id, SUM(c) AS n_words, MAX(c) AS top_c FROM gwc GROUP BY doc_id
+),
+ggrams AS MATERIALIZED (
+    SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                           for i in generate_series(1, len(t) - 1)]) AS g2
+    FROM toks WHERE len(t) >= 2
+),
+ggs AS (
+    SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT g2) AS nd
+    FROM ggrams GROUP BY doc_id
+),
+good AS MATERIALIZED (
+    SELECT w.doc_id
+    FROM gws w LEFT JOIN ggs g ON w.doc_id = g.doc_id
+    WHERE w.n_words >= 10
+      AND ROUND(CAST(w.top_c AS DOUBLE) / w.n_words, 6) <= 0.2
+      AND COALESCE(ROUND(1.0 - CAST(g.nd AS DOUBLE) / g.n_grams, 6), 0.0)
+          <= 0.6
+),
+lw AS MATERIALIZED (
+    SELECT doc_id, unnest(t) AS w FROM dd
+),
+lcnt AS MATERIALIZED (
+    SELECT w, COUNT(*) AS c FROM lw GROUP BY w
+),
+ltot AS (
+    SELECT SUM(c) AS tt FROM lcnt
+),
+ldtc AS (
+    SELECT doc_id, w, COUNT(*) AS cdw FROM lw GROUP BY doc_id, w
+),
+lm AS MATERIALIZED (
+    SELECT doc_id,
+           ROUND(SUM(cdw * (CAST(tt AS DOUBLE) / c)) / SUM(cdw), 6) AS mif
+    FROM ldtc JOIN lcnt USING (w) CROSS JOIN ltot
+    GROUP BY doc_id
+),
+calm AS MATERIALIZED (
+    SELECT doc_id FROM lm
+    WHERE mif <= (SELECT ROUND(2.0 * AVG(mif), 6) FROM lm)
+),
+sized AS (
+    SELECT d.lang, c.doc_id, LEAST(len(c.t), 512) AS n_words
+    FROM dd c
+    JOIN good USING (doc_id)
+    JOIN calm USING (doc_id)
+    JOIN documents d USING (doc_id)
+),
+cumul AS (
+    SELECT lang, doc_id, n_words,
+           COALESCE(SUM(n_words) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM sized
+)
+SELECT lang, doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(cb // 512 AS BIGINT) AS pack_id,
+       CAST(cb % 512 AS BIGINT) AS pack_offset
+FROM cumul
+"""
+
+
 DEDUP_CONTAINMENT = f"""
 WITH {_SHINGLED.strip()},
 {_SIGS.strip()},

@@ -566,12 +566,6 @@ BENCH_ONLY_QUERIES: dict[str, QueryFn] = {
     # only in scale scripts. Bench-only for the training-fixpoint reason;
     # tests pin recall >= the seeded ann_ivf_pq's on the bench corpus.
     "ann_recall_production": S.ann_recall_production,
-    # the composed curation pipeline (exact dedup -> near-dup survivors ->
-    # Gopher + LM filter -> packing) as one callable — proven with planted
-    # truth at 2M docs (SCALE.md r12). Bench-only: the composed DuckDB
-    # twin (a declared-query promotion) is round-13 work; the short name
-    # keeps the driver-tail timing budget (test_bench_tail_keeps_timings).
-    "curation": C.curation_pipeline,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -701,6 +695,14 @@ LLM_QUERIES: dict[str, QueryFn] = {
     "dedup_substring": D.dedup_substring,
     # round 6: DSIR importance-based data selection (Xie et al. 2023)
     "dsir_select": TA.dsir_select,
+    # round 13: the composed curation pipeline (exact dedup -> near-dup
+    # survivors -> Gopher + LM-on-deduped filter -> packing) PROMOTED from
+    # bench-only — its composed DuckDB twin (LSQL.CURATION) chains the
+    # stage twins in the pipeline's own composition (round-12 verdict
+    # item 1). The short name keeps the driver-tail timing budget
+    # (test_bench_tail_keeps_timings); the 2M-doc planted-truth proof
+    # lives in SCALE.md r12.
+    "curation": C.curation_pipeline,
 }
 
 
@@ -813,6 +815,7 @@ LLM_ORACLES: dict[str, str] = {
     "semdedup_embeddings": semdedup_sql(k=8, iters=2, threshold=0.30),
     "dedup_substring": LSQL.DEDUP_SUBSTRING,
     "dsir_select": LSQL.DSIR_SELECT,
+    "curation": LSQL.CURATION,
 }
 
 
@@ -827,45 +830,30 @@ LLM_ORACLES: dict[str, str] = {
 # query measures MUST bump ``round`` to the current round and list the
 # query here (measuring gates are auto-added via _MEASURED_BY below).
 _CHANGED_THIS_ROUND = {
-    "round": 12,
+    "round": 13,
     "names": (
-        # _ivf_index_probes now REJECTS unknown assign strings (round-11
-        # ADVICE item 1: a typo like "Arrow" silently fell through to the
-        # interpreter-bound expression path, ~75× at production cell
-        # counts) — declared values unchanged (both queries pass the
-        # default "expr"); fronted per discipline
+        # the composed curation pipeline PROMOTED to a declared query
+        # (round-12 verdict item 1): new oracle (LSQL.CURATION) and the
+        # LM cutoff hardened to a ROUND(·,6)-quantized comparison on both
+        # engines — new row, fronts automatically, listed for the record
+        "curation",
+        # ANN_TOPK shared constant (round-12 ADVICE item 2): the paths'
+        # topk/k defaults and ann_recall_at_k's guard bound now track one
+        # constant; _validate_assign messages name the caller-facing
+        # cell_assign parameter (ADVICE item 4). Values unchanged (the
+        # constant equals the old literal 3); fronted per discipline.
         "ann_ivf",
         "ann_ivf_pq",
-        # sequence_packing's body moved into the new frame-level
-        # packing_frame (the unigram_lm_frame split — needed because
-        # packing is order-dependent, so the composed curation pipeline
-        # must pack the survivor set, scripts/scale_r12.py); the wrapper
-        # delegates, values unchanged by contract; fronted per discipline
-        "sequence_packing",
-        # checkpoint_eager's reentrancy guard is now KEYED PER SparkContext
-        # (round-11 ADVICE item 4: the RDD-id snapshot race is per-context,
-        # so independent contexts no longer share one process-global lock)
-        # — a pure lock-acquisition change, values untouched, but the
-        # helper's implementation changed, so every query that executes it
-        # is fronted per discipline (same spike allowance as r11; the
-        # stamp self-expires next round). k_truss/kmeans use plain
-        # localCheckpoint and are unaffected.
-        "pagerank_geo",
-        "pagerank_big",
-        "pagerank_hub",
-        "ppr_geo",
-        "bfs_geo",
-        "graph_file_bfs",
-        "sssp_cs",
-        "sssp_cs_weighted",
-        "shortest_paths_geo",
-        "label_propagation_geo",
-        "pregel_census_bfs",
-        "cc_cs",
-        "scc_nation_ring",
-        "kcore_cs",
-        "mst_nation_mesh",
-        "svdpp_ratings",
+        "ann_sign_lsh",
+        "ann_rh_lsh",
+        "ann_recall_at_k",
+        # kmeans() now fail-fast-rejects unknown assign strings at entry
+        # (the round-12 self-review carry-over: similarity's
+        # _validate_assign applied to the kmeans surface too) — declared
+        # values unchanged (both queries run the default "expr"); every
+        # declared query that executes kmeans() is fronted per discipline
+        "kmeans_embeddings",
+        "semdedup_embeddings",
     ),
 }
 

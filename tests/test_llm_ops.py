@@ -4,6 +4,9 @@ alone would not prove detection works)."""
 
 from __future__ import annotations
 
+import os
+
+import pytest
 from pyspark.sql import functions as F
 
 from gmr_spark.operators.dedup import (
@@ -1373,9 +1376,11 @@ def test_ivf_assign_rejects_unknown_string(spark):
 
     from tests.conftest import SF_ORACLE
 
-    with pytest.raises(ValueError, match="assign='Arrow'"):
+    # the message names the parameter the CALLER typed (cell_assign, not
+    # the helper's internal name — round-12 ADVICE item 4)
+    with pytest.raises(ValueError, match="cell_assign='Arrow'"):
         ann_ivf(spark, SF_ORACLE, cell_assign="Arrow")
-    with pytest.raises(ValueError, match="assign='gemm'"):
+    with pytest.raises(ValueError, match="cell_assign='gemm'"):
         ann_ivf_pq(spark, SF_ORACLE, cell_assign="gemm")
     # the casing that IS declared still works end-to-end (guard is exact)
     emb = load_tables(spark, SF_ORACLE)["embeddings"]
@@ -1384,6 +1389,26 @@ def test_ivf_assign_rejects_unknown_string(spark):
 
     indexed, _ = _ivf_index_probes(df, k_cells=2, nprobe=1, assign="arrow")
     assert indexed.count() == df.count()
+
+
+def test_kmeans_assign_rejects_unknown_string(spark):
+    """Round-12 self-review carry-over: kmeans() had the same silent
+    fallback _validate_assign closed for the IVF family — a typo like
+    "Arrow" fell through to the expression path. Now it fails fast at
+    entry (before the eager checkpoint / seed collect), with the kmeans
+    parameter's own name in the message."""
+    import pytest
+
+    from gmr_spark.algorithms.kmeans import kmeans
+    from gmr_spark.sources.tables import load_tables
+
+    from tests.conftest import SF_ORACLE
+
+    emb = load_tables(spark, SF_ORACLE)["embeddings"]
+    with pytest.raises(ValueError, match="assign='Arrow'"):
+        kmeans(emb, assign="Arrow")
+    with pytest.raises(ValueError, match="assign='gemm'"):
+        kmeans(emb, k=2, iters=1, assign="gemm")
 
 
 def test_make_cell_rank_fn_rejects_empty_centroids():
@@ -1421,8 +1446,14 @@ def test_ann_recall_production_at_least_seeded(spark):
 
     # pinned literally, NOT via $SPARK_GRAFT_SF_DIR: pointing the bench env
     # at a smaller corpus (a documented dry-run workflow) would make this
-    # test fail for corpus-size reasons, not regressions (round-12 review)
+    # test fail for corpus-size reasons, not regressions (round-12 review).
+    # Hosts without the driver-generated bench corpus SKIP instead of
+    # erroring inside Spark (round-12 ADVICE item 1) — the pin is about
+    # which corpus is meaningful, not about requiring every environment
+    # to carry it.
     sf_bench = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf_bench):
+        pytest.skip(f"bench corpus {sf_bench} absent on this host")
     rows = ann_recall_production(spark, sf_bench).collect()
     assert [r.method for r in rows] == ["ivf_pq_production"]
     prod = rows[0]
@@ -1477,7 +1508,13 @@ def test_curation_pipeline_stages_compose(spark, tmp_path):
     # (differs only in the last word -> shingle-Jaccard 36/40 = 0.9, far
     # above the 0.1 verify gate and band-collision-certain at 8 hashes /
     # 4 bands); doc 100 = VERBATIM copy of doc 2 (exact dup, higher id);
-    # doc 39 = repetition spam (top_word_frac 5/20 = 0.25 > 0.2)
+    # doc 101 = VERBATIM copy of doc 0, i.e. an exact copy whose text is
+    # ALSO a member of the {0, 1} near-dup cluster (round-12 ADVICE
+    # item 3 — pins the keep-min-id/identical-signature equivalence
+    # between the staged chain here and curation_pipeline's
+    # survivors-on-original ∩ keepers composition, see the curation
+    # module docstring); doc 39 = repetition spam (top_word_frac
+    # 5/20 = 0.25 > 0.2)
     def words(i):
         return [f"w{i}x{j}" for j in range(40)]
 
@@ -1490,18 +1527,32 @@ def test_curation_pipeline_stages_compose(spark, tmp_path):
     junk = "a a a a a " + " ".join(f"b39x{j}" for j in range(15))
     rows[39] = (39, junk, "en", "src0", len(junk))
     rows.append((100, rows[2][1], "en", "src0", rows[2][4]))  # exact copy
+    rows.append((101, rows[0][1], "en", "src0", rows[0][4]))  # copy in cluster
     stage0 = write_stage(rows, "stage0")
 
     # stage 1: exact dedup
     groups = dedup_exact(spark, stage0)
     dupes = {(r.keep_id, r.n_copies) for r in
              groups.filter(F.col("n_copies") > 1).collect()}
-    assert dupes == {(2, 2)}  # the planted copy, original kept
+    assert dupes == {(2, 2), (0, 2)}  # both planted copies, originals kept
     keepers = groups.select(F.col("keep_id").alias("doc_id"))
     s1 = (spark.read.parquet(f"{stage0}/documents.parquet")
           .join(keepers, "doc_id", "left_semi"))
     assert s1.count() == 40
     stage1 = write_stage(s1, "stage1")
+
+    # the COMPOSED order (curation_pipeline's): near-dup survivors on the
+    # ORIGINAL corpus, intersected with the exact keepers. On the full
+    # corpus the near-dup component is {0, 1, 101} (0-101 verbatim, 0-1
+    # J=0.9) with head MIN=0, and {2, 100} with head 2 — the component
+    # head is always an exact keeper (it is the min id of its own text
+    # group), so the intersection must equal the staged chain below.
+    try:
+        composed_ids = ({r.doc_id for r in
+                         dedup_survivors(spark, stage0).collect()}
+                        & {r.doc_id for r in keepers.collect()})
+    finally:
+        clear_dedup_memo()
 
     # stage 2: near-dup removal on the stage-1 corpus
     try:
@@ -1510,7 +1561,10 @@ def test_curation_pipeline_stages_compose(spark, tmp_path):
     finally:
         clear_dedup_memo()
     assert 0 in s2_ids and 1 not in s2_ids  # higher pair member retired
+    assert 101 not in s2_ids and 100 not in s2_ids
     assert len(s2_ids) == 39
+    # keep-min-id/identical-signature equivalence (round-12 ADVICE item 3)
+    assert composed_ids == s2_ids
     s2 = (spark.read.parquet(f"{stage1}/documents.parquet")
           .filter(F.col("doc_id").isin(*s2_ids)))
     stage2 = write_stage(s2, "stage2")
