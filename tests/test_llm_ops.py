@@ -1596,12 +1596,13 @@ def test_curation_pipeline_stages_compose(spark, tmp_path):
 
 
 def test_curation_pipeline_operator(spark):
-    """The composed curation_pipeline callable (bench row "curation"):
-    packs exactly the docs that survive all four stages — cross-checked
-    against the stages computed independently from the same public
-    operators — with valid pack arithmetic. (The stage SEMANTICS are
-    pinned on planted fixtures in test_curation_pipeline_stages_compose
-    and at 2M docs in scripts/scale_r12.py; this pins the composition.)"""
+    """The composed curation_pipeline callable (declared query "curation"
+    since round 13): packs exactly the docs that survive all four stages
+    — cross-checked against the stages computed independently from the
+    same public operators — with valid pack arithmetic. (The stage
+    SEMANTICS are pinned on planted fixtures in
+    test_curation_pipeline_stages_compose and at 2M docs in
+    scripts/scale_r12.py; this pins the composition.)"""
     from gmr_spark.operators.curation import curation_pipeline
     from gmr_spark.operators.dedup import (
         clear_dedup_memo, dedup_exact, dedup_survivors)
@@ -1625,8 +1626,14 @@ def test_curation_pipeline_operator(spark):
         lm = unigram_lm_frame(deduped.select("doc_id", "text")).collect()
     finally:
         clear_dedup_memo()
+    import math
+
     avg = sum(r.mean_inv_freq for r in lm) / len(lm)
-    calm = {r.doc_id for r in lm if r.mean_inv_freq <= 2.0 * avg}
+    # mirror the pipeline's ROUND(2*avg, 6) cutoff with HALF-AWAY rounding
+    # (Spark/DuckDB ROUND semantics; Python round() is half-to-even —
+    # mif is always positive so floor(x*1e6 + 0.5) is half-away here)
+    cutoff = math.floor(2.0 * avg * 1e6 + 0.5) / 1e6
+    calm = {r.doc_id for r in lm if r.mean_inv_freq <= cutoff}
     expected = (keep & surv & good & calm)
     assert {r.doc_id for r in out} == expected
     assert all(r.pack_offset < PACK_CAPACITY for r in out)
