@@ -250,7 +250,11 @@ def train_ivf_cells(
     decade (16,384 cells, 1M sample) the shapes hold — assign linear
     (158 s corpus pass), ``_update`` metadata-class (3-5 s) — and balance
     hovers at ~1.5±0.1 vs **30.3 seeded**, a ~20× hot-key reduction
-    (SCALE.md r12). The DECADE-AWARE CONTRACT this trainer is held to
+    (SCALE.md r12); at the 10⁵ decade (65,536 cells, full-2M sample =
+    ~30/cell) trained 2.52 vs seeded 54.9 — **21.8×** — with the corpus
+    assign still exactly linear (ratio 4.09 for a 4.0× k jump) and
+    ``_update`` ~7× under the assign wall (SCALE.md r13). The
+    DECADE-AWARE CONTRACT this trainer is held to
     (scripts/scale_r12.py, round-12 verdict item 3 — not env-tunable): at
     the measured 1,024–16,384 decade, trained max/mean ≤ seeded/10 AND
     ≤ 2.0 absolute; the absolute number is training-sample-DENSITY-

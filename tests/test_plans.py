@@ -522,6 +522,35 @@ def test_unigram_lm_score_explodes_corpus_twice_not_thrice(spark):
     assert "CartesianProduct" not in p
 
 
+def test_curation_pipeline_plan_is_jvm_semi_joins(spark):
+    """Plan pin for the declared `curation` query (promoted round 13):
+    the composed pipeline must stay what the module docstring promises —
+    narrow-id SEMI-joins against the corpus scan, 1-row BROADCAST cross
+    joins for the LM statistics (BroadcastNestedLoopJoin over a 1-row
+    aggregate — never an unbounded CartesianProduct), per-lang keyed
+    windows only (packing + the chain's cluster-size window — no global
+    single-partition window), and pure JVM expressions end-to-end (no
+    row-at-a-time Python; the dedup chain's kernels are already
+    checkpoint leaves by the time the pipeline composes them)."""
+    from gmr_spark.operators.dedup import clear_dedup_memo
+
+    try:
+        p = plan_of(spark, "curation")
+    finally:
+        clear_dedup_memo()
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert p.count("LeftSemi") >= 4  # keepers/survivors/good/calm stages
+    # every window is keyed (partition spec non-empty): a global window
+    # over per-doc rows would single-partition an SF-linear frame at
+    # 100 TB. Window Arguments are [functions], [partition], [order] —
+    # an empty middle list is the single-partition smell.
+    win_args = re.findall(r"\(\d+\) Window[\s\S]*?Arguments: (.*)", p)
+    assert win_args  # packing + the chain's windows are in this plan
+    for args in win_args:
+        assert "], [], [" not in args, args
+
+
 def test_reset_plan_stats_releafs_checkpoints_zero_copy(spark):
     """Spark 4's localCheckpoint propagates the origin plan's ESTIMATED
     stats onto the LogicalRDD leaf, and the size-only estimator models a
