@@ -23,6 +23,10 @@ shapes:
     (min-of-2 interleaved), extending the 256→4,096→16,384 linear story
     one more decade.
 
+Measured 2026-08-16 (SCALE.md r13): trained balance 2.523 vs seeded
+54.9 (21.8×), corpus assign ratio 4.09 for the 4.0× k jump, update
+25–27 s vs 192–257 s assign per iteration on the full 2M sample.
+
 Usage: python scripts/scale_r13.py
        R13_VECS=100000 R13_CELLS=4096 R13_CELLS_CONTROL=1024 (dry run)
 """
@@ -45,7 +49,10 @@ SAMPLE_MOD = int(os.environ.get("R13_SAMPLE_MOD", 1))
 ITERS = int(os.environ.get("R13_ITERS", 2))
 
 
-def main() -> None:
+def run_decade(spark, timings: dict) -> dict:
+    """The probe body on a caller-provided session: returns the metrics
+    dict (tests run it at toy size — the in-run asserts ARE the row's
+    verification, same pattern as scale_r8's run_* bodies)."""
     import shutil
 
     from pyspark.sql import functions as F
@@ -54,15 +61,8 @@ def main() -> None:
     from gmr_spark.operators.similarity import (
         _ivf_index_probes, _vec, train_ivf_cells)
     from gmr_spark.plans.pregel import _drop_checkpoint_blocks
-    from gmr_spark.session import calibration_probe, get_session
     from scale_llm import build_corpus
 
-    spark = get_session("r13_scale", cpus=CPUS)
-    spark.sparkContext.setLogLevel("ERROR")
-    calibration_probe(spark)  # warm
-    cal_pre = calibration_probe(spark)
-
-    timings: dict[str, float] = {}
     scratch = os.environ.get("R13_SCRATCH", "/tmp/r13_cells_scale")
     t0 = time.perf_counter()
     sf = build_corpus(spark, n=VECS, scratch=scratch)
@@ -106,7 +106,7 @@ def main() -> None:
     assert max(stage_walls["update"]) <= max(stage_walls["assign"]), (
         stage_walls)
 
-    # ---- corpus assign linearity: 16,384-cell control vs 65,536 ----
+    # ---- corpus assign linearity: control-cell leg vs the big leg ----
     def assign_corpus(centroids, k):
         indexed, _ = _ivf_index_probes(
             base, k_cells=k, nprobe=1, centroids=centroids, assign="arrow")
@@ -150,18 +150,14 @@ def main() -> None:
           file=sys.stderr)
     assert balance <= seeded_balance, (balance, seeded_balance)
 
-    cal_post = calibration_probe(spark)
-    print(json.dumps({
-        "metric": "r13_cells_decade",
-        "cpus": int(CPUS),
+    shutil.rmtree(scratch, ignore_errors=True)
+    return {
         "vectors": VECS,
         "k_cells": CELLS,
         "control_cells": CELLS_CONTROL,
         "sample_mod": SAMPLE_MOD,
         "sample_rows": n_sample,
         "iters": ITERS,
-        "calibration_sec": cal_pre,
-        "calibration_post_sec": cal_post,
         "timings": timings,
         "lloyd_stage_walls_sec": stage_walls,
         "corpus_assign_walls_sec": {str(k): v for k, v in
@@ -171,8 +167,26 @@ def main() -> None:
         "seeded_balance_max_over_mean": round(seeded_balance, 3),
         "balance_improvement_vs_seeded": round(seeded_balance / balance, 1),
         "populated_cells": {"seeded": seeded_pop, "trained": trained_pop},
+    }
+
+
+def main() -> None:
+    from gmr_spark.session import calibration_probe, get_session
+
+    spark = get_session("r13_scale", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    calibration_probe(spark)  # warm
+    cal_pre = calibration_probe(spark)
+    timings: dict[str, float] = {}
+    extra = run_decade(spark, timings)
+    cal_post = calibration_probe(spark)
+    print(json.dumps({
+        "metric": "r13_cells_decade",
+        "cpus": int(CPUS),
+        "calibration_sec": cal_pre,
+        "calibration_post_sec": cal_post,
+        **extra,
     }))
-    shutil.rmtree(scratch, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -459,3 +459,32 @@ def test_r9_recover_row_at_toy_size(spark, monkeypatch, tmp_path):
     r = extra["recover"]
     assert r["resumed_at"] == r["crash_epoch"] == 4
     assert r["exactly_once"] is True and r["state_keys"] > 0
+
+
+def test_r13_decade_probe_at_toy_size(spark, monkeypatch, tmp_path):
+    """run_decade end-to-end at toy size: the probe's in-run asserts must
+    hold (update wall <= assign wall, corpus assign within the linear
+    tolerance, trained balance <= seeded) and the returned metrics must
+    carry the trained-vs-seeded pair the SCALE.md r13 row is stated from.
+    Toy CELLS sits below scale_r12.CONTRACT_DECADE, i.e. this exercises
+    the exploratory branch of the decade-aware contract by construction."""
+    import importlib.util
+
+    monkeypatch.setenv("R13_VECS", "20000")
+    monkeypatch.setenv("R13_CELLS", "256")
+    monkeypatch.setenv("R13_CELLS_CONTROL", "64")
+    monkeypatch.setenv("R13_SCRATCH", str(tmp_path / "r13"))
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "scale_r13.py")
+    spec = importlib.util.spec_from_file_location("r13_toy", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    timings = {}
+    extra = mod.run_decade(spark, timings)
+    assert extra["trained_cells"] <= 256
+    assert (extra["trained_balance_max_over_mean"]
+            <= extra["seeded_balance_max_over_mean"])
+    assert extra["balance_improvement_vs_seeded"] >= 1.0
+    assert len(extra["lloyd_stage_walls_sec"]["assign"]) == 2
+    assert "build_corpus" in timings
