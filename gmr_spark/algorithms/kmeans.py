@@ -22,6 +22,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _validate_assign(assign: str, *, name: str = "assign") -> None:
+    """Reject assign/cell_assign strings outside {"expr", "arrow"}: a typo
+    (e.g. "Arrow", "gemm") must not silently fall through to the expression
+    path — at production cell counts that path is interpreter-bound (227 s
+    vs ~3 s at 2M × 256 cells), a ~75× degradation with no signal
+    (round-11 ADVICE item 1). Guards every surface with an expr/arrow
+    switch: :func:`kmeans` here, and the IVF family (called at
+    ann_ivf/ann_ivf_pq ENTRY so a typo'd production call fails before the
+    seed collect and the training fixpoints — train_pq_codebook /
+    train_ivf_cells are minutes at scale — and again in _ivf_index_probes
+    as the backstop for direct callers). ``name`` is the CALLER-facing
+    parameter name so the message names the argument the user actually
+    typed (``cell_assign`` for the IVF family — round-12 ADVICE item 4)."""
+    if assign not in ("expr", "arrow"):
+        raise ValueError(
+            f"{name}={assign!r} is not one of ('expr', 'arrow')")
+
+
 def _assign(df: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
     """df: (id, vec ARRAY<DOUBLE>) -> (id, cluster INT)."""
     candidates = F.array(*[
@@ -117,12 +135,10 @@ def kmeans(embeddings: DataFrame, *, k: int = 8, iters: int = 2,
     ``assign="expr"`` (default) is the Catalyst-expression path every
     oracle-declared query uses; ``assign="arrow"`` is the batched GEMM path
     for large k (see :func:`_assign_arrow`). Unknown strings are REJECTED
-    up front — the same fail-fast contract as the IVF family's
-    ``_validate_assign`` (round-11 ADVICE item 1): a typo like "Arrow"
-    must not silently take the interpreter-bound expression path, which is
-    a ~75× degradation at production k with no signal."""
-    from gmr_spark.operators.similarity import _validate_assign
-
+    up front by :func:`_validate_assign` (round-11 ADVICE item 1, extended
+    to this surface round 13): a typo like "Arrow" must not silently take
+    the interpreter-bound expression path, which is a ~75× degradation at
+    production k with no signal."""
     _validate_assign(assign)  # before the eager checkpoint / seed collect
     df = embeddings.select(
         F.col(id_col).cast("bigint").alias("id"),

@@ -69,8 +69,14 @@ from gmr_spark.operators.text_analysis import gopher_quality, unigram_lm_frame
 from gmr_spark.sources.tables import load_tables
 
 
+# The declared query's LM cutoff multiple — a module constant so the
+# composed DuckDB twin (oracle/llm_sql.py CURATION) interpolates the SAME
+# value by construction (round-13 review).
+CURATION_LM_FACTOR = 2.0
+
+
 def curation_pipeline(spark: SparkSession, sf_dir: str, *,
-                      lm_factor: float = 2.0) -> DataFrame:
+                      lm_factor: float = CURATION_LM_FACTOR) -> DataFrame:
     """(lang, doc_id, n_words, pack_id, pack_offset): pack assignments for
     the curated corpus — the docs surviving exact dedup, near-dup removal,
     the Gopher repetition rules, and the ``lm_factor``×avg LM cutoff. See

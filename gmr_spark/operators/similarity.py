@@ -35,6 +35,10 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+# the expr/arrow assign validator lives next to the kernels it guards
+# (algorithms/kmeans.py) — similarity already depends on those kernels,
+# keeping the layering one-directional (round-13 review)
+from gmr_spark.algorithms.kmeans import _validate_assign
 from gmr_spark.sources.tables import load_tables
 
 
@@ -342,21 +346,6 @@ def make_cell_rank_fn(centroids: list[tuple[int, list[float]]],
     return fn
 
 
-def _validate_assign(assign: str, *, name: str = "assign") -> None:
-    """Reject assign/cell_assign strings outside {"expr", "arrow"}: a typo
-    (e.g. "Arrow", "gemm") must not silently fall through to the expression
-    path — at production cell counts that path is interpreter-bound (227 s
-    vs ~3 s at 2M × 256 cells), a ~75× degradation with no signal
-    (round-11 ADVICE item 1). Called at ann_ivf/ann_ivf_pq ENTRY so a
-    typo'd production call fails before the seed collect and the training
-    fixpoints (train_pq_codebook / train_ivf_cells are minutes at scale —
-    round-12 review), and again in _ivf_index_probes as the backstop for
-    direct callers. ``name`` is the CALLER-facing parameter name so the
-    message names the argument the user actually typed (``cell_assign``
-    for the IVF family — round-12 ADVICE item 4)."""
-    if assign not in ("expr", "arrow"):
-        raise ValueError(
-            f"{name}={assign!r} is not one of ('expr', 'arrow')")
 
 
 def _ivf_index_probes(

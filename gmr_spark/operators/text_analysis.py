@@ -292,6 +292,15 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The Gopher `passes` thresholds — module constants so the DuckDB twins
+# (oracle/llm_sql.py GOPHER_QUALITY and the composed CURATION) interpolate
+# the SAME values by construction: a threshold change here cannot silently
+# leave a twin on the old constants (round-13 review).
+GOPHER_MIN_WORDS = 10
+GOPHER_TOP_WORD_MAX = 0.2
+GOPHER_DUP_2GRAM_MAX = 0.6
+
+
 def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_words, top_word_frac, dup_2gram_frac, mean_word_len,
     passes): repetition-based quality filters in the style of the Gopher
@@ -333,8 +342,9 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             top_frac.alias("top_word_frac"),
             dup_frac.alias("dup_2gram_frac"),
             mean_len.alias("mean_word_len"),
-            ((F.col("n_words") >= 10) & (top_frac <= 0.2)
-             & (dup_frac <= 0.6)).alias("passes"),
+            ((F.col("n_words") >= GOPHER_MIN_WORDS)
+             & (top_frac <= GOPHER_TOP_WORD_MAX)
+             & (dup_frac <= GOPHER_DUP_2GRAM_MAX)).alias("passes"),
         )
     )
 

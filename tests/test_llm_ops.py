@@ -1397,8 +1397,6 @@ def test_kmeans_assign_rejects_unknown_string(spark):
     "Arrow" fell through to the expression path. Now it fails fast at
     entry (before the eager checkpoint / seed collect), with the kmeans
     parameter's own name in the message."""
-    import pytest
-
     from gmr_spark.algorithms.kmeans import kmeans
     from gmr_spark.sources.tables import load_tables
 
