@@ -172,6 +172,59 @@ def term_frequencies(spark: SparkSession, sf_dir: str, *, min_count: int = 10) -
     )
 
 
+# Top-V vocabulary size for oov_rate — a module constant so the DuckDB
+# twin interpolates the SAME value by construction (the GOPHER_* pattern).
+OOV_VOCAB_SIZE = 16
+
+
+def oov_rate(spark: SparkSession, sf_dir: str,
+             *, vocab_size: int = OOV_VOCAB_SIZE) -> DataFrame:
+    """(doc_id, n_tokens, n_oov, oov_rate): per-document out-of-vocabulary
+    rate against the corpus's own top-``vocab_size`` unigram vocabulary —
+    the tokenizer-prep / corpus-QA signal (a doc whose tokens mostly fall
+    outside the frequency-head vocabulary is the noise a fixed-vocab
+    tokenizer will shred into bytes; the round-13 addition to the (†)
+    text-analysis family, orthogonal to ``quality_score``'s stopword
+    ratio and ``unigram_lm_score``'s rarity mean).
+
+    Determinism: vocabulary = rank by (count DESC, token ASC), take
+    ``vocab_size`` — a total order, so the boundary is tie-free on both
+    engines; oov_rate ROUND(·,6). Empty docs produce no token rows and
+    are absent from the output (the GOPHER word_stats convention).
+
+    Scale: one explode; C(w) is a map-side-combinable aggregation whose
+    result is vocabulary-sized (Heaps-law sublinear); the vocabulary
+    itself is TakeOrderedAndProject of that frame (top-V, never a global
+    sort of token rows) and joins back as an explicit broadcast — bounded
+    by the ``vocab_size`` parameter, not by SF, so the hint is safe at
+    any corpus size. No window, no driver collect."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return oov_rate_frame(docs, vocab_size=vocab_size)
+
+
+def oov_rate_frame(docs: DataFrame,
+                   *, vocab_size: int = OOV_VOCAB_SIZE) -> DataFrame:
+    """Core of :func:`oov_rate` over any (doc_id, text) frame — split out
+    (the unigram_lm_frame pattern) so the unit test can plant a corpus
+    with a genuinely out-of-head token that the synthetic corpus's
+    31-word vocabulary would mask."""
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    cnt = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (cnt.orderBy(F.col("c").desc(), F.col("w"))
+             .limit(vocab_size).select("w", F.lit(1).alias("in_v")))
+    flagged = toks.join(F.broadcast(vocab), "w", "left")
+    n_oov = F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0))
+    n_tok = F.count(F.lit(1))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            n_tok.cast("long").alias("n_tokens"),
+            n_oov.cast("long").alias("n_oov"),
+            F.round(n_oov.cast("double") / n_tok, 6).alias("oov_rate"),
+        )
+    )
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str, *, k: int = 5) -> DataFrame:
     """(doc_id, token, tf, df, score): top-k characteristic terms per doc by
     tf·(1/df) — the *unlogged* idf variant, chosen deliberately: log-idf

@@ -20,6 +20,7 @@ from gmr_spark.operators.text_analysis import (
     GOPHER_DUP_2GRAM_MAX,
     GOPHER_MIN_WORDS,
     GOPHER_TOP_WORD_MAX,
+    OOV_VOCAB_SIZE,
 )
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -696,6 +697,30 @@ SELECT doc_id,
 FROM dtc JOIN cnt USING (w) CROSS JOIN tot
 GROUP BY doc_id
 """
+
+# Twin of text_analysis.oov_rate: per-doc out-of-vocabulary rate against
+# the corpus top-V vocabulary. The vocabulary ranking (count DESC, token
+# ASC) is a total order, so the top-V boundary is tie-free on both
+# engines; V is interpolated from the operator's OOV_VOCAB_SIZE.
+OOV_RATE = f"""
+WITH words AS MATERIALIZED (
+    SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+),
+cnt AS MATERIALIZED (
+    SELECT w, COUNT(*) AS c FROM words GROUP BY w
+),
+vocab AS MATERIALIZED (
+    SELECT w FROM cnt ORDER BY c DESC, w LIMIT {OOV_VOCAB_SIZE}
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       ROUND(CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS oov_rate
+FROM words LEFT JOIN vocab v ON words.w = v.w
+GROUP BY doc_id
+"""
+
 
 # Twin of text_analysis.dsir_select (DSIR, Xie et al. 2023): hashed-bigram
 # bucket = int(md5(bigram)[:2], 16) (0..255 — identical md5 hex on both

@@ -662,6 +662,9 @@ LLM_QUERIES: dict[str, QueryFn] = {
     "tfidf_top_terms": TA.tfidf_top_terms,
     # round 6: CCNet-style corpus-LM filtering score (rational surprisal)
     "unigram_lm_score": TA.unigram_lm_score,
+    # round 13: per-doc OOV rate vs the corpus top-V vocabulary (the
+    # tokenizer-prep / fixed-vocab coverage signal)
+    "oov_rate": TA.oov_rate,
     "doc_fingerprints": TA.doc_fingerprints,
     "tokenize_udtf": TA.tokenize_udtf,
     "multimodal_decode": M.multimodal_decode,
@@ -789,6 +792,7 @@ LLM_ORACLES: dict[str, str] = {
     "term_frequencies": LSQL.TERM_FREQUENCIES,
     "tfidf_top_terms": LSQL.TFIDF_TOP_TERMS,
     "unigram_lm_score": LSQL.UNIGRAM_LM_SCORE,
+    "oov_rate": LSQL.OOV_RATE,
     "doc_fingerprints": LSQL.DOC_FINGERPRINTS,
     "tokenize_udtf": LSQL.TOKENIZE_UDTF,
     "multimodal_decode": LSQL.MULTIMODAL_DECODE,

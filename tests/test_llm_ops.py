@@ -1637,3 +1637,59 @@ def test_curation_pipeline_operator(spark):
     assert all(r.pack_offset < PACK_CAPACITY for r in out)
     assert set(out[0].asDict()) == {"lang", "doc_id", "n_words",
                                     "pack_id", "pack_offset"}
+
+
+def test_oov_rate_planted_vocabulary_boundary(spark):
+    """oov_rate on a planted corpus: with vocab_size=2 the two frequent
+    words are in-vocabulary and the rare words are OOV — per-doc counts
+    and the 6dp rate come out exactly; the deterministic (count DESC,
+    token ASC) tie-break picks the lexicographically smaller word at the
+    boundary."""
+    from gmr_spark.operators.text_analysis import oov_rate_frame
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa aa bb bb xx"),     # 3+2 in-vocab, 1 OOV
+            (2, "aa bb bb yy yy zz"),     # 1+2 in-vocab, 3 OOV
+            (3, "qq rr ss tt"),           # all OOV
+            (4, ""),                      # empty: absent from output
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in
+            oov_rate_frame(docs, vocab_size=2).collect()}
+    # corpus counts: aa=4, bb=4, yy=2, xx/zz/qq/rr/ss/tt=1 -> vocab {aa,bb}
+    assert set(rows) == {1, 2, 3}  # empty doc 4 produces no token rows
+    assert (rows[1].n_tokens, rows[1].n_oov) == (6, 1)
+    assert (rows[2].n_tokens, rows[2].n_oov) == (6, 3)
+    assert (rows[3].n_tokens, rows[3].n_oov) == (4, 4)
+    assert rows[2].oov_rate == 0.5 and rows[3].oov_rate == 1.0
+    # tie at the boundary: with vocab_size=3 the count-2 group {yy} enters
+    # before any count-1 word; with vocab_size=4, 'qq' (lexicographically
+    # first among count-1) wins the tie deterministically
+    r4 = {r.doc_id: r for r in
+          oov_rate_frame(docs, vocab_size=4).collect()}
+    assert (r4[3].n_tokens, r4[3].n_oov) == (4, 3)  # qq now in-vocab
+
+
+def test_oov_rate_plan_is_broadcast_topv(spark):
+    """Plan pin for oov_rate: the vocabulary must reach the token stream
+    as TakeOrderedAndProject (top-V of the count frame, never a global
+    Sort of token rows) + a broadcast join; no cartesian, no Python."""
+    import re as _re
+
+    from tests.conftest import SF_ORACLE
+
+    from gmr_spark.operators.text_analysis import oov_rate
+
+    df = oov_rate(spark, SF_ORACLE)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    p = df._jdf.queryExecution().explainString(mode)
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    # exactly one explode of the corpus (vocab + flags share the subtree
+    # via the two-consumer plan; Catalyst replays it, so allow <= 2)
+    assert len(_re.findall(r"\(\d+\) Generate", p)) <= 2
