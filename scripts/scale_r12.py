@@ -411,7 +411,13 @@ def run_pipeline(spark, timings: dict, extra: dict) -> None:
     good = gopher_quality(spark, stage2).filter("passes").select("doc_id")
     lm = unigram_lm_score(spark, stage2)
     avg_mif = float(lm.agg(F.avg("mean_inv_freq")).first()[0])
-    calm = lm.filter(F.col("mean_inv_freq") <= 2.0 * avg_mif).select("doc_id")
+    # the declared operator's cutoff is ROUND(lm_factor×avg, 6) — mirror it
+    # here (half-away, the Spark/DuckDB ROUND) so the staged chain and the
+    # composed-operator leg below stay value-equal at the boundary
+    import math as _math
+
+    cutoff = _math.floor(2.0 * avg_mif * 1e6 + 0.5) / 1e6
+    calm = lm.filter(F.col("mean_inv_freq") <= cutoff).select("doc_id")
     s3_docs = (spark.read.parquet(f"{stage2}/documents.parquet")
                .join(good, "doc_id", "left_semi")
                .join(calm, "doc_id", "left_semi")
@@ -492,8 +498,35 @@ def run_pipeline(spark, timings: dict, extra: dict) -> None:
     }
     print(f"stage4: {n_packed} docs into {n_packs} packs "
           f"({timings['stage4_packing']}s)", file=sys.stderr)
+
+    # ---- composed-vs-staged equivalence at scale (round 13) ----
+    # The DECLARED `curation` operator composes survivors-on-the-ORIGINAL
+    # corpus ∩ exact keepers (one corpus chain), while this probe staged
+    # exact-then-neardup through materialized boundaries. The keep-min-id/
+    # identical-signature argument (operators/curation.py) says the two
+    # are value-identical; prove it at 2M by running the operator on
+    # stage0 and comparing FULL row sets (both directions), not counts.
+    t0 = time.perf_counter()
+    from gmr_spark.operators.curation import curation_pipeline
+
+    composed = curation_pipeline(spark, stage0).localCheckpoint(eager=True)
+    n_composed = composed.count()
+    clear_dedup_memo()  # the composed run built its own chain on stage0
+    timings["composed_operator"] = round(time.perf_counter() - t0, 1)
+    staged = packed.select(*composed.columns)
+    d1 = composed.exceptAll(staged).count()
+    d2 = staged.exceptAll(composed).count()
+    assert n_composed == n_packed and d1 == 0 and d2 == 0, (
+        n_composed, n_packed, d1, d2)
+    print(f"composed curation_pipeline == staged chain: {n_composed} rows, "
+          f"0 diffs ({timings['composed_operator']}s)", file=sys.stderr)
+    extra["pipeline"]["composed_equiv"] = {
+        "rows": int(n_composed), "diff_rows": int(d1 + d2),
+        "wall_sec": timings["composed_operator"],
+    }
     from gmr_spark.plans.pregel import _drop_checkpoint_blocks
 
+    _drop_checkpoint_blocks(composed)
     _drop_checkpoint_blocks(packed)
     _drop_checkpoint_blocks(s3_docs)
     shutil.rmtree(root, ignore_errors=True)
