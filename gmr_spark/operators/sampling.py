@@ -92,6 +92,78 @@ def packing_frame(docs: DataFrame) -> DataFrame:
     )
 
 
+# train/validation split: bucket = first 4 hex digits of a SEEDED content
+# md5 (0..65535); val iff bucket < VAL_BUCKETS (6554/65536 ≈ 10.0%). The
+# "split:" prefix de-correlates the deal from every other md5-bucket use of
+# the same text in this module (an unseeded md5 would make val membership
+# correlate with stratified/temperature sample membership).
+SPLIT_BUCKETS = 65536
+VAL_BUCKETS = 6554
+SPLIT_SEED = "split:"
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str, *,
+                       min_jaccard: float = 0.1) -> DataFrame:
+    """(doc_id, rep_id, bucket, split): train/validation split that cannot
+    leak near-duplicates across the boundary — the split decision is made
+    once per near-dup CLUSTER (``dup_clusters``'s transitive closure over
+    MinHash-LSH verified pairs), not per document, so A~B, B~C land the
+    whole chain {A,B,C} on one side even when A~C is below threshold.
+    A naive uniform split straddles ~2·p·(1-p) ≈ 18% of dup pairs at
+    p=10% validation — that is test-set contamination, the thing held-out
+    evaluation exists to prevent (the reason Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better" §5 measure
+    train/test overlap; same hygiene as ``contamination_check``, applied
+    at corpus-split time).
+
+    Split key: the cluster REPRESENTATIVE's text (min-id member; for the
+    vast singleton majority, the doc's own text), hashed with the module's
+    seeded-md5 bucket — content-keyed like every sampler here, so
+    membership survives re-runs, repartitioning, and (for singletons and
+    exact-copy groups) corpus renumbering. Exact copies share one
+    signature, hence one cluster, hence structurally one side; near-dup
+    straddle is bounded by LSH banding recall alone (measured 3/40,000
+    pairs missed at 2M docs — scripts/scale_r12.py).
+
+    Scale: one corpus scan + cluster-sized joins. The rep-text fetch joins
+    only CLUSTER MEMBERS (|dup docs|, far below corpus scale) against the
+    rep ids; singletons hash their own text with no join at all. The
+    cluster chain itself is the memoized ``dedup_minhash`` →
+    ``connected_components`` pipeline every dedup operator shares.
+
+    r14 promotion note: the DuckDB twin composes the existing
+    DUP_CLUSTERS recursive-CTE twin with
+    ``CAST('0x' || substr(md5('split:' || rep_text), 1, 4) AS BIGINT)``
+    (the dsir_select hex-cast pattern) — declared-query registration
+    deferred to round 14 because the round-13 rotation window is an exact
+    fit (8 changed + 2 new + 39 r10 = 50).
+    """
+    from gmr_spark.operators.dedup import dup_clusters
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    clusters = dup_clusters(spark, sf_dir, min_jaccard=min_jaccard).select(
+        "doc_id", "cluster_id")
+    base = docs.select("doc_id", "text").join(clusters, "doc_id", "left")
+    # singletons: rep = self, rep_text = own text — no join. Cluster
+    # members: fetch the representative's text with cluster-sized joins.
+    singles = base.filter(F.col("cluster_id").isNull()).select(
+        "doc_id", F.col("doc_id").alias("rep_id"),
+        F.col("text").alias("rep_text"))
+    reps = docs.select(F.col("doc_id").alias("rep_id"),
+                       F.col("text").alias("rep_text")).join(
+        clusters.select(F.col("cluster_id").alias("rep_id")).distinct(),
+        "rep_id")
+    members = base.filter(F.col("cluster_id").isNotNull()).select(
+        "doc_id", F.col("cluster_id").alias("rep_id")).join(reps, "rep_id")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(SPLIT_SEED), F.col("rep_text"))),
+                    1, 4), 16, 10).cast("long")
+    return (singles.unionByName(members.select("doc_id", "rep_id", "rep_text"))
+            .select("doc_id", "rep_id", bucket.alias("bucket"),
+                    F.when(bucket < VAL_BUCKETS, F.lit("val"))
+                     .otherwise(F.lit("train")).alias("split")))
+
+
 MIX_ALPHA = 0.5  # 1/T with temperature T=2 — the standard flattening
 
 

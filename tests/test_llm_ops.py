@@ -1693,3 +1693,94 @@ def test_oov_rate_plan_is_broadcast_topv(spark):
     # exactly one explode of the corpus (vocab + flags share the subtree
     # via the two-consumer plan; Catalyst replays it, so allow <= 2)
     assert len(_re.findall(r"\(\d+\) Generate", p)) <= 2
+
+
+def test_leakage_safe_split_planted_clusters(spark, tmp_path):
+    """leakage_safe_split on a planted corpus: every near-dup cluster —
+    including an exact copy whose text is also in a near-dup cluster —
+    lands on ONE side of the train/val boundary (split is keyed off the
+    cluster representative's text), singletons ride their own content
+    hash, and the seeded bucket matches the hashlib derivation the r14
+    DuckDB twin will use ('0x' || substr(md5('split:' || rep_text),1,4))."""
+    import hashlib
+
+    from gmr_spark.operators.dedup import clear_dedup_memo
+    from gmr_spark.operators.sampling import (
+        SPLIT_SEED, VAL_BUCKETS, leakage_safe_split)
+    from gmr_spark.sources.tables import TABLES
+
+    scratch = str(tmp_path / "corpus")
+    os.makedirs(scratch)
+    for t in (t for t in TABLES if t != "documents"):
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                   f"{scratch}/{t}.parquet")
+
+    def words(i):
+        return [f"w{i}x{j}" for j in range(40)]
+
+    rows = []
+    for i in range(2_000):
+        t = " ".join(words(i))
+        rows.append((i, t, "en", "src0", len(t)))
+    # near-dup pair {0, 1}: one-word edit, shingle J = 36/40 = 0.9
+    near = " ".join(words(0)[:-1] + ["zzz"])
+    rows[1] = (1, near, "en", "src0", len(near))
+    # exact copy pair {2, 3000}; copy-inside-cluster {0, 1, 3001}
+    rows.append((3000, rows[2][1], "en", "src0", rows[2][4]))
+    rows.append((3001, rows[0][1], "en", "src0", rows[0][4]))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).coalesce(2).write.parquet(f"{scratch}/documents.parquet")
+
+    try:
+        got = {r.doc_id: r for r in
+               leakage_safe_split(spark, scratch).collect()}
+    finally:
+        clear_dedup_memo()
+    assert len(got) == 2_002
+
+    # cluster semantics: {0, 1, 3001} one component with rep 0 (min id),
+    # {2, 3000} with rep 2 — each cluster entirely on one side
+    assert {got[i].rep_id for i in (0, 1, 3001)} == {0}
+    assert len({got[i].split for i in (0, 1, 3001)}) == 1
+    assert {got[i].rep_id for i in (2, 3000)} == {2}
+    assert got[2].split == got[3000].split
+    # singletons: rep = self
+    assert got[5].rep_id == 5 and got[1999].rep_id == 1999
+
+    # the seeded bucket is exactly the hashlib/DuckDB derivation, keyed
+    # off the REPRESENTATIVE's text (doc 1 hashes doc 0's text, not near)
+    def bucket_of(text):
+        return int(hashlib.md5(
+            (SPLIT_SEED + text).encode()).hexdigest()[:4], 16)
+
+    for i, text in ((0, rows[0][1]), (1, rows[0][1]), (5, rows[5][1]),
+                    (1999, rows[1999][1])):
+        b = bucket_of(text)
+        assert got[i].bucket == b, (i, got[i].bucket, b)
+        assert got[i].split == ("val" if b < VAL_BUCKETS else "train")
+
+    # fraction sanity on the ~2k content-hash deals: 10% ± wide band
+    n_val = sum(1 for r in got.values() if r.split == "val")
+    assert 0.05 * len(got) <= n_val <= 0.15 * len(got), n_val
+
+
+def test_leakage_safe_split_plan(spark):
+    """Plan pin for leakage_safe_split: cluster-sized joins only — no
+    cartesian product, no Python eval in the split computation (the rep
+    text fetch and the seeded bucket are pure JVM expressions)."""
+    from tests.conftest import SF_ORACLE
+
+    from gmr_spark.operators.dedup import clear_dedup_memo
+    from gmr_spark.operators.sampling import leakage_safe_split
+
+    try:
+        df = leakage_safe_split(spark, SF_ORACLE)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted")
+        p = df._jdf.queryExecution().explainString(mode)
+    finally:
+        clear_dedup_memo()
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
