@@ -532,6 +532,108 @@ def run_pipeline(spark, timings: dict, extra: dict) -> None:
     shutil.rmtree(root, ignore_errors=True)
 
 
+def run_split(spark, timings: dict, extra: dict) -> None:
+    """Round-13 ``leakage_safe_split`` at corpus scale (R12_RUN_SPLIT=1):
+    plant the same dup families as run_pipeline's stage0 (exact copies at
+    ids ≡0 mod 100 + build_corpus's (2k, 2k+1) near-dup pairs) and verify
+    the split's leakage contract against the planted truth in-run:
+
+    - exact-copy pairs NEVER straddle train/val — identical text →
+      identical MinHash signature → one cluster → one rep → one side;
+      asserted == 0, it is structural, not probabilistic;
+    - near-dup straddle is bounded by LSH banding recall ALONE (an
+      undetected pair leaves its members in separate "clusters"): gate
+      ≤0.1% of planted pairs, the dedup chain's own measured miss rate
+      (3/40,000 at 2M docs) — versus ~2·p·(1-p) ≈ 18% for a naive
+      uniform split at p = 10%, the number that makes the operator
+      worth shipping;
+    - the val fraction lands at VAL_BUCKETS/SPLIT_BUCKETS.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from gmr_spark.operators.dedup import clear_dedup_memo
+    from gmr_spark.operators.sampling import (
+        SPLIT_BUCKETS, VAL_BUCKETS, leakage_safe_split)
+    from scale_llm import build_corpus
+
+    root = os.environ.get("R13_SPLIT_SCRATCH", "/tmp/r13_split")
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    os.makedirs(root)
+    n = DOCS
+    t0 = time.perf_counter()
+    corpus = build_corpus(spark, n=n, scratch=f"{root}/corpus")
+    docs0 = spark.read.parquet(f"{corpus}/documents.parquet")
+    copies = (docs0.filter(F.col("doc_id") % 100 == 0)
+              .withColumn("doc_id", F.col("doc_id") + 10 * n))
+    stage0 = _write_stage_dir(docs0.unionByName(copies), corpus,
+                              f"{root}/stage0")
+    timings["split_build_corpus"] = round(time.perf_counter() - t0, 1)
+
+    t0 = time.perf_counter()
+    split = leakage_safe_split(spark, stage0).localCheckpoint(eager=True)
+    n_rows = split.count()
+    clear_dedup_memo()
+    timings["split_operator"] = round(time.perf_counter() - t0, 1)
+    n_copies = (n + 99) // 100
+    assert n_rows == n + n_copies, (n_rows, n, n_copies)
+
+    s = split.select("doc_id", "rep_id", "split")
+    # exact pairs (k, k + 10n), k ≡ 0 mod 100: zero straddle, same rep
+    orig = (s.filter((F.col("doc_id") % 100 == 0) & (F.col("doc_id") < n))
+            .select(F.col("doc_id").alias("k"),
+                    F.col("split").alias("sa"), F.col("rep_id").alias("ra")))
+    copy = (s.filter(F.col("doc_id") >= 10 * n)
+            .select((F.col("doc_id") - 10 * n).alias("k"),
+                    F.col("split").alias("sb"), F.col("rep_id").alias("rb")))
+    ex = orig.join(copy, "k").localCheckpoint(eager=True)
+    n_ex = ex.count()
+    ex_straddle = ex.filter("sa != sb").count()
+    ex_repdiff = ex.filter("ra != rb").count()
+    assert n_ex == n_copies, (n_ex, n_copies)
+    assert ex_straddle == 0 and ex_repdiff == 0, (ex_straddle, ex_repdiff)
+
+    # near-dup pairs (50m, 50m + 1): straddle ≤ banding misses
+    expected_pairs = (n // 2 + 24) // 25
+    a = (s.filter((F.col("doc_id") % 50 == 0) & (F.col("doc_id") < n))
+         .select(F.expr("doc_id DIV 50").alias("m"),
+                 F.col("split").alias("sa")))
+    b = (s.filter((F.col("doc_id") % 50 == 1) & (F.col("doc_id") < n))
+         .select(F.expr("(doc_id - 1) DIV 50").alias("m"),
+                 F.col("split").alias("sb")))
+    nd = a.join(b, "m").localCheckpoint(eager=True)
+    n_nd = nd.count()
+    nd_straddle = nd.filter("sa != sb").count()
+    assert n_nd == expected_pairs, (n_nd, expected_pairs)
+    assert nd_straddle <= max(1, expected_pairs // 1000), (
+        nd_straddle, expected_pairs)
+
+    # val fraction: binomial over ~n content-hash deals; the slack term
+    # covers the toy sizes the test gate runs at (≈5σ at 4k docs)
+    n_val = s.filter("split = 'val'").count()
+    frac = n_val / n_rows
+    want = VAL_BUCKETS / SPLIT_BUCKETS
+    assert abs(frac - want) <= 0.01 + 60.0 / n_rows, (frac, want)
+
+    extra["split"] = {
+        "docs": int(n_rows), "exact_pairs": int(n_ex),
+        "exact_straddle": int(ex_straddle),
+        "neardup_pairs": int(n_nd), "neardup_straddle": int(nd_straddle),
+        "val_fraction": round(frac, 5),
+        "naive_straddle_frac": round(2 * want * (1 - want), 4),
+    }
+    print(f"split: {n_rows} docs, exact straddle {ex_straddle}/{n_ex}, "
+          f"near-dup straddle {nd_straddle}/{n_nd}, val {frac:.4f} "
+          f"({timings['split_operator']}s)", file=sys.stderr)
+    from gmr_spark.plans.pregel import _drop_checkpoint_blocks
+
+    for df in (split, ex, nd):
+        _drop_checkpoint_blocks(df)
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     from gmr_spark.session import calibration_probe, get_session
 
@@ -546,6 +648,8 @@ def main() -> None:
         run_cells4k(spark, timings, extra)
     if os.environ.get("R12_RUN_PIPELINE"):
         run_pipeline(spark, timings, extra)
+    if os.environ.get("R12_RUN_SPLIT"):
+        run_split(spark, timings, extra)
 
     cal_post = calibration_probe(spark)
     print(json.dumps({

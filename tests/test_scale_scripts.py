@@ -488,3 +488,28 @@ def test_r13_decade_probe_at_toy_size(spark, monkeypatch, tmp_path):
     assert extra["balance_improvement_vs_seeded"] >= 1.0
     assert len(extra["lloyd_stage_walls_sec"]["assign"]) == 2
     assert "build_corpus" in timings
+
+
+def test_r13_split_row_at_toy_size(spark, monkeypatch, tmp_path):
+    """scale_r12's run_split at toy size: the probe's in-run asserts —
+    zero exact-pair straddle (structural), near-dup straddle bounded by
+    banding misses, val fraction at VAL_BUCKETS/65536 — all ride the
+    test gate, so the committed 2M row is a verified result, not a wall
+    clock."""
+    import importlib.util
+
+    monkeypatch.setenv("R12_DOCS", "4000")
+    monkeypatch.setenv("R13_SPLIT_SCRATCH", str(tmp_path / "split"))
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "scale_r12.py")
+    spec = importlib.util.spec_from_file_location("r13_split_toy", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    timings, extra = {}, {}
+    mod.run_split(spark, timings, extra)
+    got = extra["split"]
+    assert got["docs"] == 4040
+    assert got["exact_pairs"] == 40 and got["exact_straddle"] == 0
+    assert got["neardup_pairs"] == 80 and got["neardup_straddle"] <= 1
+    assert 0.05 <= got["val_fraction"] <= 0.15
