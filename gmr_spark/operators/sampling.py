@@ -164,6 +164,59 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str, *,
                      .otherwise(F.lit("train")).alias("split")))
 
 
+# epoch sharding: 8 hex digits of the epoch-seeded content md5 — a 32-bit
+# uniform key that is both the shard assignment (mod n_shards) and the
+# within-shard order (the "global shuffle" a training run reads in).
+N_SHARDS = 64
+
+
+def epoch_shards(spark: SparkSession, sf_dir: str, *,
+                 n_shards: int = N_SHARDS, epoch: int = 0) -> DataFrame:
+    """(doc_id, shard, seq): deterministic per-epoch global shuffle into
+    N shard streams — the layout step between a curated corpus and a
+    distributed trainer's data loaders. Each of the N workers reads one
+    shard in seq order; together they traverse a pseudo-random permutation
+    of the corpus that is REPRODUCIBLE (content-keyed, like every sampler
+    here: re-runs, repartitioning, and cluster-size changes cannot re-deal
+    it) yet DIFFERENT each epoch (the epoch seeds the hash — the
+    "reshuffle every epoch" training requirement, without any RNG state
+    to checkpoint or broadcast).
+
+    Shard balance is hash uniformity: E[|shard|] = corpus/N with binomial
+    concentration, so no worker becomes the straggler. Within a shard,
+    ordering by the hash itself (doc_id as the tiebreak for identical
+    texts) is the shuffle; a trainer resuming mid-epoch seeks to a seq
+    offset — no stored permutation array, which at 100 TB would itself be
+    a multi-TB table to shuffle.
+
+    Scale: one exchange (the per-shard window); n_shards IS the
+    parallelism knob — a 100 TB corpus runs the same plan at n_shards ~
+    loader-count × a small multiple so each window partition stays
+    executor-sized. No joins, no Python.
+
+    r14 promotion note: the DuckDB twin is ROW_NUMBER() OVER (PARTITION
+    BY shard ORDER BY h, doc_id) over
+    ``CAST('0x' || substr(md5('epoch:0:' || text), 1, 8) AS BIGINT)`` —
+    the dsir_select hex-cast pattern; deferred with
+    :func:`leakage_safe_split` for the same rotation-window reason.
+    """
+    from pyspark.sql import Window as W
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    docs = load_tables(spark, sf_dir)["documents"]
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"epoch:{int(epoch)}:"),
+                                   F.col("text"))), 1, 8),
+        16, 10).cast("long")
+    keyed = docs.select("doc_id", h.alias("h"),
+                        (h % n_shards).cast("int").alias("shard"))
+    w = W.partitionBy("shard").orderBy("h", "doc_id")
+    return keyed.select(
+        "doc_id", "shard",
+        F.row_number().over(w).cast("long").alias("seq"))
+
+
 MIX_ALPHA = 0.5  # 1/T with temperature T=2 — the standard flattening
 
 

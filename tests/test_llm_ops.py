@@ -1784,3 +1784,69 @@ def test_leakage_safe_split_plan(spark):
         clear_dedup_memo()
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_epoch_shards_deterministic_permutation(spark):
+    """epoch_shards: the assignment is a deterministic function of
+    (text, epoch) — two runs identical, the hashlib/DuckDB hex-cast
+    derivation reproduces (shard, order key), seq is contiguous 1..|shard|
+    per shard, shards are balanced, and epoch 1 deals a DIFFERENT
+    permutation than epoch 0."""
+    import hashlib
+
+    from tests.conftest import SF_ORACLE
+
+    from gmr_spark.operators.sampling import epoch_shards
+    from gmr_spark.sources.tables import load_tables
+
+    got = epoch_shards(spark, SF_ORACLE, n_shards=8).collect()
+    again = epoch_shards(spark, SF_ORACLE, n_shards=8).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+    texts = {r.doc_id: r.text for r in
+             load_tables(spark, SF_ORACLE)["documents"].collect()}
+    n = len(texts)
+    assert len(got) == n
+
+    # hashlib twin: shard = h % 8, within-shard order by (h, doc_id)
+    def h_of(doc_id, epoch=0):
+        return int(hashlib.md5(
+            (f"epoch:{epoch}:" + texts[doc_id]).encode()).hexdigest()[:8], 16)
+
+    by_shard = {}
+    for r in got:
+        assert r.shard == h_of(r.doc_id) % 8, r
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.seq)
+        assert [r.seq for r in rows] == list(range(1, len(rows) + 1))
+        keys = [(h_of(r.doc_id), r.doc_id) for r in rows]
+        assert keys == sorted(keys), f"shard {shard} not in hash order"
+        # balance: binomial around n/8 (±5 sigma)
+        assert abs(len(rows) - n / 8) <= 5 * (n * 7 / 64) ** 0.5
+
+    # a new epoch re-deals: at least one doc moves shard or seq
+    e1 = {r.doc_id: (r.shard, r.seq)
+          for r in epoch_shards(spark, SF_ORACLE, n_shards=8, epoch=1).collect()}
+    e0 = {r.doc_id: (r.shard, r.seq) for r in got}
+    assert e1 != e0
+
+    with pytest.raises(ValueError):
+        epoch_shards(spark, SF_ORACLE, n_shards=0)
+
+
+def test_epoch_shards_plan_single_window(spark):
+    """Plan pin for epoch_shards: one per-shard window over pure JVM
+    expressions — no join, no cartesian, no Python eval."""
+    from tests.conftest import SF_ORACLE
+
+    from gmr_spark.operators.sampling import epoch_shards
+
+    df = epoch_shards(spark, SF_ORACLE)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    p = df._jdf.queryExecution().explainString(mode)
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "Join" not in p
