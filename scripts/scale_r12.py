@@ -634,6 +634,76 @@ def run_split(spark, timings: dict, extra: dict) -> None:
     shutil.rmtree(root, ignore_errors=True)
 
 
+def run_shards(spark, timings: dict, extra: dict) -> None:
+    """Round-13 ``epoch_shards`` at corpus scale (R12_RUN_SHARDS=1):
+    verify the deterministic global shuffle's contract in-run on the 2M
+    corpus — every shard's seq is exactly 1..|shard| (the window emitted
+    a gapless stream per worker), shard sizes sit inside the binomial
+    ±5σ band around corpus/N (hash uniformity IS the balance guarantee —
+    the gate is density-aware so the toy-size test applies the same
+    contract), and epoch 1 deals a different permutation than epoch 0."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from gmr_spark.operators.sampling import epoch_shards
+    from scale_llm import build_corpus
+
+    root = os.environ.get("R13_SHARDS_SCRATCH", "/tmp/r13_shards")
+    n_shards = int(os.environ.get("R13_SHARDS", 1024))
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    os.makedirs(root)
+    n = DOCS
+    t0 = time.perf_counter()
+    corpus = build_corpus(spark, n=n, scratch=f"{root}/corpus")
+    timings["shards_build_corpus"] = round(time.perf_counter() - t0, 1)
+
+    t0 = time.perf_counter()
+    shards = epoch_shards(spark, corpus, n_shards=n_shards)
+    sizes = (shards.groupBy("shard")
+             .agg(F.count(F.lit(1)).alias("sz"), F.max("seq").alias("mx"))
+             .localCheckpoint(eager=True))
+    stats = sizes.agg(
+        F.count(F.lit(1)).alias("shards"), F.sum("sz").alias("docs"),
+        F.min("sz").alias("mn"), F.max("sz").alias("mx"),
+        F.sum(F.when(F.col("mx") != F.col("sz"), 1).otherwise(0))
+         .alias("gappy")).first()
+    timings["shards_operator"] = round(time.perf_counter() - t0, 1)
+    assert stats.docs == n and stats.shards == n_shards, stats
+    assert stats.gappy == 0, stats  # max(seq) == |shard| for every shard
+    p = 1.0 / n_shards
+    mean = n * p
+    sigma = (n * p * (1 - p)) ** 0.5
+    assert mean - 5 * sigma <= stats.mn <= stats.mx <= mean + 5 * sigma, (
+        stats.mn, stats.mx, mean, sigma)
+
+    # epoch 1 re-deals: the two assignments differ on this corpus
+    t0 = time.perf_counter()
+    moved = (epoch_shards(spark, corpus, n_shards=n_shards, epoch=1)
+             .withColumnRenamed("shard", "shard1")
+             .withColumnRenamed("seq", "seq1")
+             .join(shards, "doc_id")
+             .filter("shard1 != shard OR seq1 != seq").count())
+    timings["shards_epoch1_join"] = round(time.perf_counter() - t0, 1)
+    assert moved > 0, moved
+
+    extra["shards"] = {
+        "docs": int(stats.docs), "n_shards": int(n_shards),
+        "min_shard": int(stats.mn), "max_shard": int(stats.mx),
+        "mean_shard": round(mean, 1), "sigma": round(sigma, 1),
+        "epoch1_moved": int(moved),
+    }
+    print(f"shards: {stats.docs} docs over {n_shards} shards, sizes "
+          f"[{stats.mn}, {stats.mx}] vs mean {mean:.0f}±{sigma:.0f}, "
+          f"epoch1 moved {moved} ({timings['shards_operator']}s)",
+          file=sys.stderr)
+    from gmr_spark.plans.pregel import _drop_checkpoint_blocks
+
+    _drop_checkpoint_blocks(sizes)
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     from gmr_spark.session import calibration_probe, get_session
 
@@ -650,6 +720,8 @@ def main() -> None:
         run_pipeline(spark, timings, extra)
     if os.environ.get("R12_RUN_SPLIT"):
         run_split(spark, timings, extra)
+    if os.environ.get("R12_RUN_SHARDS"):
+        run_shards(spark, timings, extra)
 
     cal_post = calibration_probe(spark)
     print(json.dumps({

@@ -513,3 +513,26 @@ def test_r13_split_row_at_toy_size(spark, monkeypatch, tmp_path):
     assert got["exact_pairs"] == 40 and got["exact_straddle"] == 0
     assert got["neardup_pairs"] == 80 and got["neardup_straddle"] <= 1
     assert 0.05 <= got["val_fraction"] <= 0.15
+
+
+def test_r13_shards_row_at_toy_size(spark, monkeypatch, tmp_path):
+    """scale_r12's run_shards at toy size: the density-aware ±5σ balance
+    gate, the gapless per-shard seq assert, and the epoch-1 re-deal all
+    ride the test gate at 4k docs / 8 shards — the same contract the
+    committed 2M × 1024 row asserts in-run."""
+    import importlib.util
+
+    monkeypatch.setenv("R12_DOCS", "4000")
+    monkeypatch.setenv("R13_SHARDS", "8")
+    monkeypatch.setenv("R13_SHARDS_SCRATCH", str(tmp_path / "shards"))
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "scale_r12.py")
+    spec = importlib.util.spec_from_file_location("r13_shards_toy", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    timings, extra = {}, {}
+    mod.run_shards(spark, timings, extra)
+    got = extra["shards"]
+    assert got["docs"] == 4000 and got["n_shards"] == 8
+    assert got["epoch1_moved"] > 0
