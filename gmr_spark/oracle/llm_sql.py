@@ -15,7 +15,12 @@ the tunables (round-13 review).
 """
 
 from gmr_spark.operators.curation import CURATION_LM_FACTOR
-from gmr_spark.operators.sampling import PACK_CAPACITY
+from gmr_spark.operators.sampling import (
+    N_SHARDS,
+    PACK_CAPACITY,
+    SPLIT_SEED,
+    VAL_BUCKETS,
+)
 from gmr_spark.operators.text_analysis import (
     GOPHER_DUP_2GRAM_MAX,
     GOPHER_MIN_WORDS,
@@ -963,6 +968,42 @@ DEDUP_SURVIVORS = _DUP_CTES + """
 SELECT d.doc_id, d.lang, d.source, d.n_chars
 FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+"""
+
+# Twin of sampling.leakage_safe_split (staged r14 declared-query promotion;
+# parity pinned NOW by test_leakage_split_twin_parity): split decision per
+# dup CLUSTER — rep = COALESCE(component label, own id), bucket = first 4
+# hex digits of the seeded md5 of the REPRESENTATIVE's text (the
+# dsir_select '0x' hex-cast pattern), val iff bucket < VAL_BUCKETS.
+LEAKAGE_SPLIT = _DUP_CTES + f""",
+base AS (
+    SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS rep_id
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+SELECT b.doc_id, b.rep_id,
+       CAST('0x' || substr(md5('{SPLIT_SEED}' || r.text), 1, 4)
+            AS BIGINT) AS bucket,
+       CASE WHEN CAST('0x' || substr(md5('{SPLIT_SEED}' || r.text), 1, 4)
+                      AS BIGINT) < {VAL_BUCKETS}
+            THEN 'val' ELSE 'train' END AS split
+FROM base b JOIN documents r ON r.doc_id = b.rep_id
+"""
+
+# Twin of sampling.epoch_shards at the epoch-0 / N_SHARDS defaults (same
+# r14 staging): shard = epoch-seeded content-md5 mod N, seq = ROW_NUMBER
+# over (shard, hash order, doc_id tiebreak).
+EPOCH_SHARDS = f"""
+WITH keyed AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5('epoch:0:' || text), 1, 8)
+                AS BIGINT) AS h
+    FROM documents
+)
+SELECT doc_id,
+       CAST(h % {N_SHARDS} AS INTEGER) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY h % {N_SHARDS}
+                               ORDER BY h, doc_id) AS BIGINT) AS seq
+FROM keyed
 """
 
 STRATIFIED_SAMPLE = """

@@ -1850,3 +1850,34 @@ def test_epoch_shards_plan_single_window(spark):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
     assert "Join" not in p
+
+
+def test_leakage_split_twin_parity(spark, duck):
+    """Driver-faithful parity for the STAGED r14 promotion: the
+    leakage_safe_split operator vs its composed DuckDB twin
+    (LSQL.LEAKAGE_SPLIT — DUP_CLUSTERS recursive-CTE closure + the seeded
+    hex-cast bucket) on the oracle corpus, exact compare."""
+    from tests.conftest import SF_ORACLE
+    from tests.oracle_check import compare
+
+    from gmr_spark.operators.dedup import clear_dedup_memo
+    from gmr_spark.operators.sampling import leakage_safe_split
+    from gmr_spark.oracle import llm_sql as LSQL
+
+    try:
+        compare(leakage_safe_split(spark, SF_ORACLE), duck,
+                LSQL.LEAKAGE_SPLIT)
+    finally:
+        clear_dedup_memo()
+
+
+def test_epoch_shards_twin_parity(spark, duck):
+    """epoch_shards vs LSQL.EPOCH_SHARDS at the epoch-0 / N_SHARDS
+    defaults — exact compare (same r14 staging)."""
+    from tests.conftest import SF_ORACLE
+    from tests.oracle_check import compare
+
+    from gmr_spark.operators.sampling import epoch_shards
+    from gmr_spark.oracle import llm_sql as LSQL
+
+    compare(epoch_shards(spark, SF_ORACLE), duck, LSQL.EPOCH_SHARDS)
