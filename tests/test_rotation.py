@@ -228,12 +228,12 @@ def test_bench_tail_keeps_timings():
 
     import bench
 
-    # pessimistic inputs: every timing at the 6-char width (sf0.1 rows run
-    # 0.2-40 s and the r8 artifact's 73-row realistic average is 4.9 chars;
-    # EVERY row at 99.999 s would be a 7,700 s bench — far past plausible),
+    # pessimistic inputs: every timing at the 5-char width (2 dp since r13;
+    # sf0.1 rows run 0.2-40 s and EVERY row at 99.99 s would be a 7,700 s
+    # bench — far past plausible),
     # every bracket noisy so the noisy list carries all names. bench.main
     # also warns at runtime if the actual suffix ever exceeds the budget.
-    timings = {n: 99.999 for n in bench.HEADLINE}
+    timings = {n: 99.99 for n in bench.HEADLINE}
     brackets = {n: [0.1, 0.9] for n in bench.HEADLINE}
     noisy = sorted(bench.HEADLINE)
     result = bench.build_result(timings, 0.1, 0.211, 0.207, brackets, noisy)
@@ -243,7 +243,7 @@ def test_bench_tail_keeps_timings():
     assert start != -1, "queries key truncated out of the 2,000-char tail"
     parsed = json.loads(tail[start + len('"queries":'):].rstrip("}") + "}")
     assert set(parsed) == set(bench.HEADLINE)
-    assert all(parsed[n] == 99.999 for n in bench.HEADLINE)
+    assert all(parsed[n] == 99.99 for n in bench.HEADLINE)
     assert '"value":' in tail
     # and the full line itself parses with the tail-safe key order
     full = json.loads(line)
