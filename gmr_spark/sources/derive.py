@@ -208,6 +208,19 @@ def vertices_sql(name: str) -> str:
     return VERTICES_SQL_TEMPLATE.format(edges=GRAPH_SQL[name])
 
 
+# (rid, n) ranked-lineitem frames memoized per application + registered
+# dataset (round-14 optimization): three derived graphs (linked_lineitems,
+# hub, hub_tri) each consumed their own range-shuffle + checkpoint of the
+# full lineitem table — identical computations, and bench's derive_graphs
+# row paid all three (plus left three superseded checkpoints to the async
+# ContextCleaner). The memo shares ONE checkpointed ranking; entries are
+# keyed by the registration generation (register_views' (sf_dir, token)),
+# so a rewritten dataset rebuilds, and clear_graph_memo() releases the
+# blocks under the same invalidation contract as _GRAPH_MEMO.
+_LINEITEM_BASE_MEMO: dict[tuple, tuple] = {}  # key -> (frame, local_ckpt)
+_LINEITEM_BASE_LOCK = threading.Lock()
+
+
 def _lineitem_base(spark: SparkSession):
     """Distributed twin of the shared-SQL ``base`` CTE: (rid, n) where rid is
     ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 and n the table
@@ -226,6 +239,33 @@ def _lineitem_base(spark: SparkSession):
     deduplicating the two instances. With the checkpoint there is exactly
     one evaluation of the range shuffle by construction, not by optimizer
     grace."""
+    from gmr_spark.sources.tables import _LAST_REGISTERED
+
+    app = spark.sparkContext.applicationId
+    memo_key = (app, _LAST_REGISTERED.get(app))
+    with _LINEITEM_BASE_LOCK:
+        hit = _LINEITEM_BASE_MEMO.get(memo_key)
+    if hit is not None:
+        return hit[0]
+    frame, local = _build_lineitem_base(spark)
+    with _LINEITEM_BASE_LOCK:
+        # superseded registration generations: release their checkpoints
+        # (no live consumers by the derive-memo invalidation contract)
+        stale = [k for k in _LINEITEM_BASE_MEMO
+                 if k[0] == app and k != memo_key]
+        doomed = [_LINEITEM_BASE_MEMO.pop(k) for k in stale]
+        winner = _LINEITEM_BASE_MEMO.setdefault(memo_key, (frame, local))
+    from gmr_spark.plans.pregel import _drop_checkpoint_blocks
+
+    for _, old_local in doomed:
+        _drop_checkpoint_blocks(old_local)
+    if winner[0] is not frame:
+        # lost a concurrent build race: keep theirs, release ours
+        _drop_checkpoint_blocks(local)
+    return winner[0]
+
+
+def _build_lineitem_base(spark: SparkSession):
     from pyspark.sql import Window as W
 
     li = spark.table("lineitem").select("l_orderkey", "l_linenumber")
@@ -250,10 +290,11 @@ def _lineitem_base(spark: SparkSession):
             W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
         .select("_pid", "_offset", "_n")
     )
-    return local.join(F.broadcast(offsets), "_pid").select(
+    frame = local.join(F.broadcast(offsets), "_pid").select(
         (F.col("_rn") + F.col("_offset") - 1).cast("bigint").alias("rid"),
         F.col("_n").cast("bigint").alias("n"),
     )
+    return frame, local
 
 
 def _build_linked_lineitems(spark: SparkSession):
@@ -369,6 +410,11 @@ def clear_graph_memo() -> None:
     for g in doomed:
         _drop_checkpoint_blocks(g.edges)
         _drop_checkpoint_blocks(g.vertices)
+    with _LINEITEM_BASE_LOCK:
+        doomed_base = list(_LINEITEM_BASE_MEMO.values())
+        _LINEITEM_BASE_MEMO.clear()
+    for _, local in doomed_base:
+        _drop_checkpoint_blocks(local)
     import gc
 
     gc.collect()

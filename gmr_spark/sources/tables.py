@@ -63,9 +63,36 @@ def _load_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Loader-DataFrame memo keyed by (applicationId, sf_dir, dataset
+# fingerprint). Constructing the 10 readers is pure driver-side work —
+# spark.read.parquet resolves the source and reads the footer schema each
+# time, ~0.9-1.2 s per load_tables call even warm (measured r14) — and the
+# bench/correctness drivers call this once or more per query (~100+ calls a
+# run, so tens of seconds of pure planning overhead). The memo returns the
+# SAME lazy plans; every action still scans the parquet (no result caching),
+# and a rewritten dataset mints a fresh sf_token, evicting the superseded
+# generation (the derive._GRAPH_MEMO invalidation contract).
+_TABLE_MEMO: dict[tuple, dict[str, DataFrame]] = {}
+_TABLE_MEMO_LOCK = threading.Lock()
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return {t: _load_one(spark, sf_dir, t) for t in TABLES}
+    key = (spark.sparkContext.applicationId, sf_dir, sf_token(sf_dir))
+    with _TABLE_MEMO_LOCK:
+        hit = _TABLE_MEMO.get(key)
+        if hit is not None:
+            return dict(hit)  # shallow copy: callers may mutate the dict
+    dfs = {t: _load_one(spark, sf_dir, t) for t in TABLES}
+    with _TABLE_MEMO_LOCK:
+        # evict superseded generations of this (app, sf_dir): their plans
+        # point at rewritten files (lazy plans, no blocks — reference drop
+        # only); keep-first on a lost race (plans are interchangeable)
+        for k in [k for k in _TABLE_MEMO
+                  if k[:2] == key[:2] and k != key]:
+            _TABLE_MEMO.pop(k)
+        dfs = _TABLE_MEMO.setdefault(key, dfs)
+    return dict(dfs)
 
 
 def sf_token(sf_dir: str) -> tuple:
