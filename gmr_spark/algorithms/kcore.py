@@ -55,8 +55,16 @@ def k_core(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
     deg = sym.groupBy(F.col("a").alias("id")).agg(
         F.count(F.lit(1)).alias("core_degree")
     )
-    alive = deg.filter(F.col("core_degree") >= k).localCheckpoint(eager=True)
-    n_alive = alive.count()
+    # the census rides the checkpoint's materializing job as an Observation
+    # (run_pregel's O15 discipline, applied r14): a separate count() was one
+    # extra job per round, pure driver/scheduler latency on small cores
+    from pyspark.sql import Observation
+
+    obs0 = Observation()
+    alive = (deg.filter(F.col("core_degree") >= k)
+             .observe(obs0, F.count(F.lit(1)).alias("n"))
+             .localCheckpoint(eager=True))
+    n_alive = int(obs0.get["n"] or 0)
 
     # every live peel checkpoint we own; entries leave the list either by
     # being returned to the caller or by an explicit block drop, so ANY
@@ -91,7 +99,11 @@ def k_core(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
             deg = induced.groupBy(F.col("a").alias("id")).agg(
                 F.count(F.lit(1)).alias("core_degree")
             )
-            nxt = checkpoint_eager(deg.filter(F.col("core_degree") >= k))
+            obs = Observation()
+            nxt = checkpoint_eager(
+                deg.filter(F.col("core_degree") >= k)
+                .observe(obs, F.count(F.lit(1)).alias("n")))
+            n_nxt = int(obs.get["n"] or 0)
             if n_alive > BIG_GRAPH_ROWS:
                 # each peel references the previous alive set TWICE, so the
                 # checkpoint-propagated size estimate doubles its digit
@@ -101,7 +113,6 @@ def k_core(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
                 # while the set is big; small peels keep their stats.
                 nxt = reset_plan_stats(nxt)
             owned.append(nxt)
-            n_nxt = nxt.count()
             # superseded peel state is dead weight — drop its blocks now
             # instead of waiting for ContextCleaner (same hygiene as
             # run_pregel's per-superstep truncation)

@@ -140,10 +140,15 @@ def kmeans(embeddings: DataFrame, *, k: int = 8, iters: int = 2,
     the interpreter-bound expression path, which is a ~75× degradation at
     production k with no signal."""
     _validate_assign(assign)  # before the eager checkpoint / seed collect
+    # |N| census rides the checkpoint job (run_pregel's O15 discipline,
+    # applied r14) — the separate count() was a second setup job
+    from pyspark.sql import Observation
+
+    n_obs = Observation()
     df = embeddings.select(
         F.col(id_col).cast("bigint").alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
-    ).localCheckpoint(eager=True)
+    ).observe(n_obs, F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
     assign_fn = _assign_arrow if assign == "arrow" else _assign
 
     from gmr_spark.plans.pregel import small_loop_conf
@@ -151,10 +156,9 @@ def kmeans(embeddings: DataFrame, *, k: int = 8, iters: int = 2,
     seeds = df.orderBy("id").limit(k).collect()
     centroids = [(i, list(r.vec)) for i, r in enumerate(seeds)]
     # |N|-scoped physical conf for the Lloyd loop (pregel's round-6 gate);
-    # the count reads just-materialized checkpoint blocks. The final
-    # re-assignment is a narrow map over the checkpoint — no shuffle — so
-    # it can run outside the scope.
-    with small_loop_conf(df.sparkSession, df.count()):
+    # the final re-assignment is a narrow map over the checkpoint — no
+    # shuffle — so it can run outside the scope.
+    with small_loop_conf(df.sparkSession, int(n_obs.get["n"] or 0)):
         for _ in range(iters):
             assigned = assign_fn(df, centroids)
             centroids = _update(df, assigned)

@@ -61,33 +61,42 @@ def _min_label_fixpoint(nodes: DataFrame, und_edges: DataFrame,
         # legitimate compile-time broadcasts.
         return reset_plan_stats(df) if big else df
 
+    from pyspark.sql import Observation
+
     lbl = _cut(checkpoint_eager(nodes.select("u", F.col("u").alias("lbl"))))
     for _ in range(max_iter):
         nb = (
             und_edges.join(_pin(lbl.withColumnRenamed("u", "v")), "v")
             .groupBy("u").agg(F.min("lbl").alias("ml"))
         )
+        # carry each node's pre-round label through the jump so the
+        # convergence census can ride the checkpoint's materializing job as
+        # an Observation (run_pregel's O15 discipline, applied r14) — the
+        # old jump⋈lbl "changed" probe was a second multi-stage job per
+        # pointer-jump round. Labels are monotone non-increasing, so
+        # "improved" ≡ any(new < old); identical fixpoint, identical labels.
         prop = (
             lbl.join(nb, "u", "left")
-            .select("u", F.least("lbl", F.coalesce("ml", "lbl")).alias("lbl"))
+            .select("u", F.col("lbl").alias("old"),
+                    F.least("lbl", F.coalesce("ml", "lbl")).alias("lbl"))
         )
         # pointer jump: labels are node ids, so re-resolve through the table
+        obs = Observation()
         jump = _cut(checkpoint_eager(
             prop.join(
                 _pin(prop.select(F.col("u").alias("lbl"),
                                  F.col("lbl").alias("lbl2"))),
                 "lbl",
-            ).select("u", F.col("lbl2").alias("lbl"))
+            ).select("u", F.col("lbl2").alias("lbl"),
+                     (F.col("lbl2") < F.col("old")).alias("_imp"))
+            .observe(obs, F.sum(F.col("_imp").cast("long")).alias("n_improved"))
+            .drop("_imp")
         ))
-        changed = (
-            jump.join(lbl.withColumnRenamed("lbl", "old"), "u")
-            .filter(F.col("lbl") < F.col("old"))
-        )
-        improved = not changed.isEmpty()
-        # the superseded label table is dead the moment the convergence
-        # check read it — drop its blocks now (run_pregel's per-superstep
-        # hygiene; phase-1 component graphs are vertex-sized, and ~20
-        # pointer-jump rounds of retained V-row checkpoints is real memory)
+        improved = int(obs.get["n_improved"] or 0) > 0
+        # the superseded label table is dead the moment the new one landed —
+        # drop its blocks now (run_pregel's per-superstep hygiene; phase-1
+        # component graphs are vertex-sized, and ~20 pointer-jump rounds of
+        # retained V-row checkpoints is real memory)
         _drop_checkpoint_blocks(lbl)
         lbl = jump
         if not improved:
@@ -103,7 +112,12 @@ def minimum_spanning_forest(graph: PropertyGraph, *,
     Direction is ignored (MST is an undirected notion); parallel edges keep
     their minimum weight.
     """
+    from pyspark.sql import Observation
+
     spark = graph.edges.sparkSession
+    # |E| census rides the checkpoint job (run_pregel's O15 discipline,
+    # applied r14) — the separate count() was a second setup job
+    canon_obs = Observation()
     canon = (
         graph.edges.filter(F.col("src") != F.col("dst"))
         .select(
@@ -112,16 +126,16 @@ def minimum_spanning_forest(graph: PropertyGraph, *,
             F.col("weight").alias("w"),
         )
         .groupBy("a", "b").agg(F.min("w").alias("w"))
+        .observe(canon_obs, F.count(F.lit(1)).alias("n"))
     ).localCheckpoint(eager=True)
     comp = graph.vertices.select(
         "id", F.col("id").alias("comp")
     ).localCheckpoint(eager=True)
     mst = spark.createDataFrame([], "a bigint, b bigint, w double")
 
-    # |E|-scoped physical conf for the phase loop (the count reads the
-    # just-materialized checkpoint blocks — metadata-cheap); no-op on graphs
-    # past the big-graph threshold, where AQE earns its keep
-    n_edges = canon.count()
+    # |E|-scoped physical conf for the phase loop; no-op on graphs past the
+    # big-graph threshold, where AQE earns its keep
+    n_edges = int(canon_obs.get["n"] or 0)
     from gmr_spark.plans.pregel import BIG_GRAPH_ROWS, _drop_checkpoint_blocks
 
     try:
@@ -176,9 +190,14 @@ def _boruvka_phases(canon: DataFrame, comp: DataFrame, mst: DataFrame,
         _drop_checkpoint_blocks(df)
         disown(owned, df)
 
+    from pyspark.sql import Observation
+
     returning = False
     try:
         for _ in range(max_phases):  # noqa: B007 (break-on-fixpoint loop)
+            # cross-edge census rides the checkpoint job (run_pregel's O15
+            # discipline, applied r14) — isEmpty() was a second job a phase
+            obs = Observation()
             lab = checkpoint_eager(
                 canon
                 .join(_pin(comp.select(F.col("id").alias("a"),
@@ -186,9 +205,10 @@ def _boruvka_phases(canon: DataFrame, comp: DataFrame, mst: DataFrame,
                 .join(_pin(comp.select(F.col("id").alias("b"),
                                        F.col("comp").alias("cb"))), "b")
                 .filter(F.col("ca") != F.col("cb"))
+                .observe(obs, F.count(F.lit(1)).alias("n"))
             )
             owned.append(lab)
-            if lab.isEmpty():
+            if int(obs.get["n"] or 0) == 0:
                 _drop(lab)
                 break
             # each component picks its min incident cross-edge by (w, a, b)

@@ -239,13 +239,17 @@ def _trim_pass(remaining_v: DataFrame, remaining_e: DataFrame,
     for it in range(max_trim_iter):
         has_out = remaining_e.select(F.col("src").alias("id")).distinct()
         has_in = remaining_e.select(F.col("dst").alias("id")).distinct()
+        # census rides the checkpoint job (run_pregel's O15 discipline,
+        # applied r14) — the separate count() was a second job per trim pass
+        obs = Observation()
         keep = checkpoint_eager(
             remaining_v
             .join(_pin(has_out), "id", "left_semi")
             .join(_pin(has_in), "id", "left_semi")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
         )
         owned.append(keep)
-        n_keep = keep.count()
+        n_keep = int(obs.get["n"] or 0)
         n_dropped = n_remaining - n_keep
         if n_dropped == 0:
             _drop_checkpoint_blocks(keep)
@@ -290,7 +294,12 @@ def strongly_connected_components(graph: PropertyGraph, *, max_iter: int = 120,
     after ``max_phases`` — raise the cap rather than return a silently
     partial labeling.
     """
-    remaining_v = graph.vertices.select("id").localCheckpoint(eager=True)
+    # the opening census rides the checkpoint job (run_pregel's O15
+    # discipline, applied r14) — the separate count() was a second job
+    init_obs = Observation()
+    remaining_v = (graph.vertices.select("id")
+                   .observe(init_obs, F.count(F.lit(1)).alias("n"))
+                   .localCheckpoint(eager=True))
     remaining_e = graph.edges.select("src", "dst").localCheckpoint(eager=True)
     empty = remaining_v.sparkSession.createDataFrame([], "id bigint, scc bigint")
     assigned_parts: list[DataFrame] = [empty]
@@ -299,7 +308,7 @@ def strongly_connected_components(graph: PropertyGraph, *, max_iter: int = 120,
     # |V|-scaling sides get the big-graph treatment (shuffle_hash pins +
     # per-superstep stats re-leaf) while the remainder is genuinely big;
     # re-counted per phase as the peel shrinks it
-    n_remaining = remaining_v.count()
+    n_remaining = int(init_obs.get["n"] or 0)
 
     owned: list[DataFrame] = [remaining_v, remaining_e]
     done = False
@@ -329,8 +338,13 @@ def strongly_connected_components(graph: PropertyGraph, *, max_iter: int = 120,
             assigned_parts.append(part)
             stats["phases"] += 1
             member_ids = part.select("id")
+            # the next phase's census rides this checkpoint job (run_pregel's
+            # O15 discipline, applied r14) — remaining_v.count() at the loop
+            # tail was a second job per phase
+            v_obs = Observation()
             new_v = checkpoint_eager(
-                remaining_v.join(member_ids, "id", "left_anti"))
+                remaining_v.join(member_ids, "id", "left_anti")
+                .observe(v_obs, F.count(F.lit(1)).alias("n")))
             owned.append(new_v)
             _drop_checkpoint_blocks(remaining_v)
             disown(owned, remaining_v)
@@ -350,7 +364,7 @@ def strongly_connected_components(graph: PropertyGraph, *, max_iter: int = 120,
             # part landed (part is a fresh checkpoint) — release both now
             _drop_checkpoint_blocks(colors_ckpt)
             _drop_checkpoint_blocks(member_state)
-            n_remaining = remaining_v.count()
+            n_remaining = int(v_obs.get["n"] or 0)
         if not done and n_remaining > 0:
             raise RuntimeError(
                 f"SCC did not assign every vertex within max_phases="

@@ -102,18 +102,36 @@ def svdpp_train(spark: SparkSession, rating_edges_df: DataFrame, *,
 
     cap = _STATE_BROADCAST_CAP if state_broadcast_cap is None else state_broadcast_cap
     dims = range(rank)
-    edges = rating_edges_df.localCheckpoint(eager=True)
-    mu = float(edges.agg(F.sum("r") / F.count(F.lit(1))).first()[0])
+    # the setup censuses (n_edges, |users|, |items|) and mu all ride their
+    # checkpoints' materializing jobs as Observations (run_pregel's O15
+    # discipline, applied r14) — previously 4 extra driver actions before
+    # the loop. mu's sum-then-divide is arithmetically the agg's
+    # sum/count expression; the declared query's ratings are
+    # integer-valued doubles, whose sum is exact in any order, and for
+    # arbitrary float ratings the final ROUND(.,6) absorbs summation-order
+    # drift (the oracle-twin contract, as with the join strategies).
+    from pyspark.sql import Observation
 
+    e_obs = Observation()
+    edges = (rating_edges_df
+             .observe(e_obs, F.sum("r").alias("sr"),
+                      F.count(F.lit(1)).alias("n"))
+             .localCheckpoint(eager=True))
+    e_stats = e_obs.get
+    mu = float(e_stats["sr"]) / int(e_stats["n"])
+    n_edges = int(e_stats["n"])
+
+    u_obs = Observation()
     users = edges.groupBy("u").agg(F.count(F.lit(1)).alias("nu")).select(
         "u", "nu", F.lit(0.0).alias("bu"),
         *[_init_expr("u", 31, 17, d).alias(f"p{d}") for d in dims],
-    ).localCheckpoint(eager=True)
+    ).observe(u_obs, F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    i_obs = Observation()
     items = edges.select("i").distinct().select(
         "i", F.lit(0.0).alias("bi"),
         *[_init_expr("i", 37, 19, d).alias(f"q{d}") for d in dims],
         *[_init_expr("i", 41, 23, d).alias(f"y{d}") for d in dims],
-    ).localCheckpoint(eager=True)
+    ).observe(i_obs, F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
 
     # size-gated broadcast for every state-side join (see
     # _STATE_BROADCAST_CAP): per-user and per-item tables — including the
@@ -122,7 +140,7 @@ def svdpp_train(spark: SparkSession, rating_edges_df: DataFrame, *,
     # they fit; join strategy does not change the arithmetic (the float
     # drift from summation order is absorbed by the final ROUND(.,6), the
     # same contract the oracle twin already relies on).
-    small_state = max(users.count(), items.count()) <= cap
+    small_state = max(int(u_obs.get["n"] or 0), int(i_obs.get["n"] or 0)) <= cap
     if small_state:
         def st(df: DataFrame) -> DataFrame:
             return F.broadcast(df)
@@ -168,7 +186,7 @@ def svdpp_train(spark: SparkSession, rating_edges_df: DataFrame, *,
     from gmr_spark.plans.pregel import apply_small_loop_conf, restore_conf
 
     spark = edges.sparkSession
-    saved_conf = apply_small_loop_conf(spark, edges.count())
+    saved_conf = apply_small_loop_conf(spark, n_edges)
     try:
         for _ in range(iters):
             _t0 = _time.perf_counter()

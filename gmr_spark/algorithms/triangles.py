@@ -296,8 +296,17 @@ def k_truss(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
     min_support = k - 2
     # `ckpt` is the ONE eager checkpoint per round (round-4 ADVICE: a second
     # per-round checkpoint of the (a,b) projection doubled checkpoint I/O
-    # for no semantic gain); `edges` is a lazy projection over it.
-    ckpt = canonical_undirected(graph.edges).localCheckpoint(eager=True)
+    # for no semantic gain); `edges` is a lazy projection over it. The
+    # opening closure stats (count + id bounds) ride its materializing job
+    # as an Observation (run_pregel's O15 discipline, applied r14) — the
+    # separate _closure_stats agg was a second setup job.
+    from pyspark.sql import Observation
+
+    t_obs = Observation()
+    ckpt = (canonical_undirected(graph.edges)
+            .observe(t_obs, F.count(F.lit(1)).alias("n"),
+                     F.min("a").alias("lo"), F.max("b").alias("hi"))
+            .localCheckpoint(eager=True))
     edges = ckpt
     # id bounds computed once up front (peeling only removes edges, never
     # widens the range) — each round then reuses them plus the count it
@@ -308,7 +317,9 @@ def k_truss(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
     # peeling shrinks the span — so the bounds are recomputed (one tiny agg
     # on the already-small surviving set) the first round the edge count
     # drops under the broadcast cap while the cached span still exceeds it.
-    n_edges, id_lo, id_hi = _closure_stats(edges)
+    _t_stats = t_obs.get
+    n_edges, id_lo, id_hi = (int(_t_stats["n"] or 0), int(_t_stats["lo"] or 0),
+                             int(_t_stats["hi"] or 0))
 
     # live checkpoints we own — released on every non-return exit (fixpoint
     # returns remove their result first), so a mid-round executor exception
@@ -336,15 +347,21 @@ def k_truss(graph: PropertyGraph, k: int, max_iter: int = 30) -> DataFrame:
             )
             support = sup_rows.groupBy("a", "b").agg(
                 F.count(F.lit(1)).alias("support"))
+            # census rides the checkpoint job (run_pregel's O15 discipline,
+            # applied r14) — the separate count() was one extra job a round
+            from pyspark.sql import Observation
+
+            obs = Observation()
             nxt = (
                 edges.join(support, ["a", "b"], "left")
                 .select("a", "b",
                         F.coalesce("support", F.lit(0)).cast("bigint").alias("support"))
                 .filter(F.col("support") >= min_support)
+                .observe(obs, F.count(F.lit(1)).alias("n"))
                 .localCheckpoint(eager=True)
             )
             owned.append(nxt)
-            n_nxt = nxt.count()
+            n_nxt = int(obs.get["n"] or 0)
             _drop_checkpoint_blocks(ckpt)
             disown(owned, ckpt)
             if n_nxt == n_edges:

@@ -436,12 +436,31 @@ def run_pregel(
     # snapshots for the async ContextCleaner, the measured 3-5x backlog
     # shape) nor releases the caller's blocks on exit.
     owns_edges = not edges_checkpointed
-    edges = graph.edges.localCheckpoint(eager=True) if owns_edges else graph.edges
+    # setup censuses ride the two checkpoint-materializing jobs as
+    # Observations (the same O15 discipline the superstep loop already
+    # uses) — previously |E| count, |V| count and the initial frontier
+    # count were up to three extra driver actions per call, and the SCC
+    # peel calls this once per phase.
+    e_obs: Observation | None = None
+    if owns_edges:
+        e_obs = Observation()
+        edges = (graph.edges
+                 .observe(e_obs, F.count(F.lit(1)).alias("n"))
+                 .localCheckpoint(eager=True))
+    else:
+        edges = graph.edges
     # per-superstep state: localCheckpoint — the state subtree feeds both the
     # message path and the update join, so anything short of a full lineage
     # cut makes the logical plan DOUBLE every superstep (exponential Catalyst
     # analysis; measured hang by superstep ~8 on a 6k-vertex graph).
-    vertices = program.init(graph.vertices).localCheckpoint(eager=True)
+    init_state = program.init(graph.vertices)
+    v_obs = Observation()
+    v_metrics = [F.count(F.lit(1)).alias("n")]
+    if "active" in init_state.columns:
+        v_metrics.append(
+            F.sum(F.col("active").cast("long")).alias("n_active"))
+    vertices = (init_state.observe(v_obs, *v_metrics)
+                .localCheckpoint(eager=True))
     # Catalyst's size estimate for a checkpointed LogicalRDD is inherited
     # from the ORIGIN plan, and a generator-derived origin (spark.range →
     # explode) undercounts by |fanout|: at G2 scale (4.8M V / 110M E) the
@@ -456,23 +475,26 @@ def run_pregel(
     # (broadcast tiny frontiers/aggs) stand. ~40 in-memory bytes/row →
     # 64 MB ≈ 1.6M rows.
     # (BIG_GRAPH_ROWS is module-level so tests can force this branch on
-    # fixture graphs; the two counts run on blocks the localCheckpoints
-    # just materialized — metadata-cheap, not plan recomputes.)
-    n_edges = edges.count()
+    # fixture graphs; when the caller pre-checkpointed the edges the count
+    # runs on its just-materialized blocks — metadata-cheap, not a plan
+    # recompute.)
+    n_edges = int(e_obs.get["n"] or 0) if e_obs is not None else edges.count()
     big_edges = n_edges > BIG_GRAPH_ROWS
     if checkpoint_interval is None:
         checkpoint_interval = 1 if big_edges else 2
-    big_vertices = vertices.count() > BIG_GRAPH_ROWS
+    v_stats = v_obs.get
+    big_vertices = int(v_stats["n"] or 0) > BIG_GRAPH_ROWS
     prev_state = vertices  # last materialized state whose blocks we own
     metrics: list[dict] = []
     # exact frontier size for the adaptive join strategy: with ci=1 the
     # checkpoint census counts the NEXT superstep's frontier exactly, so
-    # seed it once from the just-materialized init state (one cheap scan of
-    # resident blocks) and keep it current from each census below. At ci>1
-    # it goes stale (None) between checkpoints and the gate stays closed.
+    # seed it once from the init checkpoint's Observation and keep it
+    # current from each census below. At ci>1 it goes stale (None) between
+    # checkpoints and the gate stays closed.
     last_n_active: int | None = None
-    if big_edges and early_stop and checkpoint_interval == 1:
-        last_n_active = vertices.filter(F.col("active")).count()
+    if (big_edges and early_stop and checkpoint_interval == 1
+            and "n_active" in v_stats):
+        last_n_active = int(v_stats["n_active"] or 0)
     state_cols = max(1, len(vertices.columns))
     max_broadcast_rows = ADAPTIVE_BROADCAST_CELLS // state_cols
 
