@@ -84,7 +84,9 @@ def pagerank(graph: PropertyGraph, *, k: int = 10, damping: float = 0.5,
     edges_with_deg = graph.edges.join(
         out_deg, F.col("src") == F.col("deg_id")
     ).select("src", "dst", "deg")
-    n = graph.vertices.count()
+    # reuse the builder's fused |V| census when present (derived graphs
+    # carry it — r14); a count job only for graphs built without one
+    n = graph.n_vertices if graph.n_vertices is not None else graph.vertices.count()
     program = _PageRankProgram(n, damping)
     result = run_pregel(
         PropertyGraph(vertices=graph.vertices, edges=edges_with_deg),

@@ -224,9 +224,20 @@ def local_clustering(graph: PropertyGraph) -> DataFrame:
     branches — at scale that is 5 full edge shuffles vs 1. The checkpoint's
     blocks live until the session drops them (same ownership shape as
     k_truss's returned frame)."""
-    und = canonical_undirected(graph.edges).localCheckpoint(eager=True)
+    # closure stats (count + id bounds for the broadcast-probe gate) ride
+    # the checkpoint's materializing job as an Observation (r14) — the
+    # separate _closure_stats agg inside closed_triangles was one extra job
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    und = (canonical_undirected(graph.edges)
+           .observe(obs, F.count(F.lit(1)).alias("n"),
+                    F.min("a").alias("lo"), F.max("b").alias("hi"))
+           .localCheckpoint(eager=True))
+    _s = obs.get
+    stats = (int(_s["n"] or 0), int(_s["lo"] or 0), int(_s["hi"] or 0))
     deg = undirected_degrees(und)
-    tri = triangle_count_per_vertex(graph, und=und)
+    tri = triangle_count_per_vertex(graph, und=und, stats=stats)
     return (
         deg.join(tri, "id", "left")
         .select(
@@ -246,12 +257,16 @@ def local_clustering(graph: PropertyGraph) -> DataFrame:
 
 
 def triangle_count_per_vertex(graph: PropertyGraph,
-                              und: DataFrame | None = None) -> DataFrame:
+                              und: DataFrame | None = None,
+                              stats: tuple[int, int, int] | None = None
+                              ) -> DataFrame:
     """-> (id BIGINT, tri_cnt BIGINT): triangles incident to each vertex
     (each triangle counted once per member vertex). Vertices in no triangle
     are omitted (join semantics) — callers left-join against vertices if a
     dense output is needed. ``und`` lets local_clustering pass its shared
-    (checkpointed) canonical edge set instead of re-deriving it.
+    (checkpointed) canonical edge set instead of re-deriving it, and
+    ``stats`` forwards a closure census the caller already paid for
+    (``closed_triangles``' reuse contract).
 
     ``tri`` is localCheckpointed: the member union references it three
     times and those branches are NOT exchange-reused (same finding as
@@ -261,7 +276,7 @@ def triangle_count_per_vertex(graph: PropertyGraph,
     scale."""
     if und is None:
         und = canonical_undirected(graph.edges)
-    tri = closed_triangles(und).localCheckpoint(eager=True)
+    tri = closed_triangles(und, stats=stats).localCheckpoint(eager=True)
     members = (
         tri.select(F.col("va").alias("id"))
         .unionAll(tri.select(F.col("vb").alias("id")))

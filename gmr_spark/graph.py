@@ -28,6 +28,11 @@ from pyspark.sql import DataFrame, functions as F
 class PropertyGraph:
     vertices: DataFrame  # id BIGINT [, value DOUBLE, active BOOLEAN, ...]
     edges: DataFrame     # src BIGINT, dst BIGINT, weight DOUBLE
+    # |vertices| when the builder already paid the census (sources/derive
+    # fuses it into the vertex checkpoint's job via Observation) — lets
+    # consumers that need the global count (pagerank's N) skip a count job.
+    # None on lazily-built graphs; never computed here.
+    n_vertices: int | None = None
 
     @staticmethod
     def from_edges(edges: DataFrame, num_partitions: int | None = None) -> "PropertyGraph":

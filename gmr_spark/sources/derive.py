@@ -474,18 +474,24 @@ def derive_graph(spark: SparkSession, sf_dir: str, name: str,
         num_partitions = spark.sparkContext.defaultParallelism
     g = PropertyGraph.from_edges(edges, num_partitions=num_partitions)
     if materialize:
-        edges = g.edges.localCheckpoint(eager=True)
+        from pyspark.sql import Observation
+
+        # the |E| sizing census rides the checkpoint's materializing job as
+        # an Observation (run_pregel's O15 discipline, applied r14): the
+        # separate count() was one extra job per derived graph, and bench's
+        # derive_graphs row materializes eight of them
+        e_obs = Observation()
+        edges = (g.edges.observe(e_obs, F.count(F.lit(1)).alias("n"))
+                 .localCheckpoint(eager=True))
         if auto_size:
             # partitions ∝ |E|, not a fixed core count: a 32k-edge fixture
             # on 32 partitions pays ~2x wall-clock in task-launch overhead
             # per superstep (measured: geo PageRank 6.4s @32 parts vs 2.8s
-            # @4); a big graph keeps ≥1 task per core. Count AFTER the
-            # checkpoint (counting materialized blocks is free; counting the
-            # lazy plan would re-run the whole derivation SQL) and only
-            # downsize when clearly oversharded — the re-checkpoint moves a
-            # small edge set once. The row-count proxy stands in for the
-            # bytes-based sizing a cluster gets from AQE advisory sizes.
-            n_edges = edges.count()
+            # @4); a big graph keeps ≥1 task per core. Only downsize when
+            # clearly oversharded — the re-checkpoint moves a small edge
+            # set once. The row-count proxy stands in for the bytes-based
+            # sizing a cluster gets from AQE advisory sizes.
+            n_edges = int(e_obs.get["n"] or 0)
             target = max(4, min(2 * spark.sparkContext.defaultParallelism,
                                 -(-n_edges // _EDGES_PER_PARTITION)))
             if target < num_partitions // 2:
@@ -494,13 +500,19 @@ def derive_graph(spark: SparkSession, sf_dir: str, name: str,
                 old = edges
                 edges = edges.repartition(target, "src").localCheckpoint(eager=True)
                 _drop_checkpoint_blocks(old)
+        # |V| rides the vertex checkpoint the same way and is cached on the
+        # PropertyGraph, so consumers that need it (pagerank's global-N
+        # denominator) skip their own count job on every memo hit
+        v_obs = Observation()
         vertices = (
             edges.select(F.col("src").alias("id"))
             .union(edges.select(F.col("dst").alias("id")))
             .distinct()
+            .observe(v_obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        g = PropertyGraph(vertices=vertices, edges=edges)
+        g = PropertyGraph(vertices=vertices, edges=edges,
+                          n_vertices=int(v_obs.get["n"] or 0))
     if memo_key is not None:
         # double-check insert: if a concurrent thread derived the same graph
         # first, keep THEIRS (callers may already hold it) and release ours
