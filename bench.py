@@ -294,7 +294,12 @@ def main() -> None:
         register_views(s, sf)
 
         def _one(n: str) -> tuple[str, int]:
-            return (n, derive_graph(s, sf, n, materialize=True).edges.count())
+            # the |E| census rides the derivation's own checkpoint job
+            # (PropertyGraph.n_edges, r14); count() only as a fallback for
+            # trees without the fused census
+            g = derive_graph(s, sf, n, materialize=True)
+            n_e = g.n_edges if g.n_edges is not None else g.edges.count()
+            return (n, n_e)
 
         with ThreadPoolExecutor(max_workers=3) as ex:
             rows = sorted(ex.map(_one, DERIVED))

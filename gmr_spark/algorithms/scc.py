@@ -108,7 +108,8 @@ class _ColorProgram:
 
 
 def _min_forward_colors(vertices: DataFrame, edges: DataFrame, max_iter: int,
-                        *, scramble: bool = True
+                        *, scramble: bool = True,
+                        n_edges: int | None = None
                         ) -> tuple[DataFrame, DataFrame, int]:
     """(id, color): the vertex id whose (mix, id) key is minimal among all
     vertices that reach id along ``edges`` (incl. itself) — i.e. the elected
@@ -121,8 +122,11 @@ def _min_forward_colors(vertices: DataFrame, edges: DataFrame, max_iter: int,
         _ColorProgram(scramble), max_iter=max_iter,
         # the peel loop only ever passes its own eager localCheckpoints as
         # edges — run_pregel must not land (and retain) a superseded O(|E|)
-        # edge snapshot per phase (round-8 ADVICE item 3)
+        # edge snapshot per phase (round-8 ADVICE item 3); the edge census
+        # the peel already observed rides along so run_pregel skips its
+        # per-phase count job (r14)
         edges_checkpointed=True,
+        n_edges=n_edges,
     )
     if not result.converged:
         # a non-fixpoint coloring is not merely slow, it is WRONG: a vertex
@@ -219,12 +223,12 @@ def _backward_members(colors: DataFrame, edges: DataFrame, max_iter: int,
 
 
 def _trim_pass(remaining_v: DataFrame, remaining_e: DataFrame,
-               n_remaining: int, max_trim_iter: int,
+               n_remaining: int, n_rem_e: int, max_trim_iter: int,
                owned: list[DataFrame], *, big: bool = False):
     """Peel vertices with zero in- or out-degree in the remaining graph —
     each is a singleton SCC labeled by itself. Returns
-    (remaining_v, remaining_e, n_remaining, trimmed_parts, n_iters,
-    n_trimmed); the new remainders are eager checkpoints registered in
+    (remaining_v, remaining_e, n_remaining, n_rem_e, trimmed_parts,
+    n_iters, n_trimmed); the new remainders are eager checkpoints registered in
     ``owned``, the trimmed parts are eager checkpoints NOT registered (they
     are returned output). The no-op pass — every phase of an all-cyclic
     graph pays it — costs ONE job (the keep checkpoint; its count reads the
@@ -254,8 +258,8 @@ def _trim_pass(remaining_v: DataFrame, remaining_e: DataFrame,
         if n_dropped == 0:
             _drop_checkpoint_blocks(keep)
             disown(owned, keep)
-            return (remaining_v, remaining_e, n_remaining, trimmed_parts,
-                    it, n_trimmed)
+            return (remaining_v, remaining_e, n_remaining, n_rem_e,
+                    trimmed_parts, it, n_trimmed)
         dropped = checkpoint_eager(
             remaining_v.join(keep, "id", "left_anti").select(
                 "id", F.col("id").alias("scc")))
@@ -265,17 +269,22 @@ def _trim_pass(remaining_v: DataFrame, remaining_e: DataFrame,
         _drop_checkpoint_blocks(remaining_v)
         disown(owned, remaining_v)
         remaining_v = keep
+        # the edge census rides the new remainder's checkpoint job so the
+        # phase's pregel coloring can skip its own edge count (r14)
+        e_obs = Observation()
         new_e = checkpoint_eager(
             remaining_e
             .join(_pin(keep.select(F.col("id").alias("src"))), "src", "left_semi")
             .join(_pin(keep.select(F.col("id").alias("dst"))), "dst", "left_semi")
             .select("src", "dst")
+            .observe(e_obs, F.count(F.lit(1)).alias("n"))
         )
         owned.append(new_e)
         _drop_checkpoint_blocks(remaining_e)
         disown(owned, remaining_e)
         remaining_e = new_e
-    return (remaining_v, remaining_e, n_remaining, trimmed_parts,
+        n_rem_e = int(e_obs.get["n"] or 0)
+    return (remaining_v, remaining_e, n_remaining, n_rem_e, trimmed_parts,
             max_trim_iter, n_trimmed)
 
 
@@ -300,7 +309,10 @@ def strongly_connected_components(graph: PropertyGraph, *, max_iter: int = 120,
     remaining_v = (graph.vertices.select("id")
                    .observe(init_obs, F.count(F.lit(1)).alias("n"))
                    .localCheckpoint(eager=True))
-    remaining_e = graph.edges.select("src", "dst").localCheckpoint(eager=True)
+    init_e_obs = Observation()
+    remaining_e = (graph.edges.select("src", "dst")
+                   .observe(init_e_obs, F.count(F.lit(1)).alias("n"))
+                   .localCheckpoint(eager=True))
     empty = remaining_v.sparkSession.createDataFrame([], "id bigint, scc bigint")
     assigned_parts: list[DataFrame] = [empty]
     stats = {"phases": 0, "color_supersteps": 0, "trim_iters_run": 0,
@@ -309,6 +321,7 @@ def strongly_connected_components(graph: PropertyGraph, *, max_iter: int = 120,
     # per-superstep stats re-leaf) while the remainder is genuinely big;
     # re-counted per phase as the peel shrinks it
     n_remaining = int(init_obs.get["n"] or 0)
+    n_rem_e = int(init_e_obs.get["n"] or 0)
 
     owned: list[DataFrame] = [remaining_v, remaining_e]
     done = False
@@ -316,9 +329,10 @@ def strongly_connected_components(graph: PropertyGraph, *, max_iter: int = 120,
         for _ in range(max_phases):
             big = n_remaining > BIG_GRAPH_ROWS
             if trim_iters > 0 and n_remaining > 0:
-                (remaining_v, remaining_e, n_remaining, trimmed, t_it,
-                 t_n) = _trim_pass(remaining_v, remaining_e, n_remaining,
-                                   trim_iters, owned, big=big)
+                (remaining_v, remaining_e, n_remaining, n_rem_e, trimmed,
+                 t_it, t_n) = _trim_pass(remaining_v, remaining_e,
+                                         n_remaining, n_rem_e,
+                                         trim_iters, owned, big=big)
                 assigned_parts.extend(trimmed)
                 stats["trim_iters_run"] += t_it
                 stats["trimmed"] += t_n
@@ -326,7 +340,8 @@ def strongly_connected_components(graph: PropertyGraph, *, max_iter: int = 120,
                 done = True
                 break
             colors, colors_ckpt, steps = _min_forward_colors(
-                remaining_v, remaining_e, max_iter, scramble=scramble)
+                remaining_v, remaining_e, max_iter, scramble=scramble,
+                n_edges=n_rem_e)
             stats["color_supersteps"] += steps
             members, member_state = _backward_members(
                 colors, remaining_e, max_iter, big=big)
@@ -349,17 +364,22 @@ def strongly_connected_components(graph: PropertyGraph, *, max_iter: int = 120,
             _drop_checkpoint_blocks(remaining_v)
             disown(owned, remaining_v)
             remaining_v = new_v
+            # edge census rides the phase remainder's checkpoint (r14) —
+            # feeds the NEXT phase's coloring via n_rem_e
+            e_obs = Observation()
             new_e = checkpoint_eager(
                 remaining_e.join(member_ids.withColumnRenamed("id", "src"),
                                  "src", "left_anti")
                 .join(member_ids.withColumnRenamed("id", "dst"),
                       "dst", "left_anti")
                 .select("src", "dst")
+                .observe(e_obs, F.count(F.lit(1)).alias("n"))
             )
             owned.append(new_e)
             _drop_checkpoint_blocks(remaining_e)
             disown(owned, remaining_e)
             remaining_e = new_e
+            n_rem_e = int(e_obs.get["n"] or 0)
             # the coloring result and the membership state are dead once
             # part landed (part is a fresh checkpoint) — release both now
             _drop_checkpoint_blocks(colors_ckpt)

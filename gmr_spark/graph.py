@@ -28,11 +28,13 @@ from pyspark.sql import DataFrame, functions as F
 class PropertyGraph:
     vertices: DataFrame  # id BIGINT [, value DOUBLE, active BOOLEAN, ...]
     edges: DataFrame     # src BIGINT, dst BIGINT, weight DOUBLE
-    # |vertices| when the builder already paid the census (sources/derive
-    # fuses it into the vertex checkpoint's job via Observation) — lets
-    # consumers that need the global count (pagerank's N) skip a count job.
-    # None on lazily-built graphs; never computed here.
+    # |vertices| / |edges| when the builder already paid the census
+    # (sources/derive fuses both into the checkpoints' own jobs via
+    # Observation) — lets consumers that need a global count (pagerank's N,
+    # bench's derive attribution row) skip a count job. None on
+    # lazily-built graphs; never computed here.
     n_vertices: int | None = None
+    n_edges: int | None = None
 
     @staticmethod
     def from_edges(edges: DataFrame, num_partitions: int | None = None) -> "PropertyGraph":
@@ -218,10 +220,12 @@ class PropertyGraph:
         )
 
     def num_vertices(self) -> int:
-        return self.vertices.count()
+        return (self.n_vertices if self.n_vertices is not None
+                else self.vertices.count())
 
     def num_edges(self) -> int:
-        return self.edges.count()
+        return (self.n_edges if self.n_edges is not None
+                else self.edges.count())
 
     def out_degrees(self) -> DataFrame:
         """id, out_degree (vertices with no out-edges get 0)."""

@@ -380,6 +380,7 @@ def run_pregel(
     collect_metrics: bool = False,
     checkpoint_interval: int | None = 2,
     edges_checkpointed: bool = False,
+    n_edges: int | None = None,
 ) -> PregelResult:
     """Run ``program`` to convergence (no active vertices) or ``max_iter``.
 
@@ -475,10 +476,14 @@ def run_pregel(
     # (broadcast tiny frontiers/aggs) stand. ~40 in-memory bytes/row →
     # 64 MB ≈ 1.6M rows.
     # (BIG_GRAPH_ROWS is module-level so tests can force this branch on
-    # fixture graphs; when the caller pre-checkpointed the edges the count
-    # runs on its just-materialized blocks — metadata-cheap, not a plan
-    # recompute.)
-    n_edges = int(e_obs.get["n"] or 0) if e_obs is not None else edges.count()
+    # fixture graphs; a caller that pre-checkpointed the edges passes the
+    # census it already paid for via ``n_edges`` — SCC's peel observes it
+    # on each phase checkpoint — and only a caller with neither pays a
+    # count job on its just-materialized blocks.)
+    if e_obs is not None:
+        n_edges = int(e_obs.get["n"] or 0)
+    elif n_edges is None:
+        n_edges = edges.count()
     big_edges = n_edges > BIG_GRAPH_ROWS
     if checkpoint_interval is None:
         checkpoint_interval = 1 if big_edges else 2

@@ -512,7 +512,8 @@ def derive_graph(spark: SparkSession, sf_dir: str, name: str,
             .localCheckpoint(eager=True)
         )
         g = PropertyGraph(vertices=vertices, edges=edges,
-                          n_vertices=int(v_obs.get["n"] or 0))
+                          n_vertices=int(v_obs.get["n"] or 0),
+                          n_edges=int(e_obs.get["n"] or 0))
     if memo_key is not None:
         # double-check insert: if a concurrent thread derived the same graph
         # first, keep THEIRS (callers may already hold it) and release ours

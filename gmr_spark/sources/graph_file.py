@@ -126,10 +126,13 @@ def write_graph_file(graph: PropertyGraph, path: str, *,
     at write time instead — reading the file back yields ids ``1..N``).
     Anything else (gaps at either end, duplicates) raises ValueError.
     """
-    nv = graph.vertices.count()
+    # one aggregate pass: the row count rides the same job as the id-space
+    # stats (it was a separate count() job before r14)
     stats = graph.vertices.agg(
+        F.count(F.lit(1)).alias("nv"),
         F.min("id").alias("lo"), F.max("id").alias("hi"),
         F.count_distinct("id").alias("nd")).first()
+    nv = int(stats.nv)
     lo, hi, nd = (int(stats.lo), int(stats.hi), int(stats.nd)) if nv else (1, 0, 0)
     if nd == nv and lo == 1 and hi == nv or nv == 0:
         shift = 0
