@@ -108,6 +108,28 @@ def build_result(timings: dict[str, float], sf: float | None,
     }
 
 
+def contract_line(result: dict) -> str:
+    """Serialize the minimal driver-contract line for stdout.
+
+    The driver keeps only the last 2,000 stdout characters and json-parses
+    them; the full artifact (with calibration brackets) is ~12 KB, so it
+    lives in the sidecar/stderr and the stdout line carries exactly the
+    contract keys — metric, unit, sf, value, queries (~1.9 KB at 79 rows,
+    2 dp) — in tail-safe order (value+queries last) so a truncated tail
+    still ends with the complete timings dict."""
+    import json as _json
+    return _json.dumps(
+        {
+            "metric": result["metric"],
+            "unit": result["unit"],
+            "sf": result["sf"],
+            "value": result["value"],
+            "queries": result["queries"],
+        },
+        separators=(",", ":"),
+    )
+
+
 HEADLINE = [
     # all derived graphs the bench's graph queries share, materialized once
     # and billed HERE (round-5: derivation is memoized per session —
@@ -442,26 +464,28 @@ def main() -> None:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
     result = build_result(timings, sf, calibration, calibration_post,
                           brackets, noisy, retry_floor=RETRY_FLOOR)
-    # tail-budget guard: the driver keeps only the LAST 2,000 stdout chars,
-    # so the serialized value+queries suffix must fit there. At 77 rows ×
-    # realistic 3 dp widths it does with ~60 chars of headroom (pinned in
-    # tests/test_rotation.py); if headline growth ever breaks the budget,
-    # warn loudly so the next round splits or re-rounds instead of
-    # silently shipping a timings-free artifact again (the r10 failure).
-    suffix = json.dumps({"value": result["value"],
-                         "queries": result["queries"]},
-                        separators=(",", ":"))
-    if len(suffix) > 1990:
+    line = contract_line(result)
+    # tail-budget guard: the driver keeps only the LAST 2,000 stdout chars.
+    # r10-r13 printed the FULL artifact (brackets + drift, ~12 KB) as the
+    # stdout line, so the driver's json parse of its captured tail always
+    # failed (BENCH_r13.json: "parsed": null) and consumers fell back to
+    # regex over the tail text. Since r14 the stdout line is the minimal
+    # driver contract — metric/unit/sf/value/queries, ~1.9 KB at 79 rows —
+    # which fits the tail whole, so the driver parses it again; the
+    # diagnostics bulk moves entirely to the sidecar + stderr. Key order
+    # stays tail-safe (value+queries LAST) so even a pathologically slow
+    # host that widens every row keeps the timings inside the tail window.
+    if len(line) > 1990:
         print(
-            f"  WARNING: value+queries serialize to {len(suffix)} chars — "
-            "the driver's 2,000-char tail will truncate per-query timings; "
-            "shrink the headline set or re-round before the next round",
+            f"  WARNING: contract line serializes to {len(line)} chars — "
+            "the driver's 2,000-char tail will truncate it; shrink the "
+            "headline set or re-round before the next round",
             file=sys.stderr,
         )
-    # sidecar: the committed tree keeps the bracket diagnostics the driver
-    # tail truncates away. Subset runs (SPARK_GRAFT_BENCH_ONLY — local
-    # iteration) skip it unless explicitly redirected, so they can never
-    # clobber a full-run artifact.
+    # sidecar: the committed tree keeps the bracket diagnostics that no
+    # longer ride the stdout line. Subset runs (SPARK_GRAFT_BENCH_ONLY —
+    # local iteration) skip it unless explicitly redirected, so they can
+    # never clobber a full-run artifact.
     detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL")
     if detail_path is None and not only:
         detail_path = os.path.join(
@@ -471,10 +495,13 @@ def main() -> None:
             with open(detail_path, "w") as fh:
                 json.dump(result, fh, indent=1)
                 fh.write("\n")
-        except OSError as exc:  # read-only tree: stdout still has it all
+        except OSError as exc:
             print(f"  WARNING: could not write bench detail sidecar: {exc}",
                   file=sys.stderr)
-    print(json.dumps(result, separators=(",", ":")))
+    # full diagnostics also on stderr so a sidecar-less subset run still
+    # records its brackets somewhere inspectable
+    print(json.dumps(result, separators=(",", ":")), file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":
