@@ -20,6 +20,20 @@ every label is the id of a vertex in v's component; the fixpoint where
 propagation finds no improvement is exactly "every component shares its
 minimum id as label".
 
+Driver-action shape (r15, guide §1.2 step 1 + §5): each ROUND is ONE
+checkpoint-materializing job that fuses the propagation step with TWO
+pointer jumps (label := L[L] applied twice, each through the just-updated
+table — resolution depth quarters per job); extra jump JOBS run only while
+the last jump still improved something, again two jumps per job. The old
+loop paid one job per propagation step plus one job per single jump plus
+a final no-op confirm jump — at cluster scale every one of those jobs is
+a scheduler round-trip on the critical path. Convergence censuses ride
+the checkpoints as Observations (two sums per job: any-decrease vs the
+pre-round labels for the outer fixpoint, any-decrease in the final jump
+for the inner one); labels are monotone non-increasing, so "changed" ≡
+"decreased" and the fixpoint (and therefore the declared result) is
+IDENTICAL to the one-step-per-job loop's.
+
 Determinism: labels decrease monotonically, so a converged run equals the
 K-step bounded propagation for any K ≥ convergence step — the DuckDB oracle
 unrolls K steps of ``label = min(own, min(neighbor labels))`` (unchanged by
@@ -70,10 +84,33 @@ class _CCProgram:
 _JUMP_CAP = 64  # > log2 of any feasible |V|; trips only on a logic bug
 
 
+def _double_jump(df: DataFrame, keep: list[str]) -> DataFrame:
+    """Two pointer jumps (label := L[L], each through the just-updated
+    table) fused into one lazy plan over ``df(id, label, *keep)``. Returns
+    (id, label, *keep, _j1) where ``_j1`` is the label after the FIRST
+    jump — the inner-loop census compares the final label against it (the
+    last jump changing nothing ≡ L[L] = L ≡ jump fixpoint). Every label is
+    a vertex id present in ``df.id`` (the loop invariant), so the lookup
+    inner-joins always match; ``left`` + coalesce keeps the no-match case
+    a value-identity rather than a row drop, belt-and-braces."""
+    j1 = (
+        df.join(df.select(F.col("id").alias("label"),
+                          F.col("label").alias("_l1")), "label", "left")
+        .select("id", F.coalesce("_l1", F.col("label")).alias("label"), *keep)
+    )
+    return (
+        j1.join(j1.select(F.col("id").alias("label"),
+                          F.col("label").alias("_l2")), "label", "left")
+        .select("id", F.coalesce("_l2", F.col("label")).alias("label"),
+                *keep, F.col("label").alias("_j1"))
+    )
+
+
 def _cc_labels(g: PropertyGraph, max_iter: int) -> tuple[DataFrame, dict]:
-    """Alternating propagate + pointer-double loop over (id, label).
+    """Fused propagate + double-pointer-jump loop over (id, label).
     Returns the converged label table and counters for the property test:
-    ``rounds`` (propagation steps) and ``jump_joins`` (doubling joins)."""
+    ``rounds`` (propagation steps) and ``jump_joins`` (doubling joins —
+    two per checkpoint job since r15)."""
     edges = g.edges.select("src", "dst")
     labels = checkpoint_eager(g.vertices.select(
         "id", F.col("id").alias("label")
@@ -90,55 +127,64 @@ def _cc_labels(g: PropertyGraph, max_iter: int) -> tuple[DataFrame, dict]:
     stats = {"rounds": 0, "jump_joins": 0, "converged": False}
     try:
         for _ in range(max_iter):
-            # (1) one min-neighbor propagation step; `improved` is observed
-            # during the checkpoint materialization — ONE job per step
+            # (1) one min-neighbor propagation step + (2) two pointer jumps,
+            # all in ONE checkpoint-materializing job. Both censuses ride it
+            # as Observations: n_improved (final < pre-round — the outer
+            # fixpoint test; rounds start at jump fixpoint, so 0 here means
+            # neither propagation nor jumps changed anything) and n_jump2
+            # (final < post-first-jump — whether more jump jobs are needed).
             nbr_min = (
                 edges.join(labels.select(F.col("id").alias("src"),
                                          F.col("label").alias("slabel")), "src")
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.min("slabel").alias("nlabel"))
             )
-            obs = Observation()
-            labels = checkpoint_eager(
+            prop = (
                 labels.join(nbr_min, "id", "left")
                 .select(
                     "id",
                     F.least("label", F.coalesce("nlabel", "label")).alias("label"),
-                    (F.coalesce("nlabel", "label") < F.col("label")).alias("_imp"),
+                    F.col("label").alias("_pre"),
                 )
-                .observe(obs, F.sum(F.col("_imp").cast("long")).alias("n_improved"))
-                .drop("_imp")
+            )
+            obs = Observation()
+            labels = checkpoint_eager(
+                _double_jump(prop, ["_pre"])
+                .observe(
+                    obs,
+                    F.sum((F.col("label") < F.col("_pre")).cast("long"))
+                    .alias("n_improved"),
+                    F.sum((F.col("label") < F.col("_j1")).cast("long"))
+                    .alias("n_jump2"),
+                )
+                .drop("_pre", "_j1")
             )
             _drop_checkpoint_blocks(prev)
             prev = labels
             stats["rounds"] += 1
-            if (obs.get["n_improved"] or 0) == 0:
+            stats["jump_joins"] += 2
+            res = obs.get
+            if (res["n_improved"] or 0) == 0:
                 stats["converged"] = True
                 break
 
-            # (2) pointer doubling to fixpoint: label = label[label]
+            # extra double-jump jobs only while the LAST jump still improved
+            jumping = (res["n_jump2"] or 0) > 0
             for _ in range(_JUMP_CAP):
+                if not jumping:
+                    break
                 jump_obs = Observation()
                 labels = checkpoint_eager(
-                    labels.join(
-                        labels.select(F.col("id").alias("label"),
-                                      F.col("label").alias("_ll")),
-                        "label", "left",
-                    )
-                    .select(
-                        "id",
-                        F.coalesce("_ll", "label").alias("label"),
-                        (F.coalesce("_ll", "label") < F.col("label")).alias("_imp"),
-                    )
+                    _double_jump(labels, [])
                     .observe(jump_obs,
-                             F.sum(F.col("_imp").cast("long")).alias("n_jumped"))
-                    .drop("_imp")
+                             F.sum((F.col("label") < F.col("_j1"))
+                                   .cast("long")).alias("n_jump2"))
+                    .drop("_j1")
                 )
                 _drop_checkpoint_blocks(prev)
                 prev = labels
-                stats["jump_joins"] += 1
-                if (jump_obs.get["n_jumped"] or 0) == 0:
-                    break
+                stats["jump_joins"] += 2
+                jumping = (jump_obs.get["n_jump2"] or 0) > 0
     except BaseException:
         _drop_checkpoint_blocks(prev)
         raise
@@ -148,7 +194,25 @@ def _cc_labels(g: PropertyGraph, max_iter: int) -> tuple[DataFrame, dict]:
 def connected_components(graph: PropertyGraph, *, max_iter: int = 120,
                          undirected: bool = True) -> DataFrame:
     """-> (id BIGINT, component BIGINT). Treats the graph as undirected
-    (weak components) unless ``undirected=False`` (caller already symmetric)."""
+    (weak components) unless ``undirected=False`` (caller already symmetric).
+
+    When the caller's graph carries a builder census (``n_edges`` — every
+    derived graph does since r14), the label loop runs under the same
+    |E|-scoped physical conf as every other iterative loop
+    (``small_loop_conf``: statically coalesced shuffles + per-stage
+    adaptive planning off below BIG_GRAPH_ROWS — this was the ONE loop
+    left on session defaults, where AQE turned each fused round into one
+    job per query stage). Census-less graphs keep the old behavior rather
+    than paying a count job for the conf."""
+    from gmr_spark.plans.pregel import small_loop_conf
+
     g = graph.undirected() if undirected else graph
-    labels, _ = _cc_labels(g, max_iter)
+    n_edges = graph.n_edges
+    if n_edges is not None and undirected:
+        n_edges *= 2  # symmetric closure upper bound
+    if n_edges is not None:
+        with small_loop_conf(graph.edges.sparkSession, n_edges):
+            labels, _ = _cc_labels(g, max_iter)
+    else:
+        labels, _ = _cc_labels(g, max_iter)
     return labels.select("id", F.col("label").alias("component"))

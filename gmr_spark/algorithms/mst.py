@@ -69,7 +69,7 @@ def _min_label_fixpoint(nodes: DataFrame, und_edges: DataFrame,
             und_edges.join(_pin(lbl.withColumnRenamed("u", "v")), "v")
             .groupBy("u").agg(F.min("lbl").alias("ml"))
         )
-        # carry each node's pre-round label through the jump so the
+        # carry each node's pre-round label through the jumps so the
         # convergence census can ride the checkpoint's materializing job as
         # an Observation (run_pregel's O15 discipline, applied r14) — the
         # old jump⋈lbl "changed" probe was a second multi-stage job per
@@ -80,12 +80,25 @@ def _min_label_fixpoint(nodes: DataFrame, und_edges: DataFrame,
             .select("u", F.col("lbl").alias("old"),
                     F.least("lbl", F.coalesce("ml", "lbl")).alias("lbl"))
         )
-        # pointer jump: labels are node ids, so re-resolve through the table
-        obs = Observation()
-        jump = _cut(checkpoint_eager(
+        # TWO pointer jumps per checkpoint job (r15, guide §1.2/§5): labels
+        # are node ids, so each jump re-resolves through the just-updated
+        # table — resolution depth QUARTERS per job instead of halving, so
+        # long hook-chains collapse in half the driver round-trips. The
+        # second jump's lookup is built from the first jump's output (the
+        # classic parent := parent[parent] doubling); fixpoint unchanged —
+        # jumps only accelerate convergence to the same per-component min.
+        jump1 = (
             prop.join(
                 _pin(prop.select(F.col("u").alias("lbl"),
                                  F.col("lbl").alias("lbl2"))),
+                "lbl",
+            ).select("u", F.col("lbl2").alias("lbl"), "old")
+        )
+        obs = Observation()
+        jump = _cut(checkpoint_eager(
+            jump1.join(
+                _pin(jump1.select(F.col("u").alias("lbl"),
+                                  F.col("lbl").alias("lbl2"))),
                 "lbl",
             ).select("u", F.col("lbl2").alias("lbl"),
                      (F.col("lbl2") < F.col("old")).alias("_imp"))
@@ -114,11 +127,14 @@ def minimum_spanning_forest(graph: PropertyGraph, *,
     """
     from pyspark.sql import Observation
 
+    from gmr_spark.plans.pregel import checkpoint_eager_pair
+
     spark = graph.edges.sparkSession
     # |E| census rides the checkpoint job (run_pregel's O15 discipline,
-    # applied r14) — the separate count() was a second setup job
+    # applied r14) — the separate count() was a second setup job — and the
+    # two independent setup snapshots materialize CONCURRENTLY (r15, §2.6)
     canon_obs = Observation()
-    canon = (
+    canon, comp = checkpoint_eager_pair(
         graph.edges.filter(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("a"),
@@ -126,21 +142,20 @@ def minimum_spanning_forest(graph: PropertyGraph, *,
             F.col("weight").alias("w"),
         )
         .groupBy("a", "b").agg(F.min("w").alias("w"))
-        .observe(canon_obs, F.count(F.lit(1)).alias("n"))
-    ).localCheckpoint(eager=True)
-    comp = graph.vertices.select(
-        "id", F.col("id").alias("comp")
-    ).localCheckpoint(eager=True)
-    mst = spark.createDataFrame([], "a bigint, b bigint, w double")
+        .observe(canon_obs, F.count(F.lit(1)).alias("n")),
+        graph.vertices.select("id", F.col("id").alias("comp")),
+    )
+    empty = spark.createDataFrame([], "a bigint, b bigint, w double")
 
     # |E|-scoped physical conf for the phase loop; no-op on graphs past the
     # big-graph threshold, where AQE earns its keep
     n_edges = int(canon_obs.get["n"] or 0)
     from gmr_spark.plans.pregel import BIG_GRAPH_ROWS, _drop_checkpoint_blocks
 
+    mst = empty
     try:
         with small_loop_conf(spark, n_edges):
-            mst = _boruvka_phases(canon, comp, mst, max_phases,
+            mst = _boruvka_phases(canon, comp, empty, max_phases,
                                   big=n_edges > BIG_GRAPH_ROWS)
     finally:
         # the canonical edge table is never reachable from the returned
@@ -156,11 +171,17 @@ def minimum_spanning_forest(graph: PropertyGraph, *,
     )
 
 
-def _boruvka_phases(canon: DataFrame, comp: DataFrame, mst: DataFrame,
+def _boruvka_phases(canon: DataFrame, comp: DataFrame, empty: DataFrame,
                     max_phases: int, *, big: bool = False) -> DataFrame:
     """The Borůvka phase loop of :func:`minimum_spanning_forest`, split out
     so ``small_loop_conf`` wraps it in one scope. Returns the forest
-    (a, b, w).
+    (a, b, w) as a lazy union of the per-phase picked-edge checkpoints —
+    the running forest-accumulator checkpoint (one whole materializing job
+    per phase, r14 and earlier) is gone: nothing inside the loop ever READS
+    the accumulated forest, so each phase's ``sel`` checkpoint is simply
+    kept as an output part (the SCC ``assigned_parts`` shape) and unioned
+    once at return (guide §1.2 step 1: don't compute things you throw
+    away — here, don't re-materialize V-rows already materialized).
 
     ``big`` (edges above ``BIG_GRAPH_ROWS``) pins shuffle_hash on every
     |V|-scaling join side — the same policy as run_pregel's state joins.
@@ -192,6 +213,11 @@ def _boruvka_phases(canon: DataFrame, comp: DataFrame, mst: DataFrame,
 
     from pyspark.sql import Observation
 
+    # per-phase picked-edge checkpoints — the OUTPUT. They stay in `owned`
+    # until the return actually happens (an exception mid-loop releases
+    # them like any other partial state); on success they are disowned and
+    # their blocks back the returned lazy union.
+    parts: list[DataFrame] = []
     returning = False
     try:
         for _ in range(max_phases):  # noqa: B007 (break-on-fixpoint loop)
@@ -224,6 +250,7 @@ def _boruvka_phases(canon: DataFrame, comp: DataFrame, mst: DataFrame,
                 .distinct()
             )
             owned.append(sel)
+            parts.append(sel)
             # lab is ~|cross-edges| rows — the FULL edge table in early
             # phases (several GB checkpointed at G2 size); both consumers
             # (the census and the pick aggregate) have run, so release it
@@ -231,36 +258,42 @@ def _boruvka_phases(canon: DataFrame, comp: DataFrame, mst: DataFrame,
             # was measured as a 50 GB heap and a GC-bound crawl at 110M
             # edges.
             _drop(lab)
-            prev_mst = mst
-            mst = checkpoint_eager(mst.unionByName(sel.select("a", "b", "w")))
-            owned.append(mst)
-            _drop(prev_mst)
-            # merge components: min-label over the picked component edges
-            nodes = comp.select(F.col("comp").alias("u")).distinct()
+            # merge components: min-label over the picked component edges.
+            # Only components INCIDENT to a picked edge can merge this
+            # phase, so the fixpoint runs on cg's endpoints alone (r15) —
+            # untouched components keep their label via the left join +
+            # coalesce below (identical result: an isolated node of cg
+            # would have fixpoint label = itself).
             cg = sel.select(F.col("ca").alias("u"), F.col("cb").alias("v")).unionByName(
                 sel.select(F.col("cb").alias("u"), F.col("ca").alias("v"))
             ).distinct()
+            nodes = cg.select("u").distinct()
             lbl = _min_label_fixpoint(nodes, cg, big=big)
             owned.append(lbl)
             prev_comp = comp
             comp = checkpoint_eager(
-                comp.join(_pin(lbl), comp["comp"] == lbl["u"])
-                .select("id", F.col("lbl").alias("comp"))
+                comp.join(_pin(lbl), comp["comp"] == lbl["u"], "left")
+                .select("id", F.coalesce(F.col("lbl"), F.col("comp")).alias("comp"))
             )
             owned.append(comp)
-            for dead in (prev_comp, lbl, sel):
+            for dead in (prev_comp, lbl):
                 _drop(dead)
         returning = True
     finally:
         # releases the final comp on clean exits (label state is internal —
         # the returned forest's checkpoints have no lineage into it) AND the
         # current phase's partial state on the exception path. The forest
-        # leaves the owned list ONLY when it is actually returned: on an
-        # exception it is just another partial checkpoint and must be
+        # parts leave the owned list ONLY when they are actually returned:
+        # on an exception they are just partial checkpoints and must be
         # released like the rest (round-8 ADVICE item 2 — the old
-        # unconditional disown leaked it on mid-phase failures).
+        # unconditional disown leaked the accumulator on mid-phase
+        # failures).
         if returning:
-            disown(owned, mst)
+            for part in parts:
+                disown(owned, part)
         for df in owned:
             _drop_checkpoint_blocks(df)
+    mst = empty
+    for part in parts:
+        mst = mst.unionByName(part.select("a", "b", "w"))
     return mst

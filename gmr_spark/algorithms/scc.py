@@ -53,6 +53,7 @@ from gmr_spark.plans.pregel import (
     BIG_GRAPH_ROWS,
     _drop_checkpoint_blocks,
     checkpoint_eager,
+    checkpoint_eager_pair,
     disown,
     reset_plan_stats,
 )
@@ -260,25 +261,27 @@ def _trim_pass(remaining_v: DataFrame, remaining_e: DataFrame,
             disown(owned, keep)
             return (remaining_v, remaining_e, n_remaining, n_rem_e,
                     trimmed_parts, it, n_trimmed)
-        dropped = checkpoint_eager(
+        # `dropped` and the new edge remainder both read only the just-landed
+        # `keep` checkpoint plus the previous remainders — independent, so
+        # their two materializing jobs run CONCURRENTLY (r15, guide §2.6);
+        # the edge census rides the new remainder's checkpoint job so the
+        # phase's pregel coloring can skip its own edge count (r14)
+        e_obs = Observation()
+        dropped, new_e = checkpoint_eager_pair(
             remaining_v.join(keep, "id", "left_anti").select(
-                "id", F.col("id").alias("scc")))
+                "id", F.col("id").alias("scc")),
+            remaining_e
+            .join(_pin(keep.select(F.col("id").alias("src"))), "src", "left_semi")
+            .join(_pin(keep.select(F.col("id").alias("dst"))), "dst", "left_semi")
+            .select("src", "dst")
+            .observe(e_obs, F.count(F.lit(1)).alias("n")),
+        )
         trimmed_parts.append(dropped)
         n_trimmed += n_dropped
         n_remaining = n_keep
         _drop_checkpoint_blocks(remaining_v)
         disown(owned, remaining_v)
         remaining_v = keep
-        # the edge census rides the new remainder's checkpoint job so the
-        # phase's pregel coloring can skip its own edge count (r14)
-        e_obs = Observation()
-        new_e = checkpoint_eager(
-            remaining_e
-            .join(_pin(keep.select(F.col("id").alias("src"))), "src", "left_semi")
-            .join(_pin(keep.select(F.col("id").alias("dst"))), "dst", "left_semi")
-            .select("src", "dst")
-            .observe(e_obs, F.count(F.lit(1)).alias("n"))
-        )
         owned.append(new_e)
         _drop_checkpoint_blocks(remaining_e)
         disown(owned, remaining_e)
@@ -303,16 +306,18 @@ def strongly_connected_components(graph: PropertyGraph, *, max_iter: int = 120,
     after ``max_phases`` — raise the cap rather than return a silently
     partial labeling.
     """
-    # the opening census rides the checkpoint job (run_pregel's O15
-    # discipline, applied r14) — the separate count() was a second job
+    # the opening censuses ride the checkpoint jobs (run_pregel's O15
+    # discipline, applied r14) — the separate count()s were extra jobs —
+    # and the two independent snapshots materialize CONCURRENTLY (r15,
+    # guide §2.6)
     init_obs = Observation()
-    remaining_v = (graph.vertices.select("id")
-                   .observe(init_obs, F.count(F.lit(1)).alias("n"))
-                   .localCheckpoint(eager=True))
     init_e_obs = Observation()
-    remaining_e = (graph.edges.select("src", "dst")
-                   .observe(init_e_obs, F.count(F.lit(1)).alias("n"))
-                   .localCheckpoint(eager=True))
+    remaining_v, remaining_e = checkpoint_eager_pair(
+        graph.vertices.select("id")
+        .observe(init_obs, F.count(F.lit(1)).alias("n")),
+        graph.edges.select("src", "dst")
+        .observe(init_e_obs, F.count(F.lit(1)).alias("n")),
+    )
     empty = remaining_v.sparkSession.createDataFrame([], "id bigint, scc bigint")
     assigned_parts: list[DataFrame] = [empty]
     stats = {"phases": 0, "color_supersteps": 0, "trim_iters_run": 0,
@@ -353,28 +358,28 @@ def strongly_connected_components(graph: PropertyGraph, *, max_iter: int = 120,
             assigned_parts.append(part)
             stats["phases"] += 1
             member_ids = part.select("id")
-            # the next phase's census rides this checkpoint job (run_pregel's
-            # O15 discipline, applied r14) — remaining_v.count() at the loop
-            # tail was a second job per phase
+            # the next phase's censuses ride these checkpoint jobs
+            # (run_pregel's O15 discipline, applied r14) — and the two
+            # remainders both read only the just-landed `part` checkpoint
+            # plus the previous remainders, so their materializing jobs run
+            # CONCURRENTLY (r15, guide §2.6): one job of phase-tail wall
+            # instead of two
             v_obs = Observation()
-            new_v = checkpoint_eager(
-                remaining_v.join(member_ids, "id", "left_anti")
-                .observe(v_obs, F.count(F.lit(1)).alias("n")))
-            owned.append(new_v)
-            _drop_checkpoint_blocks(remaining_v)
-            disown(owned, remaining_v)
-            remaining_v = new_v
-            # edge census rides the phase remainder's checkpoint (r14) —
-            # feeds the NEXT phase's coloring via n_rem_e
             e_obs = Observation()
-            new_e = checkpoint_eager(
+            new_v, new_e = checkpoint_eager_pair(
+                remaining_v.join(member_ids, "id", "left_anti")
+                .observe(v_obs, F.count(F.lit(1)).alias("n")),
                 remaining_e.join(member_ids.withColumnRenamed("id", "src"),
                                  "src", "left_anti")
                 .join(member_ids.withColumnRenamed("id", "dst"),
                       "dst", "left_anti")
                 .select("src", "dst")
-                .observe(e_obs, F.count(F.lit(1)).alias("n"))
+                .observe(e_obs, F.count(F.lit(1)).alias("n")),
             )
+            owned.append(new_v)
+            _drop_checkpoint_blocks(remaining_v)
+            disown(owned, remaining_v)
+            remaining_v = new_v
             owned.append(new_e)
             _drop_checkpoint_blocks(remaining_e)
             disown(owned, remaining_e)

@@ -98,7 +98,8 @@ def svdpp_train(spark: SparkSession, rating_edges_df: DataFrame, *,
     import time as _time
 
     from gmr_spark.plans.pregel import (_drop_checkpoint_blocks,
-                                        checkpoint_eager)
+                                        checkpoint_eager,
+                                        checkpoint_eager_pair)
 
     cap = _STATE_BROADCAST_CAP if state_broadcast_cap is None else state_broadcast_cap
     dims = range(rank)
@@ -121,17 +122,21 @@ def svdpp_train(spark: SparkSession, rating_edges_df: DataFrame, *,
     mu = float(e_stats["sr"]) / int(e_stats["n"])
     n_edges = int(e_stats["n"])
 
+    # the two state tables read only the edge checkpoint and are mutually
+    # independent — their materializing jobs run CONCURRENTLY (r15, §2.6)
     u_obs = Observation()
-    users = edges.groupBy("u").agg(F.count(F.lit(1)).alias("nu")).select(
-        "u", "nu", F.lit(0.0).alias("bu"),
-        *[_init_expr("u", 31, 17, d).alias(f"p{d}") for d in dims],
-    ).observe(u_obs, F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
     i_obs = Observation()
-    items = edges.select("i").distinct().select(
-        "i", F.lit(0.0).alias("bi"),
-        *[_init_expr("i", 37, 19, d).alias(f"q{d}") for d in dims],
-        *[_init_expr("i", 41, 23, d).alias(f"y{d}") for d in dims],
-    ).observe(i_obs, F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    users, items = checkpoint_eager_pair(
+        edges.groupBy("u").agg(F.count(F.lit(1)).alias("nu")).select(
+            "u", "nu", F.lit(0.0).alias("bu"),
+            *[_init_expr("u", 31, 17, d).alias(f"p{d}") for d in dims],
+        ).observe(u_obs, F.count(F.lit(1)).alias("n")),
+        edges.select("i").distinct().select(
+            "i", F.lit(0.0).alias("bi"),
+            *[_init_expr("i", 37, 19, d).alias(f"q{d}") for d in dims],
+            *[_init_expr("i", 41, 23, d).alias(f"y{d}") for d in dims],
+        ).observe(i_obs, F.count(F.lit(1)).alias("n")),
+    )
 
     # size-gated broadcast for every state-side join (see
     # _STATE_BROADCAST_CAP): per-user and per-item tables — including the
@@ -208,6 +213,10 @@ def svdpp_train(spark: SparkSession, rating_edges_df: DataFrame, *,
                   for d in dims],
             ))
             owned.append(uagg)
+            # new_users and new_items below both read only already-landed
+            # checkpoints (users/items/edges/errs/uagg) and are independent
+            # of each other — their two checkpoint jobs run CONCURRENTLY
+            # via checkpoint_eager_pair (r15, guide §2.6)
             new_users = users.join(st(uagg), "u").select(
                 "u", "nu",
                 (F.col("bu") + gamma * (F.col("se") - lam * F.col("bu")))
@@ -219,8 +228,6 @@ def svdpp_train(spark: SparkSession, rating_edges_df: DataFrame, *,
                     for d in dims
                 ],
             )
-            new_users = checkpoint_eager(new_users)
-            owned.append(new_users)
 
             iagg = errs.groupBy("i").agg(
                 F.sum("err").alias("se"),
@@ -257,7 +264,8 @@ def svdpp_train(spark: SparkSession, rating_edges_df: DataFrame, *,
                     for d in dims
                 ],
             )
-            new_items = checkpoint_eager(new_items)
+            new_users, new_items = checkpoint_eager_pair(new_users, new_items)
+            owned.append(new_users)
             owned.append(new_items)
 
             for df in (users, items, errs, uagg):

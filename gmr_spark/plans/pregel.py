@@ -225,6 +225,63 @@ def checkpoint_eager(df: DataFrame) -> DataFrame:
         guard.release()
 
 
+def checkpoint_eager_pair(df_a: DataFrame,
+                          df_b: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Eagerly localCheckpoint two INDEPENDENT DataFrames with their two
+    materializing jobs submitted CONCURRENTLY from a 2-thread pool (guide
+    §2.6: actions are only sequential because the driver calls them
+    sequentially; each small job underutilizes the cores, so the second
+    job back-fills the first's tail). One guard acquisition + one
+    persistent-RDD-id snapshot covers both (the failure-path diff
+    attributes every id added since the snapshot to THIS call — correct,
+    because on any failure BOTH results are discarded by the raise, so
+    unpersisting both is exactly right). The inputs must not depend on
+    each other's checkpoint, and the usual CONCURRENCY CONTRACT applies
+    to OTHER driver threads (see :func:`checkpoint_eager`). Falls back to
+    two sequential plain localCheckpoints if the JVM API is unavailable
+    (same WARN-once contract)."""
+    if df_a.sparkSession.sparkContext is not df_b.sparkSession.sparkContext:
+        raise ValueError("checkpoint_eager_pair: inputs from different "
+                         "SparkContexts")
+    guard = _eager_guard(df_a.sparkSession.sparkContext)
+    if not guard.acquire(blocking=False):
+        raise RuntimeError(
+            "checkpoint_eager_pair: concurrent entry from another driver "
+            "thread on the same SparkContext — see checkpoint_eager's "
+            "CONCURRENCY CONTRACT.")
+    try:
+        try:
+            jmap = df_a.sparkSession.sparkContext._jsc.getPersistentRDDs()
+            before = {int(i) for i in jmap.keySet().toArray()}
+        except Exception:
+            _warn_internal_api_fallback("checkpoint_eager_pair")
+            return (df_a.localCheckpoint(eager=True),
+                    df_b.localCheckpoint(eager=True))
+        from concurrent.futures import ThreadPoolExecutor
+
+        try:
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fut_a = pool.submit(df_a.localCheckpoint, True)
+                fut_b = pool.submit(df_b.localCheckpoint, True)
+                # read BOTH futures before raising so a one-sided failure
+                # still waits out the surviving job (its ids land inside
+                # the snapshot window and get released below)
+                res_a = fut_a.result()
+                res_b = fut_b.result()
+            return res_a, res_b
+        except BaseException:
+            try:
+                jmap = df_a.sparkSession.sparkContext._jsc.getPersistentRDDs()
+                for entry in jmap.entrySet().toArray():
+                    if int(entry.getKey()) not in before:
+                        entry.getValue().unpersist(False)
+            except Exception:
+                _warn_internal_api_fallback("checkpoint_eager_pair")
+            raise
+    finally:
+        guard.release()
+
+
 def _checkpoint_eager_locked(df: DataFrame) -> DataFrame:
     try:
         jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
