@@ -66,7 +66,64 @@ def get_session(app_name: str = "gmr_spark", cpus: str | int | None = None) -> S
     # on AQE skew-join at >2000 partitions set it per job.
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _prewarm_python_workers(spark)
     return spark
+
+
+# app ids whose Python worker pool was already pre-warmed — getOrCreate can
+# hand the same live session back any number of times
+_PREWARMED_APPS: set[str] = set()
+
+
+def _prewarm_python_workers(spark: SparkSession) -> None:
+    """Fork-and-warm the per-slot Python worker pool at session start
+    (optimization guide §4.5): one trivial pandas-UDF stage across every
+    task slot, so the pool behind ``spark.python.worker.reuse`` is populated
+    and each worker has paid its interpreter fork + pandas/numpy import
+    BEFORE the first real Arrow stage runs.
+
+    Measured (r15, sf0.1): the first Arrow-UDF jobs of a fresh session run
+    ~1.8-1.9 s for a sub-ms kernel on one task (two such jobs in
+    ``ann_ivf_pq``'s plan), and the first PARALLEL Arrow stage forks ~29
+    cold workers at once — all pure worker cold-start billed to whichever
+    ANN/multimodal query runs first. The warm-up pays the same cost once,
+    at session creation, where every later caller amortizes it; on a real
+    cluster the same stage warms each executor's pool. Disable with
+    ``GMR_PREWARM_PYTHON_WORKERS=0`` (e.g. for sessions that never touch
+    a Python-boundary operator)."""
+    if os.environ.get("GMR_PREWARM_PYTHON_WORKERS", "1") != "1":
+        return
+    app_id = spark.sparkContext.applicationId
+    if app_id in _PREWARMED_APPS:
+        return
+    _PREWARMED_APPS.add(app_id)
+    try:
+        # mapInPandas, not a pandas_udf: this module has
+        # ``from __future__ import annotations``, which turns UDF type
+        # hints into strings that pyspark's hint inference cannot resolve
+        # (UNSUPPORTED_SIGNATURE) — mapInPandas declares its schema
+        # explicitly and still rides the same Arrow worker path, so the
+        # fork + pandas/pyarrow/numpy import is paid identically.
+        def _touch(batches):
+            import numpy  # noqa: F401 — the Arrow kernels' import, paid here
+
+            yield from batches
+
+        n = spark.sparkContext.defaultParallelism
+        spark.sparkContext.setJobDescription("session: python worker prewarm")
+        try:
+            (spark.range(n, numPartitions=n).mapInPandas(_touch, "id long")
+             .write.format("noop").mode("overwrite").save())
+        finally:
+            spark.sparkContext.setJobDescription(None)
+    except Exception:
+        # warm-up is an optimization, never a gate: a failure (e.g. a
+        # pandas-less driver env) must not block session creation
+        import warnings
+
+        warnings.warn("gmr_spark.session: python worker pre-warm failed; "
+                      "first Arrow stage will pay worker cold-start",
+                      RuntimeWarning, stacklevel=2)
 
 
 def calibration_probe(spark: SparkSession) -> float:
