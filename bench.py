@@ -108,6 +108,16 @@ def build_result(timings: dict[str, float], sf: float | None,
     }
 
 
+def detail_sidecar_name(cpus: str | int) -> str:
+    """Sidecar filename keyed by core count (r14 VERDICT item 6: the
+    driver's 8-core scaling run used to OVERWRITE the committed 32-core
+    full-run BENCH_DETAIL.json). The canonical full bench (the driver's
+    primary 32-core run) keeps the unsuffixed name; any other core count
+    writes its own ``BENCH_DETAIL_c<N>.json``."""
+    return ("BENCH_DETAIL.json" if str(cpus) == "32"
+            else f"BENCH_DETAIL_c{cpus}.json")
+
+
 def contract_line(result: dict) -> str:
     """Serialize the minimal driver-contract line for stdout.
 
@@ -488,8 +498,11 @@ def main() -> None:
     # never clobber a full-run artifact.
     detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL")
     if detail_path is None and not only:
+        # keyed by core count so the driver's auxiliary scaling runs can't
+        # clobber the committed full-run artifact (r14 VERDICT item 6)
         detail_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+            os.path.dirname(os.path.abspath(__file__)),
+            detail_sidecar_name(CPUS))
     if detail_path:
         try:
             with open(detail_path, "w") as fh:

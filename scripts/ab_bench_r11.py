@@ -86,10 +86,24 @@ def run_leg(tree: str) -> dict:
     out = subprocess.run(
         [sys.executable, "bench.py"], cwd=tree, env=env,
         capture_output=True, text=True, check=True)
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    d = json.loads(line)
+    # since r14 stdout carries only the minimal contract line; the full
+    # artifact (with the calibration pair) moved to stderr — accept either
+    full, minimal = None, None
+    for ln in out.stdout.splitlines() + out.stderr.splitlines():
+        if not ln.startswith("{"):
+            continue
+        try:
+            d = json.loads(ln)
+        except json.JSONDecodeError:
+            continue
+        if "queries" in d:
+            if "calibration_sec" in d:
+                full = d
+            else:
+                minimal = d
+    d = full or minimal
     return {"queries": d["queries"],
-            "cal": [d["calibration_sec"], d["calibration_post_sec"]]}
+            "cal": [d.get("calibration_sec"), d.get("calibration_post_sec")]}
 
 
 def main() -> None:

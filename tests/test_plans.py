@@ -824,6 +824,54 @@ def test_checkpoint_eager_rejects_concurrent_entry(spark):
     pregel._drop_checkpoint_blocks(out)
 
 
+def test_checkpoint_eager_pair_concurrent_and_clean(spark):
+    """r15: checkpoint_eager_pair materializes two independent frames'
+    eager localCheckpoints under one guard acquisition (two concurrent
+    jobs). Pins: (a) both results are block-backed LogicalRDD leaves with
+    the right values; (b) the guard is released afterwards; (c) concurrent
+    entry is rejected like checkpoint_eager's; (d) a failure inside either
+    materialization releases EVERY id the call persisted."""
+    from pyspark.sql import functions as F
+
+    from gmr_spark.plans import pregel
+
+    a = spark.range(5).select(F.col("id").alias("x"))
+    b = spark.range(7).select((F.col("id") * 2).alias("y"))
+    ra, rb = pregel.checkpoint_eager_pair(a, b)
+    for r in (ra, rb):
+        assert (r._jdf.queryExecution().analyzed().getClass().getSimpleName()
+                == "LogicalRDD")
+    assert ra.count() == 5 and rb.count() == 7
+    guard = pregel._eager_guard(spark.sparkContext)
+    assert not guard.locked()  # released on the success path
+    assert guard.acquire(blocking=False)
+    try:
+        with pytest.raises(RuntimeError, match="concurrent entry"):
+            pregel.checkpoint_eager_pair(a, b)
+    finally:
+        guard.release()
+    pregel._drop_checkpoint_blocks(ra)
+    pregel._drop_checkpoint_blocks(rb)
+
+    # failure path: one side's materializing job fails -> nothing persisted
+    # by the call survives (the snapshot-diff release covers BOTH sides)
+    def persistent_ids() -> set:
+        return {int(i) for i in
+                spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()}
+
+    @F.udf("long")
+    def _boom(v):
+        raise ValueError("forced pair failure")
+
+    before = persistent_ids()
+    bad = spark.range(4).select(_boom(F.col("id")).alias("z"))
+    with pytest.raises(Exception, match="forced pair failure"):
+        pregel.checkpoint_eager_pair(spark.range(3), bad)
+    assert not (persistent_ids() - before), \
+        "failed checkpoint_eager_pair leaked persisted RDDs"
+    assert not pregel._eager_guard(spark.sparkContext).locked()
+
+
 def test_eager_guard_keyed_per_context(spark):
     """Round-11 ADVICE item 4: the reentrancy guard is keyed per
     SparkContext — the RDD-id snapshot race it protects is per-context, so
@@ -856,3 +904,30 @@ def test_eager_guard_keyed_per_context(spark):
 
     gc.collect()
     assert len(pregel._EAGER_GUARDS) == before - 1
+
+
+def test_python_worker_prewarm_runs_clean(spark):
+    """r15: the session-start Python-worker pre-warm (§4.5 — absorbs the
+    ~1.8 s/worker Arrow cold-start otherwise billed to the first ANN /
+    multimodal query) must actually RUN. It is wrapped in a
+    warn-and-continue except, so a silently broken warm-up (e.g. the
+    string-annotation pandas_udf signature this test was written against)
+    still passes every functional test — pin that it executes without
+    falling into the warning path, and that repeat calls are memoized."""
+    import warnings
+
+    from gmr_spark import session as S
+
+    app_id = spark.sparkContext.applicationId
+    S._PREWARMED_APPS.discard(app_id)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        S._prewarm_python_workers(spark)
+    assert not [w for w in caught if "pre-warm failed" in str(w.message)], \
+        "python worker pre-warm fell into its failure path"
+    assert app_id in S._PREWARMED_APPS
+    # memoized: a second call is a no-op (no second noop-write job)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        S._prewarm_python_workers(spark)
+    assert not caught

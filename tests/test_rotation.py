@@ -154,6 +154,19 @@ def test_bench_headline_names_resolve():
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE)), "duplicate rows"
 
 
+def test_bench_detail_sidecar_keyed_by_cpus():
+    """r14 VERDICT item 6: the driver's auxiliary scaling runs (other core
+    counts) must not clobber the committed 32-core full-run sidecar — the
+    canonical run keeps BENCH_DETAIL.json, every other core count gets its
+    own suffixed file."""
+    import bench
+
+    assert bench.detail_sidecar_name("32") == "BENCH_DETAIL.json"
+    assert bench.detail_sidecar_name(32) == "BENCH_DETAIL.json"
+    assert bench.detail_sidecar_name("8") == "BENCH_DETAIL_c8.json"
+    assert bench.detail_sidecar_name(16) == "BENCH_DETAIL_c16.json"
+
+
 def test_bench_bracket_flagging_rule():
     """compute_brackets (round-9 verdict item 3): every query gets the
     probe pair surrounding its segment, and exactly the queries whose pair
