@@ -20,19 +20,26 @@ every label is the id of a vertex in v's component; the fixpoint where
 propagation finds no improvement is exactly "every component shares its
 minimum id as label".
 
-Driver-action shape (r15, guide §1.2 step 1 + §5): each ROUND is ONE
-checkpoint-materializing job that fuses the propagation step with TWO
-pointer jumps (label := L[L] applied twice, each through the just-updated
-table — resolution depth quarters per job); extra jump JOBS run only while
-the last jump still improved something, again two jumps per job. The old
-loop paid one job per propagation step plus one job per single jump plus
-a final no-op confirm jump — at cluster scale every one of those jobs is
-a scheduler round-trip on the critical path. Convergence censuses ride
-the checkpoints as Observations (two sums per job: any-decrease vs the
-pre-round labels for the outer fixpoint, any-decrease in the final jump
-for the inner one); labels are monotone non-increasing, so "changed" ≡
-"decreased" and the fixpoint (and therefore the declared result) is
-IDENTICAL to the one-step-per-job loop's.
+Driver-action shape (r15 final, guide §1.2 step 1 + §5): each ROUND is ONE
+checkpoint-materializing job fusing the propagation step with TWO pointer
+jumps, where every jump resolves through the MATERIALIZED previous label
+checkpoint (the join's lookup side is always a plain scan of the persisted
+blocks, applied sequentially: l1 = T[l0], l2 = T[l1]). That detail is
+load-bearing: the first r15 draft jumped through the *just-updated lazy*
+table, whose self-reference duplicated the whole propagation subtree into
+the plan 4x (measured: 12 → 25 stages per checkpoint job, mst row 8.2 →
+73.4 s in a clean A/B window) — sequential composition against the
+materialized scan gets the extra resolution depth at one cheap O(V) join
+each, no duplication. Extra jump JOBS (same two-scan-join shape, tripling
+resolution depth per job — T := T∘T∘T over the materialized table) run
+only while the last jump still improved something; the old r14 loop paid
+one job per propagation step plus one job per jump plus a final no-op
+confirm jump. Convergence censuses ride the checkpoints as Observations
+(two sums per job: any-decrease vs the pre-round labels for the outer
+fixpoint, any-decrease in the last jump for the inner one); labels are
+monotone non-increasing and ``label[v] ≤ v``, so "changed" ≡ "decreased"
+and the fixpoint (and therefore the declared result) is IDENTICAL to the
+one-step-per-job loop's.
 
 Determinism: labels decrease monotonically, so a converged run equals the
 K-step bounded propagation for any K ≥ convergence step — the DuckDB oracle
@@ -84,33 +91,38 @@ class _CCProgram:
 _JUMP_CAP = 64  # > log2 of any feasible |V|; trips only on a logic bug
 
 
-def _double_jump(df: DataFrame, keep: list[str]) -> DataFrame:
-    """Two pointer jumps (label := L[L], each through the just-updated
-    table) fused into one lazy plan over ``df(id, label, *keep)``. Returns
-    (id, label, *keep, _j1) where ``_j1`` is the label after the FIRST
-    jump — the inner-loop census compares the final label against it (the
-    last jump changing nothing ≡ L[L] = L ≡ jump fixpoint). Every label is
-    a vertex id present in ``df.id`` (the loop invariant), so the lookup
-    inner-joins always match; ``left`` + coalesce keeps the no-match case
-    a value-identity rather than a row drop, belt-and-braces."""
+def _scan_jumps(df: DataFrame, lookup: DataFrame,
+                keep: list[str]) -> DataFrame:
+    """Two sequential pointer jumps over ``df(id, label, *keep)``, each
+    resolving through ``lookup`` — a MATERIALIZED (checkpointed) label
+    table whose scan is the build side of both joins, so the plan never
+    duplicates an unmaterialized subtree (the r15-draft trap; see module
+    docstring). Returns (id, label, *keep, _j1) where ``_j1`` is the label
+    after the FIRST jump — the inner-loop census compares the final label
+    against it (the last jump changing nothing ≡ jump fixpoint reached
+    w.r.t. this table). Every label is a vertex id present in
+    ``lookup.id`` (the loop invariant), so the lookup inner-joins always
+    match; ``left`` + coalesce keeps the no-match case a value-identity
+    rather than a row drop, belt-and-braces. Monotonicity: the lookup
+    table satisfies ``label[v] ≤ v``, so each jump can only decrease."""
     j1 = (
-        df.join(df.select(F.col("id").alias("label"),
-                          F.col("label").alias("_l1")), "label", "left")
+        df.join(lookup.select(F.col("id").alias("label"),
+                              F.col("label").alias("_l1")), "label", "left")
         .select("id", F.coalesce("_l1", F.col("label")).alias("label"), *keep)
     )
     return (
-        j1.join(j1.select(F.col("id").alias("label"),
-                          F.col("label").alias("_l2")), "label", "left")
+        j1.join(lookup.select(F.col("id").alias("label"),
+                              F.col("label").alias("_l2")), "label", "left")
         .select("id", F.coalesce("_l2", F.col("label")).alias("label"),
                 *keep, F.col("label").alias("_j1"))
     )
 
 
 def _cc_labels(g: PropertyGraph, max_iter: int) -> tuple[DataFrame, dict]:
-    """Fused propagate + double-pointer-jump loop over (id, label).
-    Returns the converged label table and counters for the property test:
-    ``rounds`` (propagation steps) and ``jump_joins`` (doubling joins —
-    two per checkpoint job since r15)."""
+    """Fused propagate + scan-jump loop over (id, label). Returns the
+    converged label table and counters for the property test: ``rounds``
+    (propagation steps) and ``jump_joins`` (jump joins — two per
+    checkpoint job since r15, each against the materialized table)."""
     edges = g.edges.select("src", "dst")
     labels = checkpoint_eager(g.vertices.select(
         "id", F.col("id").alias("label")
@@ -127,9 +139,12 @@ def _cc_labels(g: PropertyGraph, max_iter: int) -> tuple[DataFrame, dict]:
     stats = {"rounds": 0, "jump_joins": 0, "converged": False}
     try:
         for _ in range(max_iter):
-            # (1) one min-neighbor propagation step + (2) two pointer jumps,
-            # all in ONE checkpoint-materializing job. Both censuses ride it
-            # as Observations: n_improved (final < pre-round — the outer
+            # (1) one min-neighbor propagation step + (2) two pointer jumps
+            # through the PREVIOUS materialized label table, all in ONE
+            # checkpoint-materializing job (the propagation subtree is
+            # evaluated exactly once; the jump joins' build sides are scans
+            # of the persisted blocks). Both censuses ride it as
+            # Observations: n_improved (final < pre-round — the outer
             # fixpoint test; rounds start at jump fixpoint, so 0 here means
             # neither propagation nor jumps changed anything) and n_jump2
             # (final < post-first-jump — whether more jump jobs are needed).
@@ -149,7 +164,7 @@ def _cc_labels(g: PropertyGraph, max_iter: int) -> tuple[DataFrame, dict]:
             )
             obs = Observation()
             labels = checkpoint_eager(
-                _double_jump(prop, ["_pre"])
+                _scan_jumps(prop, labels, ["_pre"])
                 .observe(
                     obs,
                     F.sum((F.col("label") < F.col("_pre")).cast("long"))
@@ -168,14 +183,16 @@ def _cc_labels(g: PropertyGraph, max_iter: int) -> tuple[DataFrame, dict]:
                 stats["converged"] = True
                 break
 
-            # extra double-jump jobs only while the LAST jump still improved
+            # extra jump jobs (T := T∘T∘T over the just-materialized table)
+            # only while the LAST jump still improved something
             jumping = (res["n_jump2"] or 0) > 0
             for _ in range(_JUMP_CAP):
                 if not jumping:
                     break
                 jump_obs = Observation()
+                jump_base = labels
                 labels = checkpoint_eager(
-                    _double_jump(labels, [])
+                    _scan_jumps(jump_base.select("id", "label"), jump_base, [])
                     .observe(jump_obs,
                              F.sum((F.col("label") < F.col("_j1"))
                                    .cast("long")).alias("n_jump2"))

