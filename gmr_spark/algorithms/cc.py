@@ -92,7 +92,7 @@ _JUMP_CAP = 64  # > log2 of any feasible |V|; trips only on a logic bug
 
 
 def _scan_jumps(df: DataFrame, lookup: DataFrame,
-                keep: list[str]) -> DataFrame:
+                keep: list[str], *, small: bool = False) -> DataFrame:
     """Two sequential pointer jumps over ``df(id, label, *keep)``, each
     resolving through ``lookup`` — a MATERIALIZED (checkpointed) label
     table whose scan is the build side of both joins, so the plan never
@@ -104,29 +104,57 @@ def _scan_jumps(df: DataFrame, lookup: DataFrame,
     ``lookup.id`` (the loop invariant), so the lookup inner-joins always
     match; ``left`` + coalesce keeps the no-match case a value-identity
     rather than a row drop, belt-and-braces. Monotonicity: the lookup
-    table satisfies ``label[v] ≤ v``, so each jump can only decrease."""
+    table satisfies ``label[v] ≤ v``, so each jump can only decrease.
+
+    ``small`` broadcast-hints the lookup sides: under ``small_loop_conf``
+    AQE is off, so without the hint Catalyst plans every jump as a
+    SortMergeJoin over a checkpoint scan with unknowable stats — measured
+    on cc_cs (|V|=16k): 8 Exchanges + sorts per fused round vs 1 with the
+    hints (guide §3.1: pick the strategy deliberately). Callers set it
+    only when the vertex census proves the label table is broadcastable."""
+    _h = (lambda d: d.hint("broadcast")) if small else (lambda d: d)
     j1 = (
-        df.join(lookup.select(F.col("id").alias("label"),
-                              F.col("label").alias("_l1")), "label", "left")
+        df.join(_h(lookup.select(F.col("id").alias("label"),
+                                 F.col("label").alias("_l1"))), "label", "left")
         .select("id", F.coalesce("_l1", F.col("label")).alias("label"), *keep)
     )
     return (
-        j1.join(lookup.select(F.col("id").alias("label"),
-                              F.col("label").alias("_l2")), "label", "left")
+        j1.join(_h(lookup.select(F.col("id").alias("label"),
+                                 F.col("label").alias("_l2"))), "label", "left")
         .select("id", F.coalesce("_l2", F.col("label")).alias("label"),
                 *keep, F.col("label").alias("_j1"))
     )
 
 
-def _cc_labels(g: PropertyGraph, max_iter: int) -> tuple[DataFrame, dict]:
+def _cc_labels(g: PropertyGraph, max_iter: int,
+               *, small: bool = False) -> tuple[DataFrame, dict]:
     """Fused propagate + scan-jump loop over (id, label). Returns the
     converged label table and counters for the property test: ``rounds``
     (propagation steps) and ``jump_joins`` (jump joins — two per
-    checkpoint job since r15, each against the materialized table)."""
-    edges = g.edges.select("src", "dst")
-    labels = checkpoint_eager(g.vertices.select(
-        "id", F.col("id").alias("label")
-    ))
+    checkpoint job since r15, each against the materialized table).
+
+    ``small`` (set by :func:`connected_components` when BOTH censuses are
+    known and under ``BIG_GRAPH_ROWS``) broadcast-hints every |V|-row side:
+    the label lookup in the propagation/jump joins and the aggregated
+    neighbor-min table. Join strategy does not change the fixpoint — only
+    which side builds the hash table.
+
+    The edge set is checkpointed ONCE up front (concurrently with the
+    initial labels — two independent snapshots, guide §2.6): the caller
+    hands a LAZY plan (typically ``undirected()``'s union+distinct, 2
+    Exchanges over 2|E| rows) that the propagation join would otherwise
+    re-execute EVERY round (r14 and the first r15 cut both paid it; the
+    pregel loops already snapshot their edges — ``edges_checkpointed`` —
+    for exactly this reason). Blocks are released on every exit path: the
+    returned label fixpoint is itself a checkpoint with no lineage into
+    the edge snapshot."""
+    _h = (lambda d: d.hint("broadcast")) if small else (lambda d: d)
+    from gmr_spark.plans.pregel import checkpoint_eager_pair
+
+    labels, edges = checkpoint_eager_pair(
+        g.vertices.select("id", F.col("id").alias("label")),
+        g.edges.select("src", "dst"),
+    )
     # superseded label checkpoints are released as soon as their successor
     # is materialized (round-10: this loop predated the release discipline
     # run_pregel/_backward_members follow — at 100 TB a long run stranded
@@ -149,13 +177,14 @@ def _cc_labels(g: PropertyGraph, max_iter: int) -> tuple[DataFrame, dict]:
             # neither propagation nor jumps changed anything) and n_jump2
             # (final < post-first-jump — whether more jump jobs are needed).
             nbr_min = (
-                edges.join(labels.select(F.col("id").alias("src"),
-                                         F.col("label").alias("slabel")), "src")
+                edges.join(_h(labels.select(F.col("id").alias("src"),
+                                            F.col("label").alias("slabel"))),
+                           "src")
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.min("slabel").alias("nlabel"))
             )
             prop = (
-                labels.join(nbr_min, "id", "left")
+                labels.join(_h(nbr_min), "id", "left")
                 .select(
                     "id",
                     F.least("label", F.coalesce("nlabel", "label")).alias("label"),
@@ -164,7 +193,7 @@ def _cc_labels(g: PropertyGraph, max_iter: int) -> tuple[DataFrame, dict]:
             )
             obs = Observation()
             labels = checkpoint_eager(
-                _scan_jumps(prop, labels, ["_pre"])
+                _scan_jumps(prop, labels, ["_pre"], small=small)
                 .observe(
                     obs,
                     F.sum((F.col("label") < F.col("_pre")).cast("long"))
@@ -192,7 +221,8 @@ def _cc_labels(g: PropertyGraph, max_iter: int) -> tuple[DataFrame, dict]:
                 jump_obs = Observation()
                 jump_base = labels
                 labels = checkpoint_eager(
-                    _scan_jumps(jump_base.select("id", "label"), jump_base, [])
+                    _scan_jumps(jump_base.select("id", "label"), jump_base, [],
+                                small=small)
                     .observe(jump_obs,
                              F.sum((F.col("label") < F.col("_j1"))
                                    .cast("long")).alias("n_jump2"))
@@ -205,6 +235,11 @@ def _cc_labels(g: PropertyGraph, max_iter: int) -> tuple[DataFrame, dict]:
     except BaseException:
         _drop_checkpoint_blocks(prev)
         raise
+    finally:
+        # the edge snapshot is dead on every exit: the loop's consumers have
+        # run, and the returned labels are a checkpoint with no lineage
+        # into it (success path) / the raise discards everything (failure)
+        _drop_checkpoint_blocks(edges)
     return labels, stats
 
 
@@ -219,17 +254,27 @@ def connected_components(graph: PropertyGraph, *, max_iter: int = 120,
     (``small_loop_conf``: statically coalesced shuffles + per-stage
     adaptive planning off below BIG_GRAPH_ROWS — this was the ONE loop
     left on session defaults, where AQE turned each fused round into one
-    job per query stage). Census-less graphs keep the old behavior rather
-    than paying a count job for the conf."""
-    from gmr_spark.plans.pregel import small_loop_conf
+    job per query stage). With AQE off, Catalyst has no runtime sizes for
+    the checkpoint-scan join sides and falls back to SortMergeJoin
+    everywhere — measured on cc_cs: 8 Exchanges + sorts per fused round,
+    a net sf0.1 REGRESSION vs r14 (~8.1 s vs ~6.5 s min-of-2 warm) — so
+    when BOTH censuses additionally prove the |V|-row sides broadcastable
+    (≤ BIG_GRAPH_ROWS), the loop broadcast-hints them: 1 Exchange per
+    round (the neighbor-min groupBy, the one fundamental shuffle).
+    Census-less graphs keep the old behavior rather than paying count
+    jobs for the conf."""
+    from gmr_spark.plans.pregel import BIG_GRAPH_ROWS, small_loop_conf
 
     g = graph.undirected() if undirected else graph
     n_edges = graph.n_edges
     if n_edges is not None and undirected:
         n_edges *= 2  # symmetric closure upper bound
     if n_edges is not None:
+        small = (n_edges <= BIG_GRAPH_ROWS
+                 and graph.n_vertices is not None
+                 and graph.n_vertices <= BIG_GRAPH_ROWS)
         with small_loop_conf(graph.edges.sparkSession, n_edges):
-            labels, _ = _cc_labels(g, max_iter)
+            labels, _ = _cc_labels(g, max_iter, small=small)
     else:
         labels, _ = _cc_labels(g, max_iter)
     return labels.select("id", F.col("label").alias("component"))
